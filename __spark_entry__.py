@@ -1,38 +1,47 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract adapter for the adlspark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship TPC-H-Q1-shaped aggregate at sf0.001.
+- ``queries()``: registry of implemented SURVEY.md §2 operators.
+- ``oracle_sql()``: matching DuckDB oracle SQL (keys without an entry get
+  the driver's rows-only check).
+
+Implementation lives in the ``adlspark`` package (same directory).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from adlspark import registry, session  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    session.configure(spark)
+    q = registry.all_queries()["agg_group_q1"]
+    return q(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    qs = registry.all_queries()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            session.configure(spark)
+            return fn(spark, sf_dir)
+
+        return wrapped
+
+    return {k: wrap(fn) for k, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return registry.all_oracles()

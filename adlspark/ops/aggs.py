@@ -1,0 +1,298 @@
+"""§2 D — Aggregations.
+
+All plans are plain ``groupBy().agg()`` — Catalyst compiles these to
+partial (map-side) + final hash aggregates automatically, which is the
+scale-correct shape: the shuffle carries one row per (partition, group),
+not per input row. Double sums use exact decimal summation (parity.py) so
+results are independent of partition count / merge order — a property that
+matters both for the DuckDB oracle and for determinism on a 1000-executor
+cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.ops.parity import DEC, O_DEC, davg, dsum, o_davg, o_dsum
+from adlspark.registry import query
+
+
+@query(
+    "agg_group_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum('l_quantity')} AS sum_qty,
+       {o_dsum('l_extendedprice')} AS sum_base_price,
+       {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {o_davg('l_quantity')} AS avg_qty,
+       {o_davg('l_extendedprice')} AS avg_price,
+       {o_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_group_q1(spark, sf_dir):
+    """TPC-H Q1 shape: filter → hash aggregate, 8 aggregates over 2 keys."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT {o_dsum('l_quantity')} AS sum_qty,
+       {o_davg('l_extendedprice')} AS avg_price,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       count(*) AS n_rows
+FROM lineitem
+""",
+)
+def agg_global(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT c_nationkey, count(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct — Catalyst plans Expand + two-phase aggregate."""
+    orders = tables.load(spark, sf_dir, "orders")
+    customer = tables.load(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL++ sketch differs per engine
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct's Expand blow-up is unaffordable. rsd=0.01 → ~1% error."""
+    orders = tables.load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, count(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+)
+def agg_having(spark, sf_dir):
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates. Rounding is coarse (§5.3): these use
+    engine-specific co-moment merges, so only ~1e-10 relative parity is
+    guaranteed; inputs are chosen with small magnitudes."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(median(l_quantity), 6) AS med,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark, sf_dir):
+    """Exact percentiles (linear interpolation — same semantics as DuckDB
+    quantile_cont). At 100 TB one would switch to approx_percentile."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.median("l_quantity"), 6).alias("med"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT r_name, n_name, count(*) AS n_cust,
+       {o_dsum('c_acctbal')} AS sum_bal
+FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {o_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT r_name, n_name,
+       (CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+        + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS lvl,
+       count(*) AS n_cust,
+       {o_dsum('c_acctbal')} AS sum_bal
+FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets via SQL. The subtotal level is derived from
+    key NULL-ness (keys are never NULL in the data), avoiding
+    grouping_id() encoding differences between engines."""
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    tables.load(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    tables.load(spark, sf_dir, "region").createOrReplaceTempView("gs_region")
+    return spark.sql(
+        f"""
+        SELECT r_name, n_name,
+               (CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+                + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS lvl,
+               count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS {DEC})) AS DOUBLE) AS sum_bal
+        FROM gs_customer
+          JOIN gs_nation ON c_nationkey = n_nationkey
+          JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT user_id,
+       list_sort(array_agg(DISTINCT event_type)) AS types,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_collect_sorted(spark, sf_dir):
+    ev = tables.events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+SELECT user_id,
+       CAST(sum(CAST(value AS {O_DEC})) FILTER (WHERE event_type = 'purchase')
+            AS DOUBLE) AS purchase_value,
+       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       count(*) FILTER (WHERE value > 50) AS n_high,
+       count(*) AS n_total
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_conditional(spark, sf_dir):
+    """Filtered aggregation — sum(when(...)) compiles to a single pass."""
+    ev = tables.events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(DEC))
+        .cast("double")
+        .alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

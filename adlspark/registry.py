@@ -1,0 +1,73 @@
+"""Central registry mapping SURVEY.md §2 keys to (query fn, oracle SQL).
+
+Each operator module registers with the ``@query`` decorator::
+
+    @query("agg_group_q1", oracle=\"\"\"SELECT ... \"\"\")
+    def agg_group_q1(spark, sf_dir):
+        return ...
+
+``oracle=None`` marks a rows-only key (no SQL-expressible oracle; the
+driver records the weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in _QUERIES:
+            raise ValueError(f"duplicate registry key: {key}")
+        _QUERIES[key] = fn
+        if oracle is not None:
+            _ORACLES[key] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every operator module exactly once so decorators run."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Import order mirrors SURVEY.md §2 category order.
+    from adlspark.ops import (  # noqa: F401
+        scans,
+        filters,
+        joins,
+        aggs,
+        windows,
+        sorts,
+        setops,
+        functions,
+        subqueries,
+        timeseries,
+        udfs,
+    )
+    from adlspark.llm import dedup, similarity, text  # noqa: F401
+    from adlspark.streaming import streams  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's baseline configuration.
+
+Config rationale (SURVEY.md §4 baseline):
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the ``events.ts`` fixture is
+  a nanosecond parquet timestamp, illegal in Spark 4.x without this flag
+  (SURVEY.md §1.3). It arrives as LongType ns-since-epoch; ``tables.py``
+  converts to a µs TimestampType column.
+- UTC session timezone: timestamp parity with the DuckDB oracle.
+- Low shuffle partitions locally + AQE: at sf0.1 the data is small; AQE
+  coalescing keeps task overhead down. On a real cluster these are raised
+  via ``ADLSPARK_SHUFFLE_PARTITIONS`` / submitted conf — every operator is
+  written to be partition-count agnostic.
+- Arrow enabled: all pandas-UDF paths transfer via Arrow batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(app_name: str = "adlspark", master: str | None = None) -> SparkSession:
+    master = master or os.environ.get("ADLSPARK_MASTER", "local[*]")
+    shuffle = os.environ.get("ADLSPARK_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("ADLSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an externally-built
+    session (the driver passes its own SparkSession to ``entry``)."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static confs can't be set post-start on some builds; the
+            # nanosAsLong flag is the only critical one and IS settable.
+            pass
+    return spark
