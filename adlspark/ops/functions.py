@@ -1,0 +1,316 @@
+"""§2 H — Scalar function families, one composite query per family.
+
+All expressions are JVM-side built-ins inside whole-stage codegen — the
+fast path. Known cross-engine traps handled inline: Spark dayofweek is
+1=Sunday vs DuckDB 0=Sunday (oracle adds 1); round() boundaries avoided
+on .5; regex kept to the RE2-common subset; log = natural log in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS up_name,
+       lower(p_type) AS low_type,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       substring(p_name, 1, 5) AS pfx,
+       length(p_name) AS name_len,
+       concat_ws('/', p_type, p_brand) AS type_brand,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       replace(p_name, ' ', '_') AS snake,
+       len(string_split(p_name, ' ')) AS n_words
+FROM part
+""",
+)
+def fn_string(spark, sf_dir):
+    p = tables.load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_type").alias("low_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+SELECT p_partkey, p_name, p_brand,
+       regexp_extract(p_brand, '[0-9]+') AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+       regexp_matches(p_name, '^(small|large)') AS sized
+FROM part
+WHERE regexp_matches(p_type, '^(PROMO|ECONOMY)$')
+""",
+)
+def fn_regex(spark, sf_dir):
+    """regexp trap: Spark regexp_replace is global by default; DuckDB
+    needs the 'g' flag. Spark regexp_extract needs an explicit group 0."""
+    p = tables.load(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").rlike("^(PROMO|ECONOMY)$")).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").rlike("^(small|large)").alias("sized"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mon,
+       dayofmonth(o_orderdate) AS dom,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+       dayofweek(o_orderdate) + 1 AS dow,
+       round(12 * (year(o_orderdate) - 1995) + (month(o_orderdate) - 1)
+             + (dayofmonth(o_orderdate) - 1) / 31.0, 4) AS months_since_approx
+FROM orders
+""",
+)
+def fn_date(spark, sf_dir):
+    """Date family. dayofweek: Spark 1=Sunday, DuckDB 0=Sunday → oracle
+    +1. months_between is NOT cross-comparable (different day-fraction
+    conventions), so an explicit arithmetic months-since is used on both
+    sides instead."""
+    o = tables.load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("long").alias(
+            "days_since"
+        ),
+        (d + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.last_day(d).cast("string").alias("eom"),
+        F.dayofweek(d).alias("dow"),
+        F.round(
+            12 * (F.year(d) - 1995)
+            + (F.month(d) - 1)
+            + (F.dayofmonth(d) - 1) / 31.0,
+            4,
+        ).alias("months_since_approx"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS price_r1,
+       floor(l_extendedprice) AS price_floor,
+       ceil(l_extendedprice) AS price_ceil,
+       abs(l_discount - 0.05) AS disc_dev,
+       round(pow(l_quantity, 2), 6) AS qty_sq,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       pmod_result AS qty_mod5,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM (SELECT *, CAST(l_quantity AS BIGINT) % 5 AS pmod_result FROM lineitem)
+""",
+)
+def fn_math(spark, sf_dir):
+    """Math family. floor/ceil return DOUBLE in DuckDB but LONG in Spark →
+    cast to double on the Spark side; % on positive ints ≡ pmod."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(p, 1).alias("price_r1"),
+        F.floor(p).cast("double").alias("price_floor"),
+        F.ceil(p).cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt(p), 6).alias("price_sqrt"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.pmod(F.col("l_quantity").cast("long"), F.lit(5)).alias("qty_mod5"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS band,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
+       greatest(o_totalprice, 250000.0) AS at_least,
+       least(o_totalprice, 250000.0) AS at_most
+FROM orders
+""",
+)
+def fn_cond(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 300000, "high")
+        .when(tp > 100000, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
+        ).alias("status_or_default"),
+        F.greatest(tp, F.lit(250000.0)).alias("at_least"),
+        F.least(tp, F.lit(250000.0)).alias("at_most"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(o_totalprice AS BIGINT) AS price_int,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(o_orderdate AS DATE) AS order_date,
+       TRY_CAST(o_orderpriority AS BIGINT) AS bad_int,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+       CAST(o_totalprice AS DOUBLE) AS price_dbl
+FROM orders
+""",
+)
+def fn_cast(spark, sf_dir):
+    """Casts incl. try_cast of unparseable strings → NULL."""
+    o = tables.load(spark, sf_dir, "orders")
+    # DuckDB CAST(DOUBLE AS BIGINT) rounds HALF_EVEN (measured: 262188.5 →
+    # 262188); Spark cast truncates and round() is HALF_UP — bround is the
+    # matching half-even form.
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.bround(F.col("o_totalprice"), 0).cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "prio_num"
+        ),
+        F.col("o_totalprice").cast("double").alias("price_dbl"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       round(CAST(embedding[64] AS DOUBLE), 6) AS last_elem,
+       len(list_transform(embedding, x -> x * 2)) AS doubled_len,
+       round(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1], 6) AS doubled_first,
+       list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos,
+       len(list_distinct([label % 3, label % 2, 0])) AS n_distinct_small,
+       round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1], 6) AS min_elem
+FROM embeddings
+""",
+)
+def fn_array(spark, sf_dir):
+    """Array family over the embedding vector column. Element access is
+    1-based in both engines (Spark element_at / DuckDB [i])."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.element_at(emb, 64).cast("double"), 6).alias("last_elem"),
+        F.size(F.transform(emb, lambda x: x * 2)).cast("long").alias("doubled_len"),
+        F.round(
+            F.element_at(F.transform(emb, lambda x: x.cast("double") * 2), 1), 6
+        ).alias("doubled_first"),
+        F.array_contains(F.transform(emb, lambda x: x > 0), True).alias("has_pos"),
+        F.size(
+            F.array_distinct(
+                F.array(
+                    F.col("label") % 3, F.col("label") % 2, F.lit(0)
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_small"),
+        F.round(
+            F.element_at(F.sort_array(F.transform(emb, lambda x: x.cast("double"))), 1),
+            6,
+        ).alias("min_elem"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+SELECT vec_id, pos, round(val, 6) AS val
+FROM (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+WHERE vec_id < 100
+""",
+)
+def fn_explode(spark, sf_dir):
+    """posexplode → relational (vec_id, pos, val) form; 0-based pos."""
+    e = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("col").cast("double"), 6).alias("val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT k_val, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, user_id
+  FROM events
+)
+GROUP BY k_val
+""",
+)
+def fn_json(spark, sf_dir):
+    """JSON extraction from the props string column + group on it."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+            "user_id",
+        )
+        .groupBy("k_val")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

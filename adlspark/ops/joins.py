@@ -1,0 +1,293 @@
+"""§2 C — Joins.
+
+Strategy notes (what Catalyst/AQE picks and why it's the scale-right plan):
+- Dim tables (region/nation/customer at small sf) fall under
+  autoBroadcastJoinThreshold → broadcast-hash, no shuffle of the fact side.
+  `join_broadcast` pins it explicitly with `F.broadcast`.
+- Fact-fact equi joins (lineitem⋈aggregate) shuffle both sides on the key —
+  sort-merge with AQE skew splitting; at 100 TB, bucketing both sides on
+  the join key removes this shuffle entirely (see io.staging).
+- Theta/range joins keep an equi conjunct (user_id / orderkey) so Spark
+  plans SMJ with a range post-filter instead of a cartesian
+  BroadcastNestedLoop.
+- As-of join has no native Spark operator: implemented as the
+  union-tag + last(ignorenulls) running-window pattern — one shuffle on
+  (user_id), no join at all, which beats a range-join + row_number at any
+  scale and reproduces DuckDB ASOF's inclusive greatest-ts-≤ semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.ops.parity import dsum, o_dsum
+from adlspark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, n_name
+FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE o_totalprice > 300000
+""",
+)
+def join_inner(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def join_broadcast(spark, sf_dir):
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "join_multikey",
+    oracle=f"""
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, g.grp_qty, g.grp_cnt
+FROM lineitem l
+JOIN (
+  SELECT l_orderkey, l_partkey,
+         {o_dsum('l_quantity')} AS grp_qty,
+         count(*) AS grp_cnt
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+) g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
+""",
+)
+def join_multikey(spark, sf_dir):
+    """Composite-key self join against a per-(order,part) aggregate."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey", "l_partkey").agg(
+        dsum("l_quantity").alias("grp_qty"),
+        F.count(F.lit(1)).alias("grp_cnt"),
+    )
+    return li.join(agg, on=["l_orderkey", "l_partkey"]).select(
+        "l_orderkey", "l_partkey", "l_linenumber", "grp_qty", "grp_cnt"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+    ON c_custkey = o_custkey
+""",
+)
+def join_left(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name
+FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+  RIGHT JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_right(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    c = tables.load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+SELECT coalesce(c.c_custkey, o.o_custkey) AS k,
+       c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal > 8000) c
+  FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+    ON c.c_custkey = o.o_custkey
+""",
+)
+def join_full(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return o.join(c, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("k"),
+        "c_acctbal",
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+""",
+)
+def join_semi(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+)
+""",
+)
+def join_anti(spark, sf_dir):
+    p = tables.load(spark, sf_dir, "part")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark, sf_dir):
+    r = tables.load(spark, sf_dir, "region")
+    n = tables.load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id
+FROM e e1
+JOIN e e2
+  ON e1.user_id = e2.user_id
+ AND e2.event_id > e1.event_id
+ AND e2.ts >= e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+""",
+)
+def join_theta_range(spark, sf_dir):
+    """Range self-join: same-user event pairs within 10 minutes. The
+    user_id equi conjunct keeps this a shuffled equi join with a range
+    residual — never a nested-loop cartesian."""
+    e = tables.events(spark, sf_dir).select("event_id", "user_id", "ts")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    return e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.event_id") > F.col("e1.event_id"))
+        & (F.col("e2.ts") >= F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("e1.event_id").alias("id1"),
+        F.col("e2.event_id").alias("id2"),
+        F.col("e1.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup')
+SELECT p.event_id AS purchase_id, p.user_id,
+       p.ts AS purchase_ts, s.ts AS signup_ts
+FROM p ASOF LEFT JOIN s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase paired with the user's most recent
+    signup at-or-before it (inclusive, matching DuckDB ASOF).
+
+    No native Spark as-of operator exists; instead of a range join +
+    row_number (which shuffles twice and explodes candidates), tag both
+    event streams, sort once per user, and carry the last non-null signup
+    ts forward with a running window. One shuffle on user_id, O(n) state —
+    the shape that holds at 100 TB. Equal-ts ties order signup before
+    purchase so inclusive semantics match ASOF.
+    """
+    ev = tables.events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    # signup sorts before purchase at identical ts → visible to the window
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sig_ts = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("signup_ts", sig_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "signup_ts",
+        )
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+""",
+)
+def join_interval(spark, sf_dir):
+    """Interval containment with an equi conjunct: lineitems shipped
+    within 30 days of their order date."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+    ).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")

@@ -1,0 +1,92 @@
+"""§2 I — Subqueries (analyzer/decorrelation capabilities).
+
+Expressed via spark.sql so Catalyst's subquery rewrites are exercised:
+scalar subquery → ScalarSubquery plan, IN → left-semi,
+correlated EXISTS → RewritePredicateSubquery decorrelation into a join.
+The scalar average uses the decimal-sum form on BOTH engines so the
+comparison threshold is bit-identical (a plain cross-engine avg() could
+flip rows sitting exactly at the boundary).
+"""
+
+from __future__ import annotations
+
+from adlspark import tables
+from adlspark.registry import query
+
+_AVG = (
+    "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) "
+    "FROM {t}"
+)
+
+
+def _views(spark, sf_dir):
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+
+
+@query(
+    "subq_scalar",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > ({_AVG.format(t='orders')})
+""",
+)
+def subq_scalar(spark, sf_dir):
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice
+        FROM sq_orders
+        WHERE o_totalprice > ({_AVG.format(t='sq_orders')})
+        """
+    )
+
+
+@query(
+    "subq_in",
+    oracle="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+""",
+)
+def subq_in(spark, sf_dir):
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM sq_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM sq_customer
+                            WHERE c_acctbal > 9000)
+        """
+    )
+
+
+@query(
+    "subq_exists_corr",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_totalprice > 400000
+    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+)
+""",
+)
+def subq_exists_corr(spark, sf_dir):
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM sq_customer
+        WHERE EXISTS (
+          SELECT 1 FROM sq_orders
+          WHERE o_custkey = c_custkey
+            AND o_totalprice > 400000
+            AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        )
+        """
+    )

@@ -1,0 +1,199 @@
+"""§2 J — Time-series / event analytics (batch forms of the streaming
+surface; §K re-runs the same logic through Structured Streaming).
+
+All timestamps follow the §1.3 discipline: events.ts is µs-truncated via
+integer division (tables.events), matching DuckDB's CAST(ts AS TIMESTAMP),
+so window boundaries computed on both sides agree exactly. Outputs avoid
+timezone-dependent functions (date_trunc/epoch only — no to_timestamp
+tz round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.ops.parity import DEC, O_DEC
+from adlspark.registry import query
+
+
+@query(
+    "ts_tumbling",
+    oracle=f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS {O_DEC})) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window per event_type. F.window with epoch-aligned
+    1-hour buckets ≡ date_trunc('hour') — map-side combinable."""
+    ev = tables.events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "ts_sliding",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT)
+           AS t30, value
+  FROM events
+), w AS (
+  SELECT t30 AS w_epoch, value FROM e
+  UNION ALL
+  SELECT t30 - 1800 AS w_epoch, value FROM e
+)
+SELECT w_epoch, count(*) AS n,
+       CAST(sum(CAST(value AS {O_DEC})) AS DOUBLE) AS sum_value
+FROM w GROUP BY w_epoch
+""",
+)
+def ts_sliding(spark, sf_dir):
+    """Sliding 1-hour window every 30 min — each event lands in exactly
+    two windows. Output key is epoch seconds of the window start (avoids
+    any tz representation issues across engines)."""
+    ev = tables.events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_epoch"), "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "ts_session",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), per AS (
+  SELECT user_id, sid, count(*) AS n,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+FROM per GROUP BY user_id
+""",
+)
+def ts_session(spark, sf_dir):
+    """Session windows per user with 5-minute gap. Spark's session_window
+    starts a NEW session when the gap is ≥ the timeout (windows touching
+    at exactly gap don't merge), hence the oracle's `>=` in the
+    gaps-and-islands form. Durations are exact µs longs."""
+    ev = tables.events(spark, sf_dir)
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "5 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
+
+
+@query(
+    "ts_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_bucket
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type,
+                        date_trunc('minute', CAST(ts AS TIMESTAMP))
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def ts_dedup(spark, sf_dir):
+    """Keep-first dedup on (user_id, event_type, minute) — deterministic
+    row_number form, unlike dropDuplicates' arbitrary tie choice (the
+    idempotent re-ingest primitive)."""
+    ev = tables.events(spark, sf_dir).withColumn(
+        "minute_bucket", F.date_trunc("minute", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id", "event_type", "minute_bucket").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "minute_bucket")
+    )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+SELECT user_id,
+       (first_signup IS NOT NULL) AS has_signup,
+       (first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_signup) AS converted,
+       first_signup, first_purchase
+FROM (
+  SELECT user_id,
+         min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'signup')
+           AS first_signup,
+         min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase')
+           AS first_purchase
+  FROM events GROUP BY user_id
+) t
+""",
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel signup→purchase per user via conditional min-ts —
+    one aggregation pass, no self-join."""
+    ev = tables.events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return agg.select(
+        "user_id",
+        F.col("first_signup").isNotNull().alias("has_signup"),
+        (
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        ).alias("converted"),
+        "first_signup",
+        "first_purchase",
+    )

@@ -1,0 +1,245 @@
+"""§2 E — Window functions.
+
+Every window carries a unique tiebreaker in ORDER BY (§5.3 determinism).
+Window sums over doubles use the decimal trick from parity.py: engines
+disagree on frame-sum accumulation order (running vs segment-tree), so
+only an exact decimal sum is comparable. Scale note: window state is
+per-partition; partitionBy keys here (nation, user, customer) shard the
+work — no global windows except where the operator is inherently global
+(ntile over all customers), which at 100 TB would be re-expressed over a
+bucketed pre-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.ops.parity import DEC
+from adlspark.registry import query
+
+
+@query(
+    "win_rownum",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       row_number() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS rn
+FROM customer
+""",
+)
+def win_rownum(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+SELECT c_custkey, c_nationkey, round(c_acctbal, -2) AS bal_bucket,
+       rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, -2) DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, -2) DESC) AS drnk
+FROM customer
+""",
+)
+def win_rank_dense(spark, sf_dir):
+    """rank/dense_rank with genuine ties (acctbal bucketed to hundreds)."""
+    c = tables.load(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.round(F.col("c_acctbal"), -2)
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("bal_bucket").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal_bucket",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_topk_group",
+    oracle="""
+SELECT * FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE rn <= 3
+""",
+)
+def win_topk_group(spark, sf_dir):
+    """Top-3 per group ≡ DuckDB QUALIFY. At scale this is the standard
+    shuffle-once top-k; AQE handles group skew."""
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       lag(value, 2, -1.0) OVER w AS prev2_value
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark, sf_dir):
+    ev = tables.events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def win_running_sum(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS mavg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("mavg"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+         AS n_near
+FROM orders
+""",
+)
+def win_range_frame(spark, sf_dir):
+    """Value-range frame: orders within ±1000 of each order's price."""
+    o = tables.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+    )
+
+
+@query(
+    "win_ntile_pct",
+    oracle="""
+SELECT c_custkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def win_ntile_pct(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       first_value(c_custkey) OVER w AS richest,
+       last_value(c_custkey) OVER w AS poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_custkey").over(w).alias("richest"),
+        F.last("c_custkey").over(w).alias("poorest"),
+    )

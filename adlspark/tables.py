@@ -37,11 +37,14 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as TimestampType at µs precision (ns truncated).
 
     Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` (session.py);
-    the raw column arrives as LongType nanoseconds since epoch. µs
-    truncation matches DuckDB's ``CAST(ts AS TIMESTAMP)`` (verified in the
-    survey session, SURVEY.md §1.3).
+    the raw column arrives as LongType nanoseconds since epoch.
+
+    NOTE: integer division (``ts div 1000``) is essential. SURVEY.md §1.3's
+    ``(F.col("ts")/1000).cast("long")`` is a *double* division: ns epochs
+    (~1.7e18) exceed double's 2^53 exact range, so it lands on the wrong µs
+    for ~12% of rows (1217/10000 measured at sf0.01 vs DuckDB's
+    ``CAST(ts AS TIMESTAMP)``). ``div`` stays in long arithmetic: 0/10000
+    mismatches.
     """
     df = load(spark, sf_dir, "events")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
