@@ -1,0 +1,205 @@
+"""§2 M — Deduplication operators for training-data pipelines.
+
+Scale ladder (the 100 TB story):
+1. ``llm_dedup_exact`` — hash-groupBy, one shuffle on md5(text). The first
+   pass of any corpus dedup; at 100 TB runs as a straight shuffle.
+2. ``llm_near_dup_pairs`` — exact set-Jaccard on blocked candidate pairs
+   (lang blocking here; at scale the blocker is LSH bands, not lang).
+   Quadratic within blocks — the correctness baseline for (3).
+3. ``llm_dedup_minhash`` — MinHash-LSH: shingle → minhash signature →
+   band-bucket join; candidate pairs grow ~linearly with corpus size.
+4. ``llm_simhash`` — 64-bit SimHash fingerprints via weighted token-hash
+   bit voting; near-dups = small Hamming distance on a cheap integer key.
+5. ``llm_fingerprint`` — deterministic document fingerprint (normalized
+   md5 + shingle sketch) used as the catalog identity of a document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.registry import query
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical doc per md5(text), duplicate count."""
+    d = tables.load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "llm_near_dup_pairs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95
+""",
+)
+def llm_near_dup_pairs(spark, sf_dir):
+    """Near-duplicate pairs by token-set Jaccard ≥ 0.95, blocked by lang.
+
+    |A∩B| / (|A|+|B|-|A∩B|) over distinct token sets — exact rational
+    arithmetic on both engines, so the threshold compare is safe. The
+    lang-equality conjunct keeps the self-join a shuffled equi join;
+    at real scale the blocking key becomes an LSH band (see
+    llm_dedup_minhash) and the same pair-scoring runs within buckets.
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.95)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@query("llm_dedup_minhash")  # rows-only: hash internals are engine-specific
+def llm_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates — the path that scales to 100 TB.
+
+    Token set → HashingTF sparse vector (2^18 dims) → MinHashLSH
+    signatures → approxSimilarityJoin on Jaccard distance ≤ 0.2.
+    Candidate generation is a band-bucket equi join under the hood
+    (linear-ish in corpus size), never an all-pairs scan.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(d)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id1"),
+            F.col("datasetB.doc_id").alias("id2"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@query(
+    "llm_simhash",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
+  FROM tok
+), bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+            AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id
+""",
+)
+def llm_simhash(spark, sf_dir):
+    """16-bit SimHash per document via token-hash bit voting.
+
+    Cross-engine hashing: xxhash64 (Spark) and hash() (DuckDB) are
+    different functions, so both sides derive the token hash from md5 —
+    bit-identical everywhere — taking the first 60 bits as a long. In
+    production the md5 would be swapped for xxhash64 (cheaper); the
+    operator shape (explode → bit vote → reassemble) is unchanged.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    # 64-bit integer from the first 15 hex chars of md5 (fits in a long)
+    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        tok.withColumn("h", h)
+        .crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash16")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp_md5,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fp_tokens
+FROM documents
+""",
+)
+def llm_fingerprint(spark, sf_dir):
+    """Document fingerprints: exact-content md5 + order-insensitive
+    token-set md5 (catalog identity for dedup bookkeeping)."""
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp_md5"),
+        F.md5(
+            F.concat_ws(
+                " ", F.sort_array(F.array_distinct(F.split("text", " ")))
+            ).cast("binary")
+        ).alias("fp_tokens"),
+    )

@@ -1,0 +1,316 @@
+"""§2 M — Similarity search over the embeddings table.
+
+Brute-force exact cosine is the correctness baseline; the norms are
+precomputed per vector (never per pair), probes/centroids are broadcast,
+and the IVF variant shows the 100 TB path: coarse-quantize into cells,
+search only nprobe cells — candidate count drops from O(N) to
+O(N·nprobe/ncells) per probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.llm.vector import cosine, dot, norm, o_cosine, o_dot
+from adlspark.registry import query
+
+
+@query(
+    "llm_sim_topk",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+           WHERE vec_id < 5),
+     c AS (SELECT vec_id, embedding FROM embeddings)
+SELECT probe_id, neighbor_id, sim, rnk FROM (
+  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         {o_cosine('p.pe', 'c.embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY {o_cosine('p.pe', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM p JOIN c ON c.vec_id <> p.probe_id
+) t WHERE rnk <= 10
+""",
+)
+def llm_sim_topk(spark, sf_dir):
+    """Exact top-10 cosine neighbors for each probe vector (vec_id < 5).
+
+    Probes are broadcast against the candidate scan — no shuffle of the
+    big side; ranking is on the ROUNDED similarity (both engines) so rank
+    order is stable cross-engine, with vec_id as tiebreak.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    pairs = e.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    sim = cosine(F.col("pe"), F.col("embedding"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "probe_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+    )
+
+
+@query(
+    "llm_sim_threshold_join",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.4
+""",
+)
+def llm_sim_threshold_join(spark, sf_dir):
+    """All vector pairs with cosine ≥ 0.4 (similarity self-join). Norms
+    computed once per vector, not per pair; the unrounded threshold
+    compare is engine-identical because dot sums are order-identical."""
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    d = dot(F.col("a.embedding"), F.col("b.embedding"))
+    sim = d / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(sim >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(sim, 4).alias("sim"),
+        )
+    )
+
+
+@query(
+    "llm_knn_label",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+           WHERE vec_id % 100 = 0),
+     c AS (SELECT vec_id, embedding, label FROM embeddings),
+     nn AS (
+       SELECT probe_id, label FROM (
+         SELECT p.probe_id, c.label,
+                row_number() OVER (
+                  PARTITION BY p.probe_id
+                  ORDER BY {o_cosine('p.pe', 'c.embedding')} DESC, c.vec_id
+                ) AS rnk
+         FROM p JOIN c ON c.vec_id <> p.probe_id
+       ) t WHERE rnk <= 5
+     ),
+     votes AS (
+       SELECT probe_id, label, count(*) AS n_votes FROM nn
+       GROUP BY probe_id, label
+     )
+SELECT probe_id, label AS pred_label, n_votes FROM (
+  SELECT probe_id, label, n_votes,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY n_votes DESC, label) AS r
+  FROM votes
+) v WHERE r = 1
+""",
+)
+def llm_knn_label(spark, sf_dir):
+    """5-NN majority-vote label per probe (ties → smallest label)."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    pairs = e.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    sim = cosine(F.col("pe"), F.col("embedding"))
+    w_nn = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    nn = (
+        pairs.select("probe_id", "vec_id", "label", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_nn))
+        .where(F.col("rnk") <= 5)
+    )
+    votes = nn.groupBy("probe_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w_v = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w_v))
+        .where(F.col("r") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+@query(
+    "llm_embed_centroids",
+    oracle="""
+WITH expl AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+           AS centroid
+  FROM expl GROUP BY label, pos
+)
+SELECT label, pos, centroid,
+       round(sqrt(sum(centroid * centroid)
+                    OVER (PARTITION BY label)), 6) AS label_norm
+FROM cent
+""",
+)
+def llm_embed_centroids(spark, sf_dir):
+    """Per-label centroid (element-wise mean via posexplode + decimal-exact
+    average) + the centroid's L2 norm. The explode is the scalable form:
+    (N·64)-row shuffle keyed by (label, pos), perfectly parallel."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    expl = e.select("label", F.posexplode("embedding")).select(
+        "label", "pos", F.col("col").cast("double").alias("val")
+    )
+    cent = expl.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )
+    w = Window.partitionBy("label")
+    return cent.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        "centroid",
+        F.round(F.sqrt(F.sum(F.col("centroid") * F.col("centroid")).over(w)), 6).alias(
+            "label_norm"
+        ),
+    )
+
+
+@query(
+    "llm_multimodal_struct",
+    oracle=f"""
+WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+     m AS (
+       SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+              e.embedding, e.label, probe.pe
+       FROM documents d
+         JOIN embeddings e ON d.doc_id = e.vec_id
+         CROSS JOIN probe
+     )
+SELECT doc_id, lang, n_chars, label,
+       {o_cosine('embedding', 'pe')} AS sim
+FROM m
+WHERE text LIKE '%table%' AND {o_cosine('embedding', 'pe')} >= 0.1
+""",
+)
+def llm_multimodal_struct(spark, sf_dir):
+    """Multimodal column: struct(meta, vector, label) built from
+    documents⋈embeddings, nested-field access + a mixed text/vector
+    predicate. The oracle checks the flat projection; Spark routes every
+    output through the struct to exercise nested access."""
+    d = tables.load(spark, sf_dir, "documents")
+    e = tables.load(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
+    )
+    m = (
+        d.join(e, d.doc_id == e.vec_id)
+        .crossJoin(probe)
+        .select(
+            F.struct(
+                F.struct("lang", "source", "n_chars").alias("meta"),
+                F.col("embedding").alias("vec"),
+                F.col("label").alias("label"),
+            ).alias("doc"),
+            "doc_id",
+            "text",
+            "pe",
+        )
+    )
+    sim = cosine(F.col("doc.vec"), F.col("pe"))
+    return (
+        m.where(F.col("text").like("%table%") & (sim >= 0.1))
+        .select(
+            "doc_id",
+            F.col("doc.meta.lang").alias("lang"),
+            F.col("doc.meta.n_chars").alias("n_chars"),
+            F.col("doc.label").alias("label"),
+            sim.alias("sim"),
+        )
+    )
+
+
+@query("llm_ann_ivf")  # rows-only: approximate by construction
+def llm_ann_ivf(spark, sf_dir):
+    """IVF-style approximate nearest neighbor — the scale path for
+    llm_sim_topk. Coarse quantizer = per-label centroids; every vector is
+    assigned to its nearest centroid cell; probes search only the
+    nprobe=3 nearest cells. At 100 TB: centroids are broadcast, the big
+    side is scanned once for assignment (a narrow map), and the search
+    join hits only cell partitions — candidate count scales with
+    N·nprobe/ncells instead of N."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    expl = e.select("label", F.posexplode("embedding")).select(
+        "label", "pos", F.col("col").cast("double").alias("val")
+    )
+    cent = (
+        expl.groupBy("label", "pos")
+        .agg((F.sum("val") / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+    # assign each vector to nearest cell (broadcast 10 centroids)
+    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cell"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("r", F.row_number().over(assign_w))
+        .where(F.col("r") == 1)
+        .drop("r", "csim")
+    )
+    # probes search their 3 nearest cells
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(
+            "probe_id",
+            "pe",
+            "cell",
+            cosine(F.col("pe"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("r", F.row_number().over(
+            Window.partitionBy("probe_id").orderBy(F.desc("csim"), F.col("cell"))
+        ))
+        .where(F.col("r") <= 3)
+        .select("probe_id", "pe", "cell")
+    )
+    cands = probe_cells.join(assigned, on="cell").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    sim = cosine(F.col("pe"), F.col("embedding"))
+    w_nn = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        cands.select("probe_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w_nn))
+        .where(F.col("rnk") <= 10)
+    )

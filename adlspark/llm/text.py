@@ -1,0 +1,278 @@
+"""§2 M — Text analysis operators for training-data pipelines.
+
+All tokenization is split-on-space (the fixture corpus is pre-normalized
+lowercase words); every operator is expressed as explode → relational
+algebra, which distributes trivially: the exploded token table is the
+workhorse shape at 100 TB (shuffle keyed by token or doc as needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.ops.parity import O_DEC
+from adlspark.registry import query
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_SW_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+def _words(spark, sf_dir):
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, count(*) AS n_docs,
+         round(CAST(sum(CAST(n_chars AS {O_DEC})) AS DOUBLE) / count(*), 6)
+           AS avg_chars
+  FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, count(DISTINCT w) AS n_distinct_tokens, count(*) AS n_tokens
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY lang
+)
+SELECT s.lang, n_docs, avg_chars, n_distinct_tokens, n_tokens
+FROM s JOIN t ON s.lang = t.lang
+""",
+)
+def llm_text_stats(spark, sf_dir):
+    """Corpus stats per lang: docs, exact-avg chars, token counts."""
+    d = tables.load(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_chars"),
+    )
+    t = (
+        _words(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("w").alias("n_distinct_tokens"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return s.join(t, on="lang")
+
+
+@query(
+    "llm_top_terms",
+    oracle="""
+SELECT lang, w AS term, n, rnk FROM (
+  SELECT lang, w, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rnk
+  FROM (
+    SELECT lang, w, count(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY lang, w
+  ) c
+) r WHERE rnk <= 10
+""",
+)
+def llm_top_terms(spark, sf_dir):
+    """Top-10 terms per lang by term frequency."""
+    counts = (
+        _words(spark, sf_dir)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.col("w"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("lang", F.col("w").alias("term"), "n", "rnk")
+    )
+
+
+@query(
+    "llm_tfidf",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+)
+SELECT doc_id, w AS top_term, score FROM (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, w) AS r
+  FROM scored
+) t WHERE r = 1
+""",
+)
+def llm_tfidf(spark, sf_dir):
+    """TF-IDF, top-scoring term per document. df-table is broadcast
+    (vocabulary ≪ corpus); ranking is on the rounded score."""
+    words = _words(spark, sf_dir).select("doc_id", "w")
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tables.load(spark, sf_dir, "documents").count()
+    scored = tf.join(F.broadcast(df), on="w").select(
+        "doc_id",
+        "w",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w_r = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("w"))
+    return (
+        scored.withColumn("r", F.row_number().over(w_r))
+        .where(F.col("r") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "score")
+    )
+
+
+@query(
+    "llm_lang_partition_pipeline",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, lang, source, lower(trim(text)) AS text FROM documents
+), tok AS (
+  SELECT doc_id, lang, source, len(string_split(text, ' ')) AS n_tokens
+  FROM norm
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(n_tokens AS {O_DEC})) AS DOUBLE) / count(*), 6)
+         AS avg_tokens
+FROM tok GROUP BY lang, source
+""",
+)
+def llm_lang_partition_pipeline(spark, sf_dir):
+    """Per-(lang, source) ETL composition: normalize → tokenize → count.
+    The chained-DataFrame form Catalyst collapses into one scan + one
+    aggregate — the shape of a partitioned corpus-prep pipeline."""
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("n_tokens"),
+    )
+    return tok.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("n_tokens").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_tokens"),
+    )
+
+
+@query(
+    "llm_langid",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       round(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       CASE WHEN CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+                 / len(toks) > 0.02
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM t
+""",
+)
+def llm_langid(spark, sf_dir):
+    """Heuristic language ID: English-stopword density. (The fixture
+    corpus is synthetic shared-vocabulary text, so the heuristic mostly
+    fires 'en' — the operator under test is the n-gram-density shape,
+    not model quality.)"""
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.filter(toks, lambda x: x.isin(*_STOPWORDS))
+    ratio = F.size(sw).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio > 0.02, "en").otherwise("unknown").alias("predicted_lang"),
+    )
+
+
+@query(
+    "llm_text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+         length(replace(text, ' ', '')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CAST(n_alpha AS DOUBLE) / len(toks), 6) AS avg_token_len,
+       round(CAST(len(list_filter(toks, x -> x IN {_SW_SQL})) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+         AS distinct_ratio,
+       CASE WHEN len(toks) >= 20
+             AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM t
+""",
+)
+def llm_text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, stopword ratio,
+    type-token ratio, and a keep/drop verdict — the standard pre-training
+    corpus filter, one narrow projection per doc."""
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_alpha = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    sw_ratio = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast(
+        "double"
+    ) / n_tok
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(n_alpha.cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("distinct_ratio"),
+        F.when((n_tok >= 20) & (ttr > 0.3), "keep").otherwise("drop").alias(
+            "verdict"
+        ),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS re_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+FROM documents
+""",
+)
+def llm_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex (word runs +
+    punctuation singletons), and the chars/4 LLM heuristic."""
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]', 0)")
+        )
+        .cast("long")
+        .alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    )

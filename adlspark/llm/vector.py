@@ -1,0 +1,47 @@
+"""Shared vector expressions for similarity operators.
+
+Cosine similarity is computed with an identical left-to-right double
+summation on both engines (Spark `aggregate(zip_with(...))` ↔ DuckDB
+`list_sum(list_transform(list_zip(...)))`) so dot products are
+bit-identical; DuckDB's built-in list_cosine_similarity is float32 and NOT
+comparable. All expressions are JVM-side Catalyst higher-order functions —
+no Python in the loop; at 100 TB the same expressions run inside
+whole-stage-codegen'd stages after a broadcast of the probe set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product of two float-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, ndigits: int = 4) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), ndigits)
+
+
+def o_dot(a: str, b: str) -> str:
+    """DuckDB twin of ``dot`` — same element order, same double ops."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def o_cosine(a: str, b: str, ndigits: int = 4) -> str:
+    return (
+        f"round({o_dot(a, b)} / "
+        f"(sqrt({o_dot(a, a)}) * sqrt({o_dot(b, b)})), {ndigits})"
+    )
