@@ -1,0 +1,237 @@
+"""§2 A — Scans, sources, sinks, ingestion, catalog.
+
+This category is the reference's identity: ingest → validate →
+stage/quarantine → catalog → notify, re-expressed as Spark I/O. The
+pipeline implementation lives in adlspark.io.ingest / adlspark.catalog;
+these keys drive it end-to-end on fixture-derived raw files.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from adlspark import catalog as cat
+from adlspark import tables
+from adlspark.io.ingest import SourceConfig, ingest, work_dir
+from adlspark.registry import query
+
+# column counts per fixture table (for the catalog oracle)
+_N_COLS = {
+    "region": 2,
+    "nation": 3,
+    "supplier": 4,
+    "customer": 5,
+    "part": 6,
+    "orders": 6,
+    "lineitem": 11,
+    "events": 6,
+    "documents": 5,
+    "embeddings": 3,
+}
+
+
+@query(
+    "scan_project",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_acctbal > 5000
+""",
+)
+def scan_project(spark, sf_dir):
+    """Parquet scan with column pruning + pushed filter: the explain plan
+    shows ReadSchema with exactly 3 columns and PushedFilters on
+    c_acctbal — at 100 TB this is the difference between reading 3
+    columns' pages and the whole table."""
+    c = tables.load(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_acctbal").where(
+        F.col("c_acctbal") > 5000
+    )
+
+
+@query(
+    "scan_all_tables_counts",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS row_count FROM {t}"
+        for t in tables.TABLES
+    ),
+)
+def scan_all_tables_counts(spark, sf_dir):
+    """Scan every table; UNION of 10 counts (count-only scans read no
+    column data — parquet footers only)."""
+    out = None
+    for t in tables.TABLES:
+        df = tables.load(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).alias("row_count")
+        ).select(F.lit(t).alias("table_name"), "row_count")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+@query("ingest_validate_json")  # rows-only: exercises the staging pipeline
+def ingest_validate_json(spark, sf_dir):
+    """Schema-on-read JSON ingestion with required-column validation and
+    corrupt-record quarantine (the staging-engine validate step). A raw
+    JSON-lines batch is derived deterministically from events: 200 good
+    rows, 3 rows with a missing required column, 5 malformed lines."""
+    raw_dir = work_dir(sf_dir, "ingest_json")
+    raw_path = os.path.join(raw_dir, "batch.jsonl")
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(200)
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    )
+    with open(raw_path, "w") as f:
+        for r in ev:
+            f.write(json.dumps(r.asDict()) + "\n")
+        for i in range(3):  # required column null
+            f.write(json.dumps({"event_id": 900000 + i, "user_id": 1}) + "\n")
+        for i in range(5):  # malformed
+            f.write("{not valid json %d\n" % i)
+
+    cfg = SourceConfig(
+        name="events_json",
+        fmt="json",
+        schema=StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        ),
+        required=["event_id", "event_type"],
+    )
+    entry = ingest(
+        spark,
+        cfg,
+        raw_path,
+        staged_dir=os.path.join(raw_dir, "staged"),
+        quarantine_dir=os.path.join(raw_dir, "quarantine"),
+    )
+    return spark.createDataFrame(
+        [
+            ("good", entry["n_good"]),
+            ("quarantined", entry["n_quarantined"]),
+        ],
+        "bucket string, n long",
+    )
+
+
+@query(
+    "ingest_csv_header",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def ingest_csv_header(spark, sf_dir):
+    """CSV ingestion with header + explicit schema + type coercion: the
+    nation table round-trips through CSV text and must reproduce the
+    parquet original exactly (hence a full value oracle)."""
+    raw_dir = work_dir(sf_dir, "ingest_csv")
+    raw_path = os.path.join(raw_dir, "nation.csv")
+    rows = tables.load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    with open(raw_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+        for r in rows:
+            w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(raw_path)
+    )
+
+
+@query(
+    "catalog_entries",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS row_count, "
+        f"{n} AS n_columns FROM {t}"
+        for t, n in _N_COLS.items()
+    ),
+)
+def catalog_entries(spark, sf_dir):
+    """The catalog itself as a query (the DynamoDB DataCatalog + ES
+    search hop collapsed into one table): entries built per table, then
+    searched with the catalog's LIKE-based search."""
+    c = cat.build_catalog(spark, sf_dir, batch_id="batch-0")
+    hits = cat.search(c, "STAGED")
+    return hits.select(
+        "table_name", "row_count", F.col("n_columns").cast("int").alias("n_columns")
+    )
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+SELECT l_returnflag, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sink_parquet_roundtrip(spark, sf_dir):
+    """Partitioned staged write + read-back: lineitem written
+    partitionBy(l_returnflag), re-read, per-partition counts must equal
+    the source (partition pruning applies on the read side)."""
+    out = os.path.join(work_dir(sf_dir, "sink_roundtrip"), "lineitem_staged")
+    li = tables.load(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "stream_file_source",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def stream_file_source(spark, sf_dir):
+    """Incremental file discovery (the S3-event trigger analogue):
+    readStream over the events parquet with availableNow, complete-mode
+    counts into a memory sink — output must equal the batch counts."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # nanosAsLong
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("sfs_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("sfs_counts")

@@ -45,6 +45,12 @@ def configure(spark: SparkSession) -> SparkSession:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        (
+            "spark.sql.shuffle.partitions",
+            os.environ.get("ADLSPARK_SHUFFLE_PARTITIONS", "32"),
+        ),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,196 @@
+"""§2 K — Structured Streaming operators (rows-only driver checks).
+
+Test harness pattern: ``readStream`` over the events parquet with
+``trigger(availableNow=True)`` → memory sink → return the sink table.
+The same logical plans run unmodified against a live file/Kafka source in
+production; availableNow processes the backlog as micro-batches and
+terminates, which makes streaming testable in a batch harness.
+
+Watermark semantics: with a single availableNow batch over static data,
+the watermark only advances at batch boundaries — append-mode windows
+within watermark-distance of max event time stay in state and are not
+emitted (documented, per SURVEY §2 K late-data note).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from adlspark.io.ingest import work_dir
+from adlspark.registry import query
+
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanosAsLong (§1.3)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark, sf_dir):
+    s = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run(df_writer, name: str):
+    q = df_writer.queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+
+@query("stream_tumbling_watermark")
+def stream_tumbling_watermark(spark, sf_dir):
+    """Tumbling 1-h windows with a 10-min watermark, append mode: only
+    windows finalized by the advancing watermark are emitted."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    name = "s_tumbling"
+    _run(agg.writeStream.format("memory").outputMode("append"), name)
+    return spark.table(name)
+
+
+@query("stream_session_window")
+def stream_session_window(spark, sf_dir):
+    """Session windows (5-min gap) per user in streaming mode."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            "user_id",
+            "n",
+        )
+    )
+    name = "s_session"
+    _run(agg.writeStream.format("memory").outputMode("append"), name)
+    return spark.table(name)
+
+
+@query("stream_dedup_watermark")
+def stream_dedup_watermark(spark, sf_dir):
+    """Stateful dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark, state evicted as watermark passes)."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "s_dedup"
+    _run(
+        deduped.select("event_id", "user_id", "event_type").writeStream.format(
+            "memory"
+        ).outputMode("append"),
+        name,
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@query("stream_static_join")
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event stream joined to a static user
+    dimension (derived once, batch-side); the static side is re-read per
+    micro-batch and broadcast."""
+    from adlspark import tables
+
+    static_users = (
+        tables.events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+        .withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+        .select("user_id", "cohort")
+    )
+    ev = events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(static_users), on="user_id")
+    agg = joined.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    name = "s_static_join"
+    _run(agg.writeStream.format("memory").outputMode("complete"), name)
+    return spark.table(name)
+
+
+@query("stream_stateful_count")
+def stream_stateful_count(spark, sf_dir):
+    """Arbitrary stateful processing: running per-user event counts kept
+    in GroupState across micro-batches (applyInPandasWithState)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def count_fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    ev = events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id").applyInPandasWithState(
+        count_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "s_stateful"
+    _run(counts.writeStream.format("memory").outputMode("update"), name)
+    # latest state per user (update mode may emit a row per batch)
+    t = spark.table(name)
+    return t.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query("stream_foreach_batch_upsert")
+def stream_foreach_batch_upsert(spark, sf_dir):
+    """foreachBatch micro-batch upsert into the catalog table (the
+    staging-engine write path): each batch's per-type counts are merged
+    into a parquet-backed running catalog; exactly-once comes from the
+    checkpoint + idempotent overwrite-by-batch layout."""
+    base = work_dir(sf_dir, "foreach_upsert")
+    out_dir = f"{base}/catalog"
+    ckpt = f"{base}/ckpt-{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def upsert(batch_df, batch_id: int):
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    ev = events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    merged = spark.read.parquet(out_dir)
+    return merged.groupBy("event_type").agg(F.sum("n").cast("long").alias("n"))

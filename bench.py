@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Materialization is a noop-format write — full execution on the executors
+without driver-side row transfer, i.e. engine cost, not pickle cost.
+Set BENCH_KEYS=k1,k2 to time a subset while iterating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Low shuffle-partition count: at sf0.1 the data is tiny and task
+    # scheduling dominates; AQE re-splits if a partition is ever large.
+    os.environ.setdefault("ADLSPARK_SHUFFLE_PARTITIONS", "8")
+
+    from adlspark import registry
+    from adlspark.session import build_spark
+
+    spark = build_spark("adlspark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.all_queries()
+    only = os.environ.get("BENCH_KEYS")
+    keys = sorted(only.split(",")) if only else sorted(queries)
+
+    # warm the session (JVM + parquet footer caches) outside timing
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for k in keys:
+        t0 = time.monotonic()
+        df = queries[k](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[k] = round(time.monotonic() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
