@@ -236,36 +236,26 @@ FROM p ASOF LEFT JOIN s
 )
 def join_asof(spark, sf_dir):
     """As-of join: each purchase paired with the user's most recent
-    signup at-or-before it (inclusive, matching DuckDB ASOF).
+    signup at-or-before it (inclusive, matching DuckDB ASOF). Uses the
+    generic ``adlspark.ops.asof.asof_join`` operator — union-tag +
+    running window, one shuffle, no candidate explosion (see asof.py
+    for the scale rationale)."""
+    from adlspark.ops.asof import asof_join
 
-    No native Spark as-of operator exists; instead of a range join +
-    row_number (which shuffles twice and explodes candidates), tag both
-    event streams, sort once per user, and carry the last non-null signup
-    ts forward with a running window. One shuffle on user_id, O(n) state —
-    the shape that holds at 100 TB. Equal-ts ties order signup before
-    purchase so inclusive semantics match ASOF.
-    """
-    ev = tables.events(spark, sf_dir).filter(
-        F.col("event_type").isin("signup", "purchase")
+    ev = tables.events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    # signup sorts before purchase at identical ts → visible to the window
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_type").desc(), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=[],
     )
-    sig_ts = F.last(
-        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
-    ).over(w)
-    return (
-        ev.withColumn("signup_ts", sig_ts)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            "signup_ts",
-        )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("signup_ts"),
     )
 
 

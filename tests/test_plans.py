@@ -1,0 +1,76 @@
+"""Physical-plan audits (SURVEY.md §4): the properties that make these
+operators scale-correct must be visible in the explain output — pushdown,
+pruning, partial aggregation, broadcast selection, top-k strategy, and the
+absence of accidental cartesian products. A regression here usually means
+a silent 100× cost at scale even though values stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from adlspark import registry
+
+QUERIES = registry.all_queries()
+
+
+def plan_of(spark, sf_dir, key: str, mode: str = "formatted") -> str:
+    df = QUERIES[key](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_project_prunes_and_pushes(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_project")
+    assert "PushedFilters" in p and "GreaterThan(c_acctbal" in p
+    # column pruning: the parquet reader must request exactly 3 columns
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "c_custkey" in read and "c_name" in read and "c_acctbal" in read
+    assert "c_mktsegment" not in read and "c_nationkey" not in read
+
+
+def test_filter_pred_pushes_to_parquet(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "filter_pred")
+    assert "PushedFilters" in p and "o_totalprice" in p
+
+
+def test_q1_partial_final_aggregate(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_group_q1")
+    # map-side combine: two HashAggregate nodes around one exchange
+    assert p.count(") HashAggregate") >= 2
+    assert p.count(") Exchange") == 1
+    # the shipdate filter reached the scan
+    assert "PushedFilters" in p and "l_shipdate" in p
+
+
+def test_join_broadcast_is_bhj(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["join_theta_range", "join_interval", "join_asof", "llm_near_dup_pairs"],
+)
+def test_no_cartesian_product(key, spark, sf_dir):
+    """Range/interval/as-of joins must ride their equi conjunct (or a
+    broadcast), never a CartesianProduct."""
+    p = plan_of(spark, sf_dir, key)
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir):
+    """The as-of pattern is one window over one shuffle — no join node."""
+    p = plan_of(spark, sf_dir, "join_asof")
+    assert "Join" not in p
+    assert "Window" in p
+    assert p.count(") Exchange") == 1

@@ -1,0 +1,65 @@
+"""Streaming ↔ batch equivalence (SURVEY.md §5.4): availableNow streaming
+results must agree with the batch forms of the same logic, modulo
+documented watermark holdback."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adlspark import tables
+
+
+def test_stream_tumbling_subset_of_batch(spark, sf_dir):
+    """Append-mode emitted windows must exactly match the batch tumbling
+    aggregate for those (window, type) keys; held-back windows (within
+    watermark of max event time) are the only difference."""
+    from adlspark.streaming.streams import stream_tumbling_watermark
+
+    streamed = stream_tumbling_watermark(spark, sf_dir).withColumnRenamed(
+        "n", "n_stream"
+    )
+    batch = (
+        tables.events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_batch")
+    )
+    joined = streamed.join(batch, on=["w_start", "event_type"], how="left")
+    bad = joined.filter(
+        F.col("n_batch").isNull() | (F.col("n_stream") != F.col("n_batch"))
+    )
+    assert bad.count() == 0
+    # and the stream must have emitted nearly everything (only the last
+    # watermark-width of windows may be held back)
+    assert streamed.count() >= batch.count() - 3
+
+
+def test_stream_stateful_count_totals(spark, sf_dir):
+    from adlspark.streaming.streams import stream_stateful_count
+
+    streamed = stream_stateful_count(spark, sf_dir)
+    batch = tables.events(spark, sf_dir).groupBy("user_id").count()
+    joined = streamed.join(batch, on="user_id", how="full")
+    bad = joined.filter(
+        F.col("n_events").isNull()
+        | F.col("count").isNull()
+        | (F.col("n_events") != F.col("count"))
+    )
+    assert bad.count() == 0
+
+
+def test_stream_dedup_unique(spark, sf_dir):
+    """event_id is unique in fixtures → dedup keeps every row exactly
+    once; totals match the batch per-type counts."""
+    from adlspark.streaming.streams import stream_dedup_watermark
+
+    streamed = stream_dedup_watermark(spark, sf_dir).withColumnRenamed(
+        "n_unique", "n_s"
+    )
+    batch = (
+        tables.load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    joined = streamed.join(batch, on="event_type", how="full")
+    assert joined.filter(F.col("n_s") != F.col("n_b")).count() == 0
