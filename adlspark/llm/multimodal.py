@@ -1,0 +1,132 @@
+"""§2 M — Multimodal (binary-payload) column operators.
+
+Design per the north star: image/audio/video payloads are opaque
+``binary`` columns alongside typed metadata; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+``mapInPandas``. The media codec libraries are not present in this
+environment, so the codec call itself is STUBBED behind
+``decode_payload`` (deterministic fake features, clearly marked); the
+Spark-side plumbing — binary schema, batch iteration, partition-parallel
+UDF shape, metadata struct propagation — is real and tested.
+
+At 100 TB: payloads dominate bytes, so the layout keeps binary in its own
+column (parquet column pruning means metadata-only queries never read
+payload pages), partitions are sized by ``maxPartitionBytes`` against the
+payload column, and decode parallelism is per-Arrow-batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.registry import query
+
+FEATURE_DIM = 8
+
+
+def _decode_impl(payload: bytes, _dim: int = FEATURE_DIM) -> list[float]:
+    # defined with only stdlib references so cloudpickle ships it by value
+    import hashlib as _hl
+
+    if payload is None:
+        raise NotImplementedError("decode of NULL payload")
+    h = _hl.sha256(payload).digest()
+    return [round(b / 255.0, 6) for b in h[:_dim]]
+
+
+def decode_payload(payload: bytes) -> list[float]:
+    """STUB for the real media decoder (no codec libs in this env).
+
+    Deterministic fake "feature vector": FEATURE_DIM floats derived from
+    the payload's sha256 — stable across runs/partitions, so tests can
+    assert exact values. A real deployment replaces ONLY this function
+    (e.g. PIL/torchvision decode → embedding); the mapInPandas plumbing
+    around it is production-shaped and unchanged.
+    """
+    return _decode_impl(payload)
+
+
+@query("mm_binary_pipeline")  # rows-only: binary payloads are synthesized
+def mm_binary_pipeline(spark, sf_dir):
+    """Full multimodal pipeline over an opaque binary column:
+
+    documents → synthesize payload (utf-8 bytes of text — stands in for
+    an image blob) + typed metadata struct → mapInPandas batch "decode"
+    (stubbed) → per-lang feature aggregation.
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").cast("long").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+    def decode_batches(batches):
+        # the stub is re-defined inside the closure: executors' Python
+        # workers may not have adlspark importable, so nothing here may be
+        # pickled by module reference (must mirror _decode_impl)
+        import hashlib as _hl
+
+        def decode(payload):
+            if payload is None:
+                raise NotImplementedError("decode of NULL payload")
+            return [
+                round(b / 255.0, 6)
+                for b in _hl.sha256(payload).digest()[:FEATURE_DIM]
+            ]
+
+        for pdf in batches:
+            feats = [decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": [m["lang"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "f0": [f[0] for f in feats],
+                    "f1": [f[1] for f in feats],
+                }
+            )
+            yield out
+
+    decoded = d.mapInPandas(
+        decode_batches, "doc_id long, lang string, n_bytes long, f0 double, f1 double"
+    )
+    return decoded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("f0"), 6).alias("avg_f0"),
+        F.round(F.avg("f1"), 6).alias("avg_f1"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@query(
+    "mm_metadata_pruned_scan",
+    oracle="""
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def mm_metadata_pruned_scan(spark, sf_dir):
+    """Metadata-only query over a multimodal table: builds the
+    binary+meta layout, then aggregates metadata only — column pruning
+    means the payload column is never read (the property that makes
+    metadata queries cheap on 100 TB of media)."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        "lang",
+        F.col("n_chars").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

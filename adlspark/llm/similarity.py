@@ -54,7 +54,7 @@ def llm_sim_topk(spark, sf_dir):
         pairs.select(
             "probe_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
         )
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 10)
     )
 

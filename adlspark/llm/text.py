@@ -86,7 +86,7 @@ def llm_top_terms(spark, sf_dir):
     )
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.col("w"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 10)
         .select("lang", F.col("w").alias("term"), "n", "rnk")
     )

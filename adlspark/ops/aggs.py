@@ -296,3 +296,56 @@ def agg_conditional(spark, sf_dir):
         F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+SELECT c_nationkey,
+       {", ".join(
+           f"count(*) FILTER (WHERE c_mktsegment = '{s}') AS {s}"
+           for s in _SEGMENTS
+       )}
+FROM customer GROUP BY c_nationkey
+""",
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot: one column per market segment, customer counts per nation.
+    Spark's pivot is a single-pass conditional aggregate (the explicit
+    value list avoids the extra distinct-values job at scale); empty
+    cells are 0-filled to match SQL's count FILTER."""
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _SEGMENTS)
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem
+""",
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot (melt) wide measure columns to long form — one scan, no
+    shuffle (Expand node), vs the UNION-of-scans SQL equivalent."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )

@@ -97,16 +97,16 @@ def fn_date(spark, sf_dir):
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.year(d).alias("yr"),
-        F.month(d).alias("mon"),
-        F.dayofmonth(d).alias("dom"),
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mon"),
+        F.dayofmonth(d).cast("long").alias("dom"),
         F.date_trunc("month", d).alias("month_start"),
         F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("long").alias(
             "days_since"
         ),
         (d + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
         F.last_day(d).cast("string").alias("eom"),
-        F.dayofweek(d).alias("dow"),
+        F.dayofweek(d).cast("long").alias("dow"),
         F.round(
             12 * (F.year(d) - 1995)
             + (F.month(d) - 1)

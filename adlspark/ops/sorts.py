@@ -47,7 +47,7 @@ def sort_multi(spark, sf_dir):
         F.col("c_acctbal").desc(),
         F.col("c_custkey").asc(),
     )
-    return t.withColumn("rn", F.row_number().over(w))
+    return t.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 @query(

@@ -35,7 +35,7 @@ def win_rownum(spark, sf_dir):
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     return c.select(
-        "c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("rn")
+        "c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).cast("long").alias("rn")
     )
 
 
@@ -58,8 +58,8 @@ def win_rank_dense(spark, sf_dir):
         "c_custkey",
         "c_nationkey",
         "bal_bucket",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     )
 
 
@@ -85,7 +85,7 @@ def win_topk_group(spark, sf_dir):
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
     )
 
@@ -213,7 +213,7 @@ def win_ntile_pct(spark, sf_dir):
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )

@@ -67,7 +67,7 @@ def _load_all() -> None:
         timeseries,
         udfs,
     )
-    from adlspark.llm import dedup, similarity, text  # noqa: F401
+    from adlspark.llm import dedup, multimodal, similarity, text  # noqa: F401
     from adlspark.streaming import streams  # noqa: F401
 
     _LOADED = True

@@ -38,9 +38,39 @@ def build_spark(app_name: str = "adlspark", master: str | None = None) -> SparkS
     return builder.getOrCreate()
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``adlspark`` importable on executor Python workers regardless
+    of their CWD/sys.path: zip the package once and addPyFile it.
+    Closures are written to avoid module-reference pickling anyway; this
+    is the defensive second layer."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "adlspark_pkg.zip")
+    newest_src = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context, or context shutting down
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's required runtime confs to an externally-built
     session (the driver passes its own SparkSession to ``entry``)."""
+    _ship_package(spark)
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),

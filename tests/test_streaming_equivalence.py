@@ -29,9 +29,11 @@ def test_stream_tumbling_subset_of_batch(spark, sf_dir):
         F.col("n_batch").isNull() | (F.col("n_stream") != F.col("n_batch"))
     )
     assert bad.count() == 0
-    # and the stream must have emitted nearly everything (only the last
-    # watermark-width of windows may be held back)
-    assert streamed.count() >= batch.count() - 3
+    # and the stream must have emitted nearly everything: only windows
+    # within watermark-reach of max event time are held back — at most
+    # ~2 trailing windows × one row per event type
+    n_types = 5
+    assert streamed.count() >= batch.count() - 2 * n_types
 
 
 def test_stream_stateful_count_totals(spark, sf_dir):
