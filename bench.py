@@ -37,8 +37,14 @@ def main() -> None:
     only = os.environ.get("BENCH_KEYS")
     keys = sorted(only.split(",")) if only else sorted(queries)
 
-    # warm the session (JVM + parquet footer caches) outside timing
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the session outside timing: JVM/codegen, parquet reader, and
+    # the Python worker pool (Arrow path) all have first-use costs
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.groupBy("r_name").count().collect()
+    warm.mapInPandas(lambda it: it, warm.schema).count()
 
     timings: dict[str, float] = {}
     for k in keys:
