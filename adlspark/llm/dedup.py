@@ -292,3 +292,77 @@ def llm_fingerprint(spark, sf_dir):
             ).cast("binary")
         ).alias("fp_tokens"),
     )
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), tok AS (
+  SELECT doc_id, lang, len(shingles) AS sz, unnest(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS sz1, b.sz AS sz2,
+         count(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+)
+SELECT id1, id2,
+       round(CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common), 6) AS jaccard
+FROM common
+WHERE CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common) >= 0.30
+""",
+)
+def llm_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram (word-shingle) Jaccard pairs via an inverted index.
+
+    Unlike unigram token sets, shingles are near-unique per document, so
+    the classic inverted-index plan IS the scalable exact algorithm:
+    explode to (shingle, doc), self-join on the shingle (buckets are tiny
+    because shingles rarely repeat across non-duplicates), count common
+    shingles per pair, then one arithmetic Jaccard — no per-pair array
+    intersection and no quadratic block. Shuffle volume scales with
+    shingle multiplicity (≈ true-duplicate density), not corpus².
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+        ).alias("shingles"),
+    )
+    tok = d.select(
+        "doc_id", "lang", F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    return (
+        common.where(jac >= 0.30)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
