@@ -44,3 +44,28 @@ def search(catalog: DataFrame, pattern: str) -> DataFrame:
     return catalog.where(
         F.col("table_name").like(pattern) | F.col("status").like(pattern)
     )
+
+
+def append_entries(catalog_df: DataFrame, catalog_dir: str) -> None:
+    """Append-only catalog persistence (the DynamoDB-put analogue). A
+    Delta/Iceberg table would slot in here unchanged — the interface is
+    (append batch, read latest-state); plain parquet append is the
+    no-extra-jars v1 per SURVEY §4."""
+    catalog_df.write.mode("append").parquet(catalog_dir)
+
+
+def latest_state(spark: SparkSession, catalog_dir: str) -> DataFrame:
+    """Current catalog state: the newest entry per table (last-writer-wins
+    upsert semantics over the append-only log — one window, no compaction
+    needed until the log is large, then foreachBatch compaction applies)."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(catalog_dir)
+    w = Window.partitionBy("table_name").orderBy(
+        F.col("ingest_batch").desc(), F.col("row_count").desc()
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -235,3 +235,29 @@ def stream_file_source(spark, sf_dir):
     )
     q.awaitTermination(120)
     return spark.table("sfs_counts")
+
+
+@query(
+    "catalog_persistent",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS row_count, "
+        f"'batch-1' AS latest_batch FROM {t}"
+        for t in tables.TABLES
+    ),
+)
+def catalog_persistent(spark, sf_dir):
+    """Append-only persistent catalog with last-writer-wins reads: two
+    ingest batches are appended to the catalog log; the latest-state view
+    must show every table at batch-1 (the upsert-over-append-log pattern
+    that a Delta/Iceberg catalog would replace 1:1)."""
+    import shutil
+
+    cat_dir = os.path.join(work_dir(sf_dir, "catalog_persistent"), "log")
+    shutil.rmtree(cat_dir, ignore_errors=True)
+    for batch in ("batch-0", "batch-1"):
+        cat.append_entries(cat.build_catalog(spark, sf_dir, batch), cat_dir)
+    return cat.latest_state(spark, cat_dir).select(
+        "table_name",
+        "row_count",
+        F.col("ingest_batch").alias("latest_batch"),
+    )

