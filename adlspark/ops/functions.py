@@ -314,3 +314,53 @@ def fn_json(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
+       1 AS n_keys,
+       'k' AS first_key
+FROM events
+""",
+)
+def fn_map(spark, sf_dir):
+    """MapType surface: props JSON parsed into a MapType column, then
+    map_keys/size/element access (oracle = flat JSON extraction, since
+    DuckDB has no MAP from JSON)."""
+    ev = tables.load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(m).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+SELECT o_orderkey,
+       md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+       sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha256,
+       length(md5(o_orderpriority)) AS md5_len
+FROM orders
+""",
+)
+def fn_hash(spark, sf_dir):
+    """Deterministic hash functions shared by both engines (md5/sha2 on
+    utf-8 bytes); the backbone of dedup keys and fingerprints."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias("key_md5"),
+        F.sha2(F.col("o_orderkey").cast("string").cast("binary"), 256).alias(
+            "key_sha256"
+        ),
+        F.length(F.md5(F.col("o_orderpriority").cast("binary")))
+        .cast("long")
+        .alias("md5_len"),
+    )

@@ -281,3 +281,45 @@ def join_interval(spark, sf_dir):
         & (li.l_shipdate >= o.o_orderdate)
         & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
     ).select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+SELECT e.user_id, d.cohort, count(*) AS n,
+       {o_dsum('e.value')} AS sum_value
+FROM events e
+JOIN (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events) d
+  ON e.user_id = d.user_id
+GROUP BY e.user_id, d.cohort
+""",
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-mitigated join via explicit salting: the (large, skewed) fact
+    side gets a random-free deterministic salt (event_id % SALT); the dim
+    side is replicated SALT times; the join key becomes (user_id, salt),
+    splitting any hot user's rows across SALT reducers. AQE's skew-join
+    handles this automatically for sort-merge joins; explicit salting is
+    the portable form that also covers aggregations and older planners.
+    Results are identical to the unsalted join (the oracle is unsalted).
+    """
+    SALT = 8
+    ev = tables.events(spark, sf_dir).withColumn(
+        "salt", (F.col("event_id") % SALT).cast("int")
+    )
+    dim = (
+        tables.events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 7)
+    )
+    dim_salted = dim.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(SALT).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    joined = ev.join(dim_salted, on=["user_id", "salt"])
+    return joined.groupBy("user_id", "cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+    )

@@ -90,3 +90,32 @@ def subq_exists_corr(spark, sf_dir):
         )
         """
     )
+
+
+@query(
+    "subq_lateral",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+""",
+)
+def subq_lateral(spark, sf_dir):
+    """Lateral (correlated table) subquery: top-2 customers per nation —
+    the decorrelated plan is the same shuffle-once ranked window as
+    win_topk_group, which Catalyst derives automatically."""
+    tables.load(spark, sf_dir, "nation").createOrReplaceTempView("sq_nation")
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM sq_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM sq_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

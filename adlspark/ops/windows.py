@@ -243,3 +243,34 @@ def win_first_last(spark, sf_dir):
         F.first("c_custkey").over(w).alias("richest"),
         F.last("c_custkey").over(w).alias("poorest"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       nth_value(c_custkey, 2) OVER w AS second_richest,
+       lag(c_custkey, 1) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey)
+         AS prev_in_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_nth_value(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    full = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    run = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.nth_value("c_custkey", 2).over(full).alias("second_richest"),
+        F.lag("c_custkey", 1).over(run).alias("prev_in_rank"),
+    )
