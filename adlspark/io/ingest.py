@@ -35,11 +35,15 @@ class SourceConfig:
 
 def read_raw(spark: SparkSession, cfg: SourceConfig, path: str) -> DataFrame:
     """Schema-on-read with corrupt-record capture (PERMISSIVE)."""
-    reader = spark.read.schema(
-        cfg.schema.add("_corrupt_record", "string")
-        if cfg.fmt == "json"
-        else cfg.schema
-    )
+    if cfg.fmt == "json":
+        # StructType.add mutates in place — copy so a SourceConfig can be
+        # reused across ingest calls (at-least-once delivery re-uses cfgs)
+        read_schema = StructType(list(cfg.schema.fields)).add(
+            "_corrupt_record", "string"
+        )
+    else:
+        read_schema = cfg.schema
+    reader = spark.read.schema(read_schema)
     for k, v in cfg.options.items():
         reader = reader.option(k, v)
     if cfg.fmt == "json":

@@ -364,3 +364,32 @@ def fn_hash(spark, sf_dir):
         .cast("long")
         .alias("md5_len"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 21845) AS xored,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+FROM orders
+""",
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family on int64 keys (partition routing / bloom hashing
+    building blocks)."""
+    o = tables.load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

@@ -261,3 +261,66 @@ def catalog_persistent(spark, sf_dir):
         "row_count",
         F.col("ingest_batch").alias("latest_batch"),
     )
+
+
+@query(
+    "ingest_partitioned_prune",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY event_type
+""",
+)
+def ingest_partitioned_prune(spark, sf_dir):
+    """Staged partition layout + static partition pruning: events staged
+    partitionBy(event_date); a one-day query must read exactly one
+    partition directory (PartitionFilters in the scan) — the property
+    that turns a 100 TB staged lake into per-day reads."""
+    out = os.path.join(work_dir(sf_dir, "staged_by_day"), "events_staged")
+    ev = tables.events(spark, sf_dir).withColumn(
+        "event_date", F.col("ts").cast("date").cast("string")
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.where(F.col("event_date") == "2024-01-10")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("ingest_idempotent")  # rows-only: filesystem side effects
+def ingest_idempotent(spark, sf_dir):
+    """Idempotent re-ingest (the staging engine's at-least-once delivery
+    semantics): the same raw batch arrives twice; content-hash dedup at
+    the staging boundary keeps exactly one copy. Output: per-arrival
+    staged counts — both arrivals must land at the same final count."""
+    import shutil
+
+    base = work_dir(sf_dir, "ingest_idem")
+    staged = os.path.join(base, "staged")
+    shutil.rmtree(staged, ignore_errors=True)
+    batch = (
+        tables.load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "props")
+    )
+    results = []
+    for arrival in (1, 2):
+        incoming = batch.withColumn(
+            "content_hash", F.md5(F.concat_ws("|", "event_id", "props").cast("binary"))
+        )
+        if os.path.exists(os.path.join(staged, "_SUCCESS")):
+            existing = spark.read.parquet(staged).select("content_hash")
+            fresh = incoming.join(existing, on="content_hash", how="left_anti")
+        else:
+            fresh = incoming
+        if fresh.count() > 0:
+            # append-only staged write; dedup happened at the boundary
+            fresh.write.mode("append").parquet(staged)
+        results.append((arrival, spark.read.parquet(staged).count()))
+    return spark.createDataFrame(results, "arrival int, staged_total long")

@@ -95,3 +95,46 @@ def test_rule_compiler_all_ops(spark):
     }
     assert got == {2}
     assert apply_rules(df, []).count() == 4  # empty rules = no filter
+
+
+def test_ingest_all_corrupt_and_empty(spark, tmp_path):
+    """Staging pipeline edge cases: a batch of only-corrupt lines stages
+    zero rows and reports FAILED; an empty file stages zero rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from adlspark.io.ingest import SourceConfig, ingest
+
+    cfg = SourceConfig(
+        name="edge",
+        fmt="json",
+        schema=StructType(
+            [StructField("a", LongType()), StructField("b", StringType())]
+        ),
+        required=["a"],
+    )
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text("{nope\n{also bad\n")
+    entry = ingest(
+        spark, cfg, str(bad),
+        staged_dir=str(tmp_path / "staged1"),
+        quarantine_dir=str(tmp_path / "q1"),
+    )
+    assert entry["n_good"] == 0 and entry["n_quarantined"] == 2
+    assert entry["status"] == "FAILED"
+
+    empty = tmp_path / "empty.jsonl"
+    empty.write_text("")
+    entry2 = ingest(
+        spark, cfg, str(empty),
+        staged_dir=str(tmp_path / "staged2"),
+        quarantine_dir=str(tmp_path / "q2"),
+    )
+    assert entry2["n_good"] == 0 and entry2["n_quarantined"] == 0
+
+
+def test_ingest_idempotent_key(spark, sf_dir):
+    """Second arrival of the same batch must not grow the staged table."""
+    from adlspark.ops.scans import ingest_idempotent
+
+    rows = {r.arrival: r.staged_total for r in ingest_idempotent(spark, sf_dir).collect()}
+    assert rows[1] == rows[2] == 100

@@ -74,3 +74,11 @@ def test_asof_join_is_single_window_no_join(spark, sf_dir):
     assert "Join" not in p
     assert "Window" in p
     assert p.count(") Exchange") == 1
+
+
+def test_staged_layout_partition_pruning(spark, sf_dir):
+    """The one-day query over the partitionBy(event_date) staged layout
+    must prune to a single partition (PartitionFilters on event_date),
+    not scan all days."""
+    p = plan_of(spark, sf_dir, "ingest_partitioned_prune")
+    assert "PartitionFilters" in p and "event_date" in p
