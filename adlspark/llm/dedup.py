@@ -16,6 +16,7 @@ Scale ladder (the 100 TB story):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
@@ -382,4 +383,83 @@ def llm_ngram_jaccard(spark, sf_dir):
     return (
         common.where(jac >= 0.30)
         .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "llm_dedup_cluster",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.95
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node
+)
+SELECT c.doc_id, c.component, s.n AS component_size
+FROM comp c
+JOIN (SELECT component, count(*) AS n FROM comp GROUP BY component) s
+  USING (component)
+""",
+)
+def llm_dedup_cluster(spark, sf_dir):
+    """Near-duplicate clustering: connected components over the ≥0.95
+    Jaccard pair graph — the step that turns pair lists into keep-one-
+    per-cluster decisions.
+
+    Iterative min-label propagation (Pregel-lite): each round joins the
+    current labels across edges and keeps the per-node minimum; converges
+    in O(component diameter) rounds (near-dup clusters are almost
+    cliques, so 1-3 rounds in practice). Each round is one distributed
+    join + aggregate; localCheckpoint truncates the growing plan lineage
+    — the standard shape for iterative algorithms on Spark at any scale.
+    The oracle is DuckDB's recursive CTE over the same edge set.
+    """
+    pairs = llm_near_dup_pairs(spark, sf_dir).select("id1", "id2")
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(10):
+        propagated = edges.join(
+            labels, edges.src == labels.node
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
     )

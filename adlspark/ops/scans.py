@@ -282,8 +282,9 @@ def ingest_partitioned_prune(spark, sf_dir):
     ev = tables.events(spark, sf_dir).withColumn(
         "event_date", F.col("ts").cast("date").cast("string")
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    # unconditional rewrite: caching behind _SUCCESS would serve stale
+    # staged data if the source fixtures ever changed
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
     back = spark.read.parquet(out)
     return (
         back.where(F.col("event_date") == "2024-01-10")
@@ -319,8 +320,8 @@ def ingest_idempotent(spark, sf_dir):
             fresh = incoming.join(existing, on="content_hash", how="left_anti")
         else:
             fresh = incoming
-        if fresh.count() > 0:
-            # append-only staged write; dedup happened at the boundary
-            fresh.write.mode("append").parquet(staged)
+        # append-only staged write; dedup happened at the boundary (an
+        # empty append is a no-op — no pre-count needed)
+        fresh.write.mode("append").parquet(staged)
         results.append((arrival, spark.read.parquet(staged).count()))
     return spark.createDataFrame(results, "arrival int, staged_total long")
