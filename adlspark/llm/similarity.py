@@ -339,3 +339,50 @@ def llm_ann_ivf(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w_nn))
         .where(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "llm_embed_near_dup",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({o_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)
+           AS cos_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE {o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.4
+)
+SELECT p.id1, p.id2, p.cos_sim,
+       d1.lang AS lang1, d2.lang AS lang2,
+       (d1.lang = d2.lang) AS same_lang
+FROM pairs p
+JOIN documents d1 ON p.id1 = d1.doc_id
+JOIN documents d2 ON p.id2 = d2.doc_id
+WHERE p.cos_sim >= 0.45
+""",
+)
+def llm_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate DOCUMENTS: vector pairs over the
+    cosine threshold joined back to document metadata — the semantic
+    (embedding-space) rung of the dedup ladder, catching paraphrase-level
+    duplicates that token Jaccard misses. Reuses the broadcast-matmul
+    kernel from llm_sim_threshold_join; the metadata joins broadcast the
+    (small) pair list against the documents table."""
+    pairs = llm_sim_threshold_join(spark, sf_dir).where(F.col("sim") >= 0.45)
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    d1 = d.select(F.col("doc_id").alias("id1"), F.col("lang").alias("lang1"))
+    d2 = d.select(F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"))
+    return (
+        pairs.join(d1, on="id1")
+        .join(d2, on="id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("sim").alias("cos_sim"),
+            "lang1",
+            "lang2",
+            (F.col("lang1") == F.col("lang2")).alias("same_lang"),
+        )
+    )
