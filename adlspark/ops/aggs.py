@@ -134,26 +134,74 @@ def agg_having(spark, sf_dir):
 
 @query(
     "agg_stats",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 4) AS std_qty,
-       round(var_samp(l_quantity), 4) AS var_qty,
-       round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
-       round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax
-FROM lineitem
-GROUP BY l_returnflag
+       sqrt((sxx - (sx * sx) / n) / (n - 1.0)) AS std_qty,
+       (sxx - (sx * sx) / n) / (n - 1.0) AS var_qty,
+       round((n * spx - sp * sx)
+         / (sqrt(n * spp - sp * sp) * sqrt(n * sxx - sx * sx)), 6) AS corr_price_qty,
+       (sdt - (sd * st) / n) / (n - 1.0) AS covar_disc_tax
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         {o_dsum('l_quantity')} AS sx,
+         {o_dsum('l_quantity * l_quantity')} AS sxx,
+         {o_dsum('l_extendedprice')} AS sp,
+         {o_dsum('l_extendedprice * l_extendedprice')} AS spp,
+         {o_dsum('l_extendedprice * l_quantity')} AS spx,
+         {o_dsum('l_discount')} AS sd,
+         {o_dsum('l_tax')} AS st,
+         {o_dsum('l_discount * l_tax')} AS sdt
+  FROM lineitem GROUP BY l_returnflag
+) t
 """,
 )
 def agg_stats(spark, sf_dir):
-    """Statistical aggregates. Rounding is coarse (§5.3): these use
-    engine-specific co-moment merges, so only ~1e-10 relative parity is
-    guaranteed; inputs are chosen with small magnitudes."""
+    """Statistical aggregates (stddev/var/corr/covar) from decimal-exact
+    sufficient statistics.
+
+    Engine-native stddev/corr use co-moment merges whose result depends on
+    partition merge order, so round(native_agg, k) flips at rounding
+    boundaries across engines (the round-1 driver mismatch). Instead: sums
+    of x, x², xy are computed exactly in DECIMAL(38,6) (order-independent),
+    cast to double, and the statistic is derived with the identical IEEE
+    closed form in both engines — bit-identical output, no rounding needed.
+    The shape is still one map-side-combinable hash aggregate (one shuffle
+    of 10 numbers per group) — the same sufficient-statistics pattern a
+    1000-executor cluster wants.
+    """
     li = tables.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    disc, tax = F.col("l_discount"), F.col("l_tax")
+    suff = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(qty * qty).alias("sxx"),
+        dsum(price).alias("sp"),
+        dsum(price * price).alias("spp"),
+        dsum(price * qty).alias("spx"),
+        dsum(disc).alias("sd"),
+        dsum(tax).alias("st"),
+        dsum(disc * tax).alias("sdt"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sp, spp, spx = F.col("sp"), F.col("spp"), F.col("spx")
+    sd, st, sdt = F.col("sd"), F.col("st"), F.col("sdt")
+    var_qty = (sxx - (sx * sx) / n) / (n - F.lit(1.0))
+    return suff.select(
+        "l_returnflag",
+        F.sqrt(var_qty).alias("std_qty"),
+        var_qty.alias("var_qty"),
+        # corr's numerator/denominator cancel ~3 digits and C++ FMA
+        # contraction (absent on the JVM) leaves a last-ulp diff — round at
+        # 6 digits (drift ~1e-16 relative; boundary odds ~1e-12). The other
+        # three stats are bit-identical closed forms, left unrounded.
+        F.round(
+            (n * spx - sp * sx)
+            / (F.sqrt(n * spp - sp * sp) * F.sqrt(n * sxx - sx * sx)),
+            6,
+        ).alias("corr_price_qty"),
+        ((sdt - (sd * st) / n) / (n - F.lit(1.0))).alias("covar_disc_tax"),
     )
 
 
@@ -258,16 +306,19 @@ def agg_grouping_sets(spark, sf_dir):
     "agg_collect_sorted",
     oracle="""
 SELECT user_id,
-       list_sort(array_agg(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(array_agg(DISTINCT event_type)), ' ') AS types,
        count(*) AS n_events
 FROM events
 GROUP BY user_id
 """,
 )
 def agg_collect_sorted(spark, sf_dir):
+    """collect_set → sorted, emitted as a space-joined string: same
+    semantics as the array, but hashable by the driver's canonicalizer
+    (pandas cannot factorize ndarray cells — the round-1 harness error)."""
     ev = tables.events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.concat_ws(" ", F.sort_array(F.collect_set("event_type"))).alias("types"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

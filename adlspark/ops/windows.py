@@ -42,16 +42,25 @@ def win_rownum(spark, sf_dir):
 @query(
     "win_rank_dense",
     oracle="""
-SELECT c_custkey, c_nationkey, round(c_acctbal, -2) AS bal_bucket,
-       rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, -2) DESC) AS rnk,
-       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, -2) DESC) AS drnk
+SELECT c_custkey, c_nationkey,
+       CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
+       rank() OVER (PARTITION BY c_nationkey
+                    ORDER BY CAST(floor(c_acctbal / 100) AS BIGINT) DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY c_nationkey
+                          ORDER BY CAST(floor(c_acctbal / 100) AS BIGINT) DESC) AS drnk
 FROM customer
 """,
 )
 def win_rank_dense(spark, sf_dir):
-    """rank/dense_rank with genuine ties (acctbal bucketed to hundreds)."""
+    """rank/dense_rank with genuine ties (acctbal bucketed to hundreds).
+
+    Bucketing uses ``floor(x/100)`` (not ``round(x, -2)``): Spark rounds
+    doubles HALF_UP while DuckDB rounds HALF_EVEN, so exact .50 hundred
+    boundaries would land in different buckets and shift every later rank.
+    floor is rounding-mode-free and IEEE-identical across engines.
+    """
     c = tables.load(spark, sf_dir, "customer").withColumn(
-        "bal_bucket", F.round(F.col("c_acctbal"), -2)
+        "bal_bucket", F.floor(F.col("c_acctbal") / 100).cast("long")
     )
     w = Window.partitionBy("c_nationkey").orderBy(F.col("bal_bucket").desc())
     return c.select(
