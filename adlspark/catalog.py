@@ -1,14 +1,23 @@
 """The data catalog as a queryable table — the engine's replacement for
 the reference's DynamoDB DataCatalog + Elasticsearch search hop.
 
-Entries are plain rows (one per table/batch); search is Spark SQL over
-the catalog DataFrame — the ES infrastructure disappears because the
-catalog lives where the query engine already is. Persistence uses an
-append-only parquet directory (Delta/Iceberg would slot in here when
-jars are available; the interface is format-agnostic).
+Entries are plain rows at FILE fidelity (one per table/batch with byte
+size, content hash, ingest timestamp, schema signature, status) — the
+facts a lake operator actually queries: "what arrived, when, how big,
+is it staged or failed, did its schema change?". Search is Spark SQL
+over the catalog DataFrame — a LIKE filter for point lookups and a
+tokenized inverted-index search for the ES/Kibana-style entry point.
+Persistence uses an append-only parquet log with last-writer-wins reads
+keyed by a MONOTONIC NUMERIC sequence (ordering by the batch-id string
+breaks at double digits: 'batch-10' < 'batch-9' lexicographically).
+Delta/Iceberg would slot in here unchanged when jars are available.
 """
 
 from __future__ import annotations
+
+import datetime
+import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,32 +26,123 @@ from adlspark import tables
 
 CATALOG_SCHEMA = (
     "table_name string, path string, row_count long, n_columns int, "
-    "ingest_batch string, status string"
+    "file_size_bytes long, content_hash string, schema_sig string, "
+    "ingest_batch string, seq long, ingested_at timestamp, status string"
 )
 
 
-def build_catalog(spark: SparkSession, sf_dir: str, batch_id: str) -> DataFrame:
-    """One catalog entry per fixture table (row count + schema width)."""
+def file_metadata(path: str) -> tuple[int, str]:
+    """(total bytes, md5-of-content) for a data file or a directory of
+    part files (hashed in sorted-path order — deterministic for a given
+    staged layout; underscore/dot bookkeeping files excluded)."""
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+    else:
+        paths = [path]
+    size = 0
+    digest = hashlib.md5()
+    for p in paths:
+        size += os.path.getsize(p)
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                digest.update(chunk)
+    return size, digest.hexdigest()
+
+
+def schema_sig(df: DataFrame) -> str:
+    """Compact, order-preserving schema signature ('name:type,...')."""
+    return ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def entry_for(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    batch_id: str,
+    seq: int,
+    status: str = "STAGED",
+    at: datetime.datetime | None = None,
+) -> tuple:
+    """One catalog row for a staged file/dir, with real fs metadata."""
+    size, digest = file_metadata(path)
+    return (
+        table_name,
+        path,
+        df.count(),
+        len(df.columns),
+        size,
+        digest,
+        schema_sig(df),
+        batch_id,
+        seq,
+        at or datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+        status,
+    )
+
+
+def build_catalog(
+    spark: SparkSession, sf_dir: str, batch_id: str, seq: int = 0
+) -> DataFrame:
+    """One catalog entry per fixture table (file-level metadata)."""
     entries = []
     for t in tables.TABLES:
-        df = tables.load(spark, sf_dir, t)
+        path = os.path.join(sf_dir, f"{t}.parquet")
         entries.append(
-            (
-                t,
-                f"{sf_dir}/{t}.parquet",
-                df.count(),
-                len(df.columns),
-                batch_id,
-                "STAGED",
-            )
+            entry_for(tables.load(spark, sf_dir, t), t, path, batch_id, seq)
         )
     return spark.createDataFrame(entries, CATALOG_SCHEMA)
 
 
 def search(catalog: DataFrame, pattern: str) -> DataFrame:
-    """Catalog search ≈ the ES/Kibana hop: LIKE over name + status."""
+    """Point-lookup search: LIKE over name + status."""
     return catalog.where(
         F.col("table_name").like(pattern) | F.col("status").like(pattern)
+    )
+
+
+def search_tokens(catalog: DataFrame, terms: list[str]) -> DataFrame:
+    """Tokenized full-text search over catalog metadata — the ES analogue.
+
+    The searchable text of an entry is its table name, file name, status
+    and schema COLUMN NAMES (types stripped from schema_sig), lowercased
+    and split on non-identifier characters; a broadcast term list joins
+    against the exploded token index. Returns one row per matching entry
+    with the hit count and the sorted matched terms. At scale the token
+    explode is a narrow map over the (small) catalog and the term list is
+    a broadcast — no full-text infrastructure needed.
+    """
+    spark = catalog.sparkSession
+    text = F.lower(
+        F.concat_ws(
+            " ",
+            F.col("table_name"),
+            F.element_at(F.split(F.col("path"), "/"), -1),
+            F.col("status"),
+            F.regexp_replace(F.col("schema_sig"), ":[^,]*", " "),
+        )
+    )
+    tok = catalog.select(
+        "table_name",
+        "ingest_batch",
+        F.explode(F.array_distinct(F.split(text, "[^a-z0-9_]+"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    terms_df = spark.createDataFrame(
+        [(t.lower(),) for t in terms], "term string"
+    )
+    return (
+        tok.join(F.broadcast(terms_df), tok.tok == terms_df.term)
+        .groupBy("table_name", "ingest_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.concat_ws(" ", F.sort_array(F.collect_set("term"))).alias(
+                "matched_terms"
+            ),
+        )
     )
 
 
@@ -57,12 +157,14 @@ def append_entries(catalog_df: DataFrame, catalog_dir: str) -> None:
 def latest_state(spark: SparkSession, catalog_dir: str) -> DataFrame:
     """Current catalog state: the newest entry per table (last-writer-wins
     upsert semantics over the append-only log — one window, no compaction
-    needed until the log is large, then foreachBatch compaction applies)."""
+    needed until the log is large, then foreachBatch compaction applies).
+    Ordered by the numeric ``seq`` (NOT the batch-id string, which
+    misorders at double digits), tie-broken by ingest timestamp."""
     from pyspark.sql import Window
 
     log = spark.read.parquet(catalog_dir)
     w = Window.partitionBy("table_name").orderBy(
-        F.col("ingest_batch").desc(), F.col("row_count").desc()
+        F.col("seq").desc(), F.col("ingested_at").desc()
     )
     return (
         log.withColumn("_rn", F.row_number().over(w))

@@ -107,6 +107,130 @@ def ingest(
     }
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution (drift across batches of one source)
+# ---------------------------------------------------------------------------
+
+# Safe automatic widenings (old simpleString -> new simpleString). Anything
+# else that changes a column's type is incompatible drift -> quarantine.
+WIDEN_OK = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+}
+
+
+def merge_schema(old: StructType, new: StructType):
+    """Merge an incoming batch schema into the source's current schema.
+
+    Policy (the mergeSchema/type-widening discipline a lake needs on
+    re-ingest): added columns are appended (old rows null-fill); a column
+    retyped along WIDEN_OK is widened in place; an incoming column that is
+    NARROWER than current is fine (the batch upcasts at read); any other
+    type change is incompatible drift.
+
+    Returns ``(merged StructType | None, changes)`` — ``None`` means
+    incompatible (caller quarantines the batch); ``changes`` is an audit
+    list like ``['add:session_id:string', 'widen:value:int->double']``
+    destined for the catalog entry.
+    """
+    from pyspark.sql.types import StructField
+
+    changes: list[str] = []
+    merged = list(old.fields)
+    index = {f.name: i for i, f in enumerate(merged)}
+    for f in new.fields:
+        if f.name not in index:
+            merged.append(StructField(f.name, f.dataType, True))
+            changes.append(f"add:{f.name}:{f.dataType.simpleString()}")
+            continue
+        cur = merged[index[f.name]]
+        if cur.dataType == f.dataType:
+            continue
+        o_s, n_s = cur.dataType.simpleString(), f.dataType.simpleString()
+        if (o_s, n_s) in WIDEN_OK:
+            merged[index[f.name]] = StructField(f.name, f.dataType, True)
+            changes.append(f"widen:{f.name}:{o_s}->{n_s}")
+        elif (n_s, o_s) in WIDEN_OK:
+            changes.append(f"upcast-batch:{f.name}:{n_s}->{o_s}")
+        else:
+            return None, [f"incompatible:{f.name}:{o_s}->{n_s}"]
+    return StructType(merged), changes
+
+
+def ingest_evolving(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    staged_root: str,
+    state: dict,
+    batch_id: str,
+    quarantine_dir: str | None = None,
+) -> dict:
+    """Schema-evolving staged append for one source.
+
+    Batches land in per-batch subdirectories (``staged_root/batch=<id>``)
+    — never a rewrite of existing staged data, the only option at 100 TB.
+    ``state`` carries the source's current merged schema + version
+    (in production this lives in the catalog; callers persist it there).
+    Incompatible batches quarantine and leave schema/state untouched.
+    """
+    current: StructType | None = state.get("schema")
+    if current is None:
+        merged, changes = batch_df.schema, ["initial"]
+    else:
+        merged, changes = merge_schema(current, batch_df.schema)
+    if merged is None:
+        if quarantine_dir:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"batch={batch_id}")
+            )
+        return {
+            "batch": batch_id,
+            "status": "QUARANTINED",
+            "changes": changes,
+            "schema_version": state.get("version", 0),
+            "n_rows": batch_df.count(),
+        }
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(staged_root, f"batch={batch_id}")
+    )
+    bumped = current is None or any(
+        c.startswith(("add:", "widen:")) for c in changes
+    )
+    state["schema"] = merged
+    state["version"] = state.get("version", 0) + (1 if bumped else 0)
+    state.setdefault("batches", []).append(batch_id)
+    return {
+        "batch": batch_id,
+        "status": "STAGED",
+        "changes": changes,
+        "schema_version": state["version"],
+        "n_rows": batch_df.count(),
+    }
+
+
+def read_staged_evolved(spark: SparkSession, staged_root: str, state: dict) -> DataFrame:
+    """Read every staged batch under the source's CURRENT merged schema:
+    each batch directory is read with its own (frozen) file schema, cast
+    column-by-column to the merged types, missing columns null-filled —
+    schema applied at read, no data rewrite (the Iceberg/Delta metadata-
+    cast pattern)."""
+    merged: StructType = state["schema"]
+    out = None
+    for batch_id in state.get("batches", []):
+        df = spark.read.parquet(os.path.join(staged_root, f"batch={batch_id}"))
+        cols = []
+        for f in merged.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        df = df.select(*cols)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def work_dir(sf_dir: str, name: str) -> str:
     """Deterministic scratch dir per (sf, operator) under /tmp."""
     tag = sf_dir.strip("/").replace("/", "_")

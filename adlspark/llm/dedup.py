@@ -62,85 +62,77 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 def llm_near_dup_pairs(spark, sf_dir):
     """Near-duplicate pairs by token-set Jaccard ≥ 0.95, blocked by lang.
 
-    |A∩B| / (|A|+|B|-|A∩B|) over distinct token sets — exact rational
-    arithmetic on both engines, so the threshold compare is safe. The
-    lang-equality conjunct keeps the self-join a shuffled equi join;
-    at real scale the blocking key becomes an LSH band (see
-    llm_dedup_minhash) and the same pair-scoring runs within buckets.
-    """
-    import numpy as np
-    import pandas as pd
+    Fully distributed EXACT set-similarity self-join via prefix filtering
+    (the PPJoin family — Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08):
 
+    1. Global token order = (document frequency ASC, token) — rarest
+       first. One explode + one count aggregate; no driver state.
+    2. Each doc keeps only its PREFIX under that order: the first
+       |A| - floor(τ·|A|) + 1 tokens. Theorem: two sets with
+       J(A,B) ≥ τ (given the size filter below) must share a prefix
+       token — so an equi-join on (prefix token, lang) finds every
+       qualifying pair with no false negatives. At τ=0.95 the prefix is
+       ~5% of each doc, and prefix tokens are the RARE ones, so bucket
+       sizes — hence candidate volume — stay small even though hot
+       tokens exist in the corpus.
+    3. Size filter τ·max(|A|,|B|) ≤ min(|A|,|B|) prunes candidates.
+    4. Exact verify: join token sets back by doc_id, one JVM-side
+       array_intersect per surviving candidate pair.
+
+    Replaces a driver-collect design (toPandas + dense doc×vocab
+    broadcast matmul): this plan has no driver state, every stage is a
+    shuffle-partitioned join/agg, and candidate volume tracks true-dup
+    density — the 100 TB shape. Exactness (vs MinHash banding) means no
+    probabilistic false-negative flake against the oracle.
+    """
+    tau = 0.95
     d = tables.load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-
-    # Vectorized set algebra: the corpus vocabulary is small, so a doc's
-    # token set is one row of a doc×vocab 0/1 matrix, |A∩B| for a whole
-    # batch×corpus block is ONE matmul, and lang blocking is an integer
-    # mask — no per-pair array materialization. (Replaced a blocked
-    # array_intersect pair join: 50 s → ~2 s at sf0.1.) At real scale the
-    # corpus side of the matmul is an LSH bucket, not the full corpus.
-    pdf = d.toPandas()
-    vocab = {}
-    for toks in pdf["toks"]:
-        for t in toks:
-            vocab.setdefault(t, len(vocab))
-
-    def to_matrix(tok_lists):
-        m = np.zeros((len(tok_lists), len(vocab)), dtype=np.float64)
-        for i, toks in enumerate(tok_lists):
-            for t in toks:
-                m[i, vocab[t]] = 1.0
-        return m
-
-    # lang-blocked broadcast: each batch row only matmuls against its own
-    # lang's matrix — the blocking prunes work before it happens instead
-    # of masking results after (5 langs → 5× less matmul; at real scale
-    # the block key is an LSH band and blocks are tiny)
-    by_lang = {}
-    for lang, grp in pdf.groupby("lang"):
-        by_lang[lang] = (
-            np.asarray(grp["doc_id"], dtype=np.int64),
-            to_matrix(list(grp["toks"])),
+    tok = d.select(
+        "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("sz") - F.floor(F.col("sz") * F.lit(tau)).cast("long") + F.lit(1)
+    )
+    prefix = (
+        tok.join(freq, "t")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "t")
+            ),
         )
-    bc = spark.sparkContext.broadcast((by_lang, vocab))
-
-    def block(batches):
-        b_by_lang, b_vocab = bc.value
-        for chunk in batches:
-            frames = []
-            for lang, grp in chunk.groupby("lang"):
-                b_ids, b_mat = b_by_lang[lang]
-                b_sz = b_mat.sum(axis=1)
-                c_ids = np.asarray(grp["doc_id"], dtype=np.int64)
-                c_mat = np.zeros((len(grp), len(b_vocab)), dtype=np.float64)
-                for i, toks in enumerate(grp["toks"]):
-                    for t in toks:
-                        c_mat[i, b_vocab[t]] = 1.0
-                inter = c_mat @ b_mat.T
-                c_sz = c_mat.sum(axis=1)
-                union = c_sz[:, None] + b_sz[None, :] - inter
-                jac = inter / union
-                keep = (jac >= 0.95) & (c_ids[:, None] < b_ids[None, :])
-                li, ri = np.nonzero(keep)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "id1": c_ids[li],
-                            "id2": b_ids[ri],
-                            "jaccard": np.round(jac[li, ri], 6),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(frames, ignore_index=True)
-                if frames
-                else pd.DataFrame({"id1": [], "id2": [], "jaccard": []})
-            )
-
-    return d.repartition(32).mapInPandas(
-        block, "id1 long, id2 long, jaccard double"
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "lang", "sz", "t")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(tau) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    verify = cand.join(
+        d.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1")), "id1"
+    ).join(
+        d.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2")), "id2"
+    )
+    inter = F.size(F.array_intersect("toks1", "toks2")).cast("double")
+    jac = inter / (F.size("toks1") + F.size("toks2") - inter)
+    return (
+        verify.where(jac >= tau)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -438,7 +430,13 @@ def llm_dedup_cluster(spark, sf_dir):
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint(eager=True)
-    for _ in range(10):
+    # Iterate to convergence; the bound is a safety valve only (min-label
+    # propagation needs O(component diameter) rounds — near-dup clusters
+    # are near-cliques, so 1-3 in practice). Exiting at the cap with
+    # changes still pending would silently mislabel a long-chain
+    # component, so that raises instead.
+    max_rounds, changed = 50, -1
+    for _ in range(max_rounds):
         propagated = edges.join(
             labels, edges.src == labels.node
         ).select(F.col("dst").alias("node"), "label")
@@ -457,6 +455,11 @@ def llm_dedup_cluster(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"llm_dedup_cluster: label propagation did not converge in "
+            f"{max_rounds} rounds ({changed} labels still changing)"
+        )
     w = Window.partitionBy("label")
     return labels.select(
         F.col("node").alias("doc_id"),

@@ -75,48 +75,78 @@ WHERE {o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.4
 def llm_sim_threshold_join(spark, sf_dir):
     """All vector pairs with cosine ≥ 0.4 (similarity self-join).
 
-    Vectorized block-matmul design: the (small) full matrix is broadcast
-    to executors; each Arrow batch of vectors computes batch×all
-    similarities as ONE numpy matmul and keeps pairs over threshold with
-    id1 < id2. This replaces an O(n²) pair join evaluating an
-    interpreted per-pair dot (33 s at sf0.1) with BLAS inner loops
-    (~1 s). At 100 TB the same shape persists: block the matrix, matmul
-    per (row-block × broadcast-block). numpy's pairwise summation is not
-    bit-identical to sequential, but products are exact (float32 pairs in
-    double) and τ/round-4 sit ≫ the ~1e-15 drift."""
+    Block-partitioned distributed matmul — no driver-side collect:
+
+    1. Every vector is assigned a block ``blk = vec_id mod B``.
+    2. A tiny broadcast table of the B(B+1)/2 unordered block pairs
+       (bi ≤ bj) replicates each block's vectors to the block pairs it
+       participates in (replication factor B+1 — the classic O(√P)
+       all-pairs scheme; B grows with cluster size, not data size per
+       executor).
+    3. ``applyInPandas`` per (bi, bj) group stacks the two sides into
+       numpy matrices and computes their cosine block as ONE BLAS
+       matmul, keeping pairs over threshold (min(id), max(id) ordering;
+       the bi == bj diagonal group deduplicates via id1 < id2).
+
+    Each executor only ever holds 2·N/B vectors; there is no full-matrix
+    broadcast and no toPandas anywhere in the lineage — the shape that
+    survives 100 TB. numpy's pairwise summation is not bit-identical to
+    sequential, but products are exact (float32 pairs in double) and
+    τ/round-4 sit ≫ the ~1e-15 drift (fixtures measured clear of both
+    boundaries)."""
     import numpy as np
     import pandas as pd
 
+    n_blocks = 8
     e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # Build the broadcast matrix driver-side once (small: n×64 floats).
-    pdf = e.toPandas()
-    ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-    mat = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    eb = e.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = eb.join(F.broadcast(bp), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
+    )
+    right = eb.join(F.broadcast(bp), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")
+    )
 
-    def block(batches):
-        b_ids, b_mat = bc.value
-        for chunk in batches:
-            ids_c = np.asarray(chunk["vec_id"], dtype=np.int64)
-            vecs = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in chunk["embedding"]]
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        same_block = bool((pdf["bi"] == pdf["bj"]).iloc[0])
+        sides = [pdf[pdf["side"] == s] for s in (0, 1)]
+        if len(sides[0]) == 0 or len(sides[1]) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
+                {"id1": "int64", "id2": "int64", "sim": "float64"}
             )
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = vecs @ b_mat.T
-            li, ri = np.nonzero((sims >= 0.4) & (ids_c[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id1": ids_c[li],
-                    "id2": b_ids[ri],
-                    "sim": np.round(sims[li, ri], 4),
-                }
+        mats, idss = [], []
+        for part in sides:
+            ids = np.asarray(part["vec_id"], dtype=np.int64)
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in part["embedding"]]
             )
+            mats.append(m / np.linalg.norm(m, axis=1, keepdims=True))
+            idss.append(ids)
+        (lm, rm), (lid, rid) = mats, idss
+        sims = lm @ rm.T
+        keep = sims >= 0.4
+        if same_block:
+            keep &= lid[:, None] < rid[None, :]
+        else:
+            keep &= lid[:, None] != rid[None, :]
+        li, ri = np.nonzero(keep)
+        id_lo = np.minimum(lid[li], rid[ri])
+        id_hi = np.maximum(lid[li], rid[ri])
+        return pd.DataFrame(
+            {"id1": id_lo, "id2": id_hi, "sim": np.round(sims[li, ri], 4)}
+        )
 
-    return e.repartition(32).mapInPandas(block, "id1 long, id2 long, sim double")
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(score, "id1 long, id2 long, sim double")
+    )
 
 
 @query(

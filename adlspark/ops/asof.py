@@ -43,9 +43,17 @@ def asof_join(
             r_tagged = r_tagged.withColumn(c, F.lit(None))
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
+    # Ordering: timestamp, then right-before-left (inclusive match), then —
+    # when several right rows share the same (key, ts) — the right payload
+    # tuple itself, so the carried row is deterministically the one with
+    # the greatest right_cols value instead of whichever row the shuffle
+    # happened to deliver last.
+    order = [F.col("_ats"), F.col("_side")]
+    if right_cols:
+        order.append(F.struct(*[F.col(f"_r_{c}") for c in right_cols]))
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ats"), F.col("_side"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned

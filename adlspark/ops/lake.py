@@ -1,0 +1,172 @@
+"""§2 A extensions — lake-operations keys: catalog full-text search and
+schema-drift ingestion.
+
+These close the round-1 capability gaps vs the reconstructed reference
+(SURVEY §1.1/§3.1): the Elasticsearch-style tokenized search over catalog
+metadata, and the mergeSchema/type-widening/quarantine discipline for
+batches whose schema drifts across re-ingests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from adlspark import catalog as cat
+from adlspark import tables
+from adlspark.io.ingest import ingest_evolving, read_staged_evolved, work_dir
+from adlspark.registry import query
+
+# fixture column names (stable; used to build the search oracle's corpus)
+_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+_SEARCH_TERMS = ["staged", "events", "c_acctbal", "s_acctbal", "embedding", "value"]
+
+
+def _corpus_text(t: str) -> str:
+    """The searchable text the oracle reconstructs for a catalog entry:
+    table name, file name, status, column names (types stripped)."""
+    return f"{t} {t}.parquet STAGED {' '.join(_COLS[t])}".lower()
+
+
+@query(
+    "catalog_search_tokens",
+    oracle=(
+        "WITH corpus(table_name, ingest_batch, txt) AS (VALUES\n"
+        + ",\n".join(
+            f"  ('{t}', 'batch-0', '{_corpus_text(t)}')" for t in _COLS
+        )
+        + "),\n"
+        "tok AS (SELECT table_name, ingest_batch,\n"
+        "               unnest(list_distinct(string_split_regex(txt, '[^a-z0-9_]+'))) AS tok\n"
+        "        FROM corpus),\n"
+        "terms(term) AS (VALUES "
+        + ", ".join(f"('{s}')" for s in _SEARCH_TERMS)
+        + ")\n"
+        "SELECT table_name, ingest_batch, count(*) AS n_hits,\n"
+        "       array_to_string(list_sort(list_distinct(list(term))), ' ') AS matched_terms\n"
+        "FROM tok JOIN terms ON tok.tok = terms.term\n"
+        "GROUP BY table_name, ingest_batch"
+    ),
+)
+def catalog_search_tokens(spark, sf_dir):
+    """Tokenized full-text catalog search — the reference's Elasticsearch
+    entry point collapsed into the engine (SURVEY §3.1 entry point 2):
+    catalog entries explode into an inverted token index (name, filename,
+    status, schema column names) and a broadcast term list joins against
+    it, returning hit counts + matched terms per entry. The oracle
+    reconstructs the same corpus from the fixture tables' static schema.
+    """
+    c = cat.build_catalog(spark, sf_dir, batch_id="batch-0", seq=0)
+    return cat.search_tokens(c, _SEARCH_TERMS)
+
+
+@query("ingest_schema_evolution")  # rows-only: filesystem side effects
+def ingest_schema_evolution(spark, sf_dir):
+    """Schema drift across re-ingested batches of one source
+    (SURVEY §1.1's per-source schema validation, extended to evolution):
+
+    - batch b0 arrives with (event_id bigint, event_type string,
+      value int)            -> schema v1
+    - batch b1 adds session_id AND widens value int->double
+                            -> widen + null-fill, schema v2
+    - batch b2 retypes value to string -> incompatible, QUARANTINED,
+      schema stays v2
+    - the staged read applies the CURRENT merged schema at read (casts +
+      null-fill per batch subdir) — no rewrite of staged data, the only
+      viable policy at 100 TB.
+
+    Output: one audit row per batch (status, schema version, change log)
+    plus a final row checking the evolved read: total staged rows and the
+    merged schema signature.
+    """
+    base = work_dir(sf_dir, "schema_evolution")
+    staged = os.path.join(base, "staged")
+    quarantine = os.path.join(base, "quarantine")
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(quarantine, ignore_errors=True)
+
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(300)
+        .select("event_id", "event_type", "value", "user_id")
+        .localCheckpoint(eager=True)
+    )
+    b0 = ev.limit(100).select(
+        "event_id", "event_type", F.col("value").cast("int").alias("value")
+    )
+    b1 = (
+        ev.orderBy("event_id")
+        .limit(200)
+        .orderBy(F.desc("event_id"))
+        .limit(100)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.concat(F.lit("sess-"), F.col("user_id")).alias("session_id"),
+        )
+    )
+    b2 = ev.orderBy(F.desc("event_id")).limit(100).select(
+        "event_id",
+        "event_type",
+        F.format_string("%.2f", "value").alias("value"),  # string: incompatible
+    )
+
+    state: dict = {}
+    audit = []
+    for batch_id, df in (("b0", b0), ("b1", b1), ("b2", b2)):
+        res = ingest_evolving(
+            spark, df, staged, state, batch_id, quarantine_dir=quarantine
+        )
+        audit.append(
+            (
+                res["batch"],
+                res["status"],
+                res["schema_version"],
+                ";".join(res["changes"]),
+                res["n_rows"],
+            )
+        )
+    final = read_staged_evolved(spark, staged, state)
+    sig = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in state["schema"].fields
+    )
+    audit.append(("final", "READ", state["version"], sig, final.count()))
+    return spark.createDataFrame(
+        audit,
+        "batch string, status string, schema_version long, detail string, n_rows long",
+    )

@@ -166,18 +166,27 @@ def ingest_csv_header(spark, sf_dir):
     "catalog_entries",
     oracle="\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, count(*) AS row_count, "
-        f"{n} AS n_columns FROM {t}"
+        f"{n} AS n_columns, true AS size_ok, true AS hash_ok, "
+        f"CAST(0 AS BIGINT) AS seq FROM {t}"
         for t, n in _N_COLS.items()
     ),
 )
 def catalog_entries(spark, sf_dir):
     """The catalog itself as a query (the DynamoDB DataCatalog + ES
-    search hop collapsed into one table): entries built per table, then
-    searched with the catalog's LIKE-based search."""
-    c = cat.build_catalog(spark, sf_dir, batch_id="batch-0")
+    search hop collapsed into one table): file-level entries built per
+    table (byte size, content hash, schema signature, sequence), then
+    searched with the catalog's LIKE-based search. The fs-derived fields
+    are oracle-checked as well-formedness predicates (DuckDB cannot stat
+    the staged files); their exact values are golden-tested in pytest."""
+    c = cat.build_catalog(spark, sf_dir, batch_id="batch-0", seq=0)
     hits = cat.search(c, "STAGED")
     return hits.select(
-        "table_name", "row_count", F.col("n_columns").cast("int").alias("n_columns")
+        "table_name",
+        "row_count",
+        F.col("n_columns").cast("int").alias("n_columns"),
+        (F.col("file_size_bytes") > 0).alias("size_ok"),
+        (F.length("content_hash") == 32).alias("hash_ok"),
+        "seq",
     )
 
 
@@ -241,25 +250,33 @@ def stream_file_source(spark, sf_dir):
     "catalog_persistent",
     oracle="\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, count(*) AS row_count, "
-        f"'batch-1' AS latest_batch FROM {t}"
+        f"'batch-10' AS latest_batch, CAST(10 AS BIGINT) AS seq FROM {t}"
         for t in tables.TABLES
     ),
 )
 def catalog_persistent(spark, sf_dir):
-    """Append-only persistent catalog with last-writer-wins reads: two
+    """Append-only persistent catalog with last-writer-wins reads: ELEVEN
     ingest batches are appended to the catalog log; the latest-state view
-    must show every table at batch-1 (the upsert-over-append-log pattern
+    must show every table at batch-10/seq=10. Eleven batches on purpose:
+    'batch-10' sorts BEFORE 'batch-9' as a string, so this key fails if
+    last-writer-wins ever regresses to ordering by the batch-id string
+    instead of the numeric sequence (the upsert-over-append-log pattern
     that a Delta/Iceberg catalog would replace 1:1)."""
     import shutil
 
     cat_dir = os.path.join(work_dir(sf_dir, "catalog_persistent"), "log")
     shutil.rmtree(cat_dir, ignore_errors=True)
-    for batch in ("batch-0", "batch-1"):
-        cat.append_entries(cat.build_catalog(spark, sf_dir, batch), cat_dir)
+    base = cat.build_catalog(spark, sf_dir, batch_id="batch-0", seq=0)
+    for i in range(11):
+        tagged = base.withColumn("ingest_batch", F.lit(f"batch-{i}")).withColumn(
+            "seq", F.lit(i).cast("long")
+        )
+        cat.append_entries(tagged, cat_dir)
     return cat.latest_state(spark, cat_dir).select(
         "table_name",
         "row_count",
         F.col("ingest_batch").alias("latest_batch"),
+        "seq",
     )
 
 

@@ -66,6 +66,7 @@ def _load_all() -> None:
         return
     from adlspark.llm import dedup, similarity, text, multimodal  # noqa: F401
     from adlspark.ops import (  # noqa: F401
+        lake,
         functions,
         timeseries,
         subqueries,

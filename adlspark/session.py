@@ -43,24 +43,41 @@ def _ship_package(spark: SparkSession) -> None:
     of their CWD/sys.path: zip the package once and addPyFile it.
     Closures are written to avoid module-reference pickling anyway; this
     is the defensive second layer."""
+    import hashlib
+    import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join("/tmp", "adlspark_pkg.zip")
-    newest_src = max(
-        os.path.getmtime(os.path.join(r, f))
+    sources = sorted(
+        os.path.join(r, f)
         for r, _d, fs in os.walk(pkg_dir)
         for f in fs
         if f.endswith(".py")
     )
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+    # Content-hash-named zip in a per-user path: never trusts an existing
+    # file it didn't fully verify (a predictable world-writable path +
+    # mtime check would let another local user plant code that gets
+    # shipped to executors), and concurrent sessions build to a private
+    # temp name then os.replace (atomic) — no torn archives.
+    digest = hashlib.sha256()
+    for src in sources:
+        digest.update(os.path.relpath(src, pkg_dir).encode())
+        with open(src, "rb") as fh:
+            digest.update(fh.read())
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"adlspark_pkg_{uid}_{digest.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        fd, tmp_path = tempfile.mkstemp(
+            suffix=".zip", prefix="adlspark_pkg_", dir=tempfile.gettempdir()
+        )
+        os.close(fd)
+        with zipfile.ZipFile(tmp_path, "w") as zf:
+            for full in sources:
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+        os.replace(tmp_path, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:

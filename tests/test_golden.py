@@ -138,3 +138,93 @@ def test_ingest_idempotent_key(spark, sf_dir):
 
     rows = {r.arrival: r.staged_total for r in ingest_idempotent(spark, sf_dir).collect()}
     assert rows[1] == rows[2] == 100
+
+
+def test_schema_evolution_key(spark, sf_dir):
+    """Drifted batches: widen+add staged at v2, incompatible quarantined,
+    evolved read unions both staged batches under the merged schema."""
+    from adlspark.ops.lake import ingest_schema_evolution
+
+    rows = {r.batch: r for r in ingest_schema_evolution(spark, sf_dir).collect()}
+    assert rows["b0"].status == "STAGED" and rows["b0"].schema_version == 1
+    assert rows["b1"].status == "STAGED" and rows["b1"].schema_version == 2
+    assert "widen:value:int->double" in rows["b1"].detail
+    assert "add:session_id:string" in rows["b1"].detail
+    assert rows["b2"].status == "QUARANTINED" and rows["b2"].schema_version == 2
+    assert rows["final"].n_rows == 200
+    assert rows["final"].detail == (
+        "event_id:bigint,event_type:string,value:double,session_id:string"
+    )
+
+
+def test_merge_schema_policies():
+    """merge_schema unit matrix: add / widen / narrower-incoming / clash."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from adlspark.io.ingest import merge_schema
+
+    old = StructType(
+        [StructField("a", LongType()), StructField("b", IntegerType())]
+    )
+    # add + widen
+    merged, changes = merge_schema(
+        old,
+        StructType(
+            [
+                StructField("a", LongType()),
+                StructField("b", DoubleType()),
+                StructField("c", StringType()),
+            ]
+        ),
+    )
+    assert [f.dataType.simpleString() for f in merged.fields] == [
+        "bigint", "double", "string",
+    ]
+    assert set(changes) == {"widen:b:int->double", "add:c:string"}
+    # narrower incoming column: schema unchanged, batch upcasts at read
+    merged2, changes2 = merge_schema(
+        old, StructType([StructField("a", IntegerType())])
+    )
+    assert [f.dataType.simpleString() for f in merged2.fields] == ["bigint", "int"]
+    assert changes2 == ["upcast-batch:a:int->bigint"]
+    # incompatible retype
+    merged3, changes3 = merge_schema(
+        old, StructType([StructField("a", StringType())])
+    )
+    assert merged3 is None and changes3 == ["incompatible:a:bigint->string"]
+
+
+def test_catalog_file_metadata(spark, sf_dir):
+    """Catalog entries carry real fs facts: byte size matches os.stat and
+    the content hash is the md5 of the parquet bytes."""
+    import hashlib
+    import os
+
+    from adlspark import catalog as cat
+
+    c = cat.build_catalog(spark, sf_dir, batch_id="b", seq=0)
+    row = {r.table_name: r for r in c.collect()}["nation"]
+    path = os.path.join(sf_dir, "nation.parquet")
+    assert row.file_size_bytes == os.path.getsize(path)
+    assert row.content_hash == hashlib.md5(open(path, "rb").read()).hexdigest()
+    assert row.schema_sig.startswith("n_nationkey:")
+
+
+def test_catalog_search_tokens(spark, sf_dir):
+    """Term hits land on the right entries (inverted-index semantics)."""
+    from adlspark import catalog as cat
+
+    c = cat.build_catalog(spark, sf_dir, batch_id="b", seq=0)
+    hits = {
+        r.table_name: r for r in cat.search_tokens(c, ["c_acctbal", "staged"]).collect()
+    }
+    assert len(hits) == 10  # 'staged' matches every entry's status
+    assert hits["customer"].matched_terms == "c_acctbal staged"
+    assert hits["nation"].matched_terms == "staged"
