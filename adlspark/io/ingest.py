@@ -231,6 +231,56 @@ def read_staged_evolved(spark: SparkSession, staged_root: str, state: dict) -> D
     return out
 
 
+# ---------------------------------------------------------------------------
+# Failure notification log (the SNS-topic analogue)
+# ---------------------------------------------------------------------------
+
+ALERT_SCHEMA = (
+    "source string, raw_path string, status string, n_good long, "
+    "n_quarantined long, alerted_at timestamp, detail string"
+)
+
+
+def record_alert(spark: SparkSession, alert_dir: str, entry: dict, detail: str = "") -> None:
+    """Append one alert row for a non-clean ingest outcome. The reference
+    publishes failures to an SNS topic; here the notification channel IS a
+    queryable table — operators subscribe with a query (or a readStream
+    over the directory) instead of an email hook."""
+    import datetime
+
+    row = (
+        entry["source"],
+        entry["raw_path"],
+        entry["status"],
+        entry["n_good"],
+        entry["n_quarantined"],
+        datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+        detail,
+    )
+    spark.createDataFrame([row], ALERT_SCHEMA).write.mode("append").parquet(alert_dir)
+
+
+def ingest_with_alerts(
+    spark: SparkSession,
+    cfg: SourceConfig,
+    raw_path: str,
+    staged_dir: str,
+    alert_dir: str,
+    quarantine_dir: str | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """ingest() + alert on FAILED or any quarantined rows."""
+    entry = ingest(spark, cfg, raw_path, staged_dir, quarantine_dir, partition_by)
+    if entry["status"] == "FAILED" or entry["n_quarantined"]:
+        detail = (
+            "batch failed validation"
+            if entry["status"] == "FAILED"
+            else f"{entry['n_quarantined']} rows quarantined"
+        )
+        record_alert(spark, alert_dir, entry, detail)
+    return entry
+
+
 def work_dir(sf_dir: str, name: str) -> str:
     """Deterministic scratch dir per (sf, operator) under /tmp."""
     tag = sf_dir.strip("/").replace("/", "_")

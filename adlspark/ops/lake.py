@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from adlspark import catalog as cat
 from adlspark import tables
-from adlspark.io.ingest import ingest_evolving, read_staged_evolved, work_dir
+from adlspark.io.ingest import (
+    SourceConfig,
+    ingest_evolving,
+    ingest_with_alerts,
+    read_staged_evolved,
+    work_dir,
+)
 from adlspark.registry import query
 
 # fixture column names (stable; used to build the search oracle's corpus)
@@ -91,6 +97,61 @@ def catalog_search_tokens(spark, sf_dir):
     """
     c = cat.build_catalog(spark, sf_dir, batch_id="batch-0", seq=0)
     return cat.search_tokens(c, _SEARCH_TERMS)
+
+
+@query("ingest_alert_log")  # rows-only: filesystem side effects
+def ingest_alert_log(spark, sf_dir):
+    """Failure notification as a queryable table (the reference's SNS
+    failure topic, SURVEY §1.1): three batches arrive — clean, partially
+    quarantined, all-corrupt — and every non-clean outcome appends an
+    alert row. The operator's pager query is then just a filter over the
+    alert table. Output: the alert log (source, status, counts, detail),
+    which must contain exactly the two non-clean batches."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    base = work_dir(sf_dir, "alert_log")
+    alert_dir = os.path.join(base, "alerts")
+    shutil.rmtree(alert_dir, ignore_errors=True)
+    cfg = SourceConfig(
+        name="events_alerts",
+        fmt="json",
+        schema=StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("event_type", StringType()),
+            ]
+        ),
+        required=["event_id", "event_type"],
+    )
+    batches = {
+        "clean": [{"event_id": i, "event_type": "click"} for i in range(20)],
+        "partial": [{"event_id": i, "event_type": "click"} for i in range(10)]
+        + [{"event_id": 90 + i} for i in range(4)],  # missing required col
+        "corrupt": None,  # malformed lines only
+    }
+    for name, rows in batches.items():
+        raw = os.path.join(base, f"{name}.jsonl")
+        with open(raw, "w") as f:
+            if rows is None:
+                f.write("{nope\n{also bad\n{still bad\n")
+            else:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        ingest_with_alerts(
+            spark,
+            cfg,
+            raw,
+            staged_dir=os.path.join(base, f"staged_{name}"),
+            alert_dir=alert_dir,
+            quarantine_dir=os.path.join(base, f"q_{name}"),
+        )
+    return (
+        spark.read.parquet(alert_dir)
+        .select("source", "raw_path", "status", "n_good", "n_quarantined", "detail")
+        .orderBy("raw_path")
+    )
 
 
 @query("ingest_schema_evolution")  # rows-only: filesystem side effects

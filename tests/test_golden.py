@@ -228,3 +228,17 @@ def test_catalog_search_tokens(spark, sf_dir):
     assert len(hits) == 10  # 'staged' matches every entry's status
     assert hits["customer"].matched_terms == "c_acctbal staged"
     assert hits["nation"].matched_terms == "staged"
+
+
+def test_ingest_alert_log_key(spark, sf_dir):
+    """Exactly the two non-clean batches alert, with the right reasons."""
+    from adlspark.ops.lake import ingest_alert_log
+
+    rows = ingest_alert_log(spark, sf_dir).collect()
+    by_path = {r.raw_path.rsplit("/", 1)[-1]: r for r in rows}
+    assert len(rows) == 2
+    assert by_path["partial.jsonl"].status == "STAGED"
+    assert by_path["partial.jsonl"].n_quarantined == 4
+    assert "quarantined" in by_path["partial.jsonl"].detail
+    assert by_path["corrupt.jsonl"].status == "FAILED"
+    assert by_path["corrupt.jsonl"].n_good == 0
