@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from adlspark import catalog as cat
 from adlspark import tables
+from adlspark.ops.parity import dsum, o_dsum
 from adlspark.io.ingest import (
     SourceConfig,
     ingest_evolving,
@@ -97,6 +98,51 @@ def catalog_search_tokens(spark, sf_dir):
     """
     c = cat.build_catalog(spark, sf_dir, batch_id="batch-0", seq=0)
     return cat.search_tokens(c, _SEARCH_TERMS)
+
+
+@query(
+    "sink_bucketed_colocated_join",
+    oracle=f"""
+SELECT c_mktsegment, count(*) AS n_orders,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def sink_bucketed_colocated_join(spark, sf_dir):
+    """Bucketed staged layout + shuffle-free co-located join.
+
+    Both sides are staged ``bucketBy(8, join_key).sortBy(join_key)``; a
+    join between them rides the bucket layout — NO Exchange on either
+    side (plan-asserted in tests with broadcast disabled). This is the
+    single biggest lever for a 100 TB lake: the fact-to-dimension shuffle
+    is paid ONCE at staging time and amortized over every subsequent
+    join/aggregate on that key. The only remaining shuffle in this query
+    is the final tiny per-segment aggregate."""
+    base = work_dir(sf_dir, "bucketed")
+    for name, src, key in (
+        ("adlspark_b_orders", "orders", "o_custkey"),
+        ("adlspark_b_customer", "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            tables.load(spark, sf_dir, src)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("adlspark_b_orders")
+    c = spark.table("adlspark_b_customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
 
 
 @query("ingest_alert_log")  # rows-only: filesystem side effects

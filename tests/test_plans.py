@@ -115,3 +115,18 @@ def test_kernels_have_no_driver_collect():
     for fn in (dedup.llm_near_dup_pairs, similarity.llm_sim_threshold_join):
         src = inspect.getsource(fn)
         assert ".toPandas()" not in src and ".collect()" not in src
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """With broadcast disabled, the bucketed-by-key join must be a
+    SortMergeJoin with NO Exchange on either input — the co-located-join
+    property the bucketed staging pays for. The only Exchange in the
+    whole plan is the final per-segment aggregate."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "sink_bucketed_colocated_join")
+        assert "SortMergeJoin" in p
+        assert p.count(") Exchange") == 1  # only the groupBy aggregate
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
