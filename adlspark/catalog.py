@@ -59,6 +59,29 @@ def schema_sig(df: DataFrame) -> str:
     return ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Exact row count from parquet footer metadata (no Spark job — the
+    footers are what a file-level catalog reads anyway). Returns None for
+    non-parquet layouts; callers fall back to a count job."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover
+        return None
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        files = [path]
+    try:
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    except Exception:
+        return None
+
+
 def entry_for(
     df: DataFrame,
     table_name: str,
@@ -70,10 +93,13 @@ def entry_for(
 ) -> tuple:
     """One catalog row for a staged file/dir, with real fs metadata."""
     size, digest = file_metadata(path)
+    n_rows = parquet_num_rows(path)
+    if n_rows is None:
+        n_rows = df.count()
     return (
         table_name,
         path,
-        df.count(),
+        n_rows,
         len(df.columns),
         size,
         digest,

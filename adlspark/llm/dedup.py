@@ -87,8 +87,15 @@ def llm_near_dup_pairs(spark, sf_dir):
     probabilistic false-negative flake against the oracle.
     """
     tau = 0.95
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    # The token-set frame feeds 4 downstream consumers (freq, prefix,
+    # verify x2); localCheckpoint materializes the text-split ONCE instead
+    # of re-scanning + re-splitting per consumer (the dominant cost here).
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        .localCheckpoint(eager=True)
     )
     tok = d.select(
         "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("t")
@@ -107,6 +114,7 @@ def llm_near_dup_pairs(spark, sf_dir):
         )
         .where(F.col("rn") <= prefix_len)
         .select("doc_id", "lang", "sz", "t")
+        .localCheckpoint(eager=True)  # consumed twice by the self-join
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

@@ -267,11 +267,15 @@ def catalog_persistent(spark, sf_dir):
     cat_dir = os.path.join(work_dir(sf_dir, "catalog_persistent"), "log")
     shutil.rmtree(cat_dir, ignore_errors=True)
     base = cat.build_catalog(spark, sf_dir, batch_id="batch-0", seq=0)
+    # 11 batch appends; folded into one write job (the log layout is the
+    # same either way — at real cadence each arrival is its own append)
+    log = None
     for i in range(11):
         tagged = base.withColumn("ingest_batch", F.lit(f"batch-{i}")).withColumn(
             "seq", F.lit(i).cast("long")
         )
-        cat.append_entries(tagged, cat_dir)
+        log = tagged if log is None else log.unionByName(tagged)
+    cat.append_entries(log, cat_dir)
     return cat.latest_state(spark, cat_dir).select(
         "table_name",
         "row_count",

@@ -97,12 +97,15 @@ def test_sim_threshold_join_is_distributed(spark, sf_dir):
 
 def test_near_dup_pairs_is_distributed(spark, sf_dir):
     """Prefix-filter pair generation: exchanges + joins, no Python at all
-    (every stage is JVM-side) and no cartesian expansion."""
+    (every stage is JVM-side) and no cartesian expansion. (The prefix
+    ranking Window sits behind an eager localCheckpoint, so the visible
+    plan starts at the checkpointed RDDs — the candidate self-join and
+    verify joins are what remains to audit here.)"""
     p = plan_of(spark, sf_dir, "llm_near_dup_pairs")
     assert "CartesianProduct" not in p
     assert "FlatMapGroupsInPandas" not in p  # pure relational plan
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    assert "Window" in p  # the per-doc prefix ranking
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
 def test_kernels_have_no_driver_collect():
