@@ -276,3 +276,117 @@ def llm_token_count(spark, sf_dir):
         .alias("re_tokens"),
         F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
     )
+
+
+@query(
+    "llm_train_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM b GROUP BY lang, split
+""",
+)
+def llm_train_split(spark, sf_dir):
+    """Deterministic, engine-independent train/val/test split (80/10/10)
+    by md5 hash bucket of the document id — the reproducible-split
+    primitive every training-data pipeline needs: membership is a pure
+    function of the id (stable under re-runs, re-partitioning, engine
+    choice, and corpus growth), never a random() sample. Stratified
+    report per (lang, split) proves the buckets hold across strata.
+    At 100 TB this is a narrow projection + one small aggregate —
+    no shuffle of the corpus itself."""
+    d = tables.load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "llm_corpus_filter_pipeline",
+    oracle=f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), q AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), keepq AS (
+  SELECT doc_id FROM q
+  WHERE len(toks) >= 20
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+)
+SELECT d.lang,
+       count(*) AS n_total,
+       count(c.doc_id) AS n_canonical,
+       count(CASE WHEN c.doc_id IS NOT NULL AND k.doc_id IS NOT NULL
+                  THEN 1 END) AS n_kept,
+       round(CAST(count(CASE WHEN c.doc_id IS NOT NULL AND k.doc_id IS NOT NULL
+                             THEN 1 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+FROM documents d
+LEFT JOIN canon c ON d.doc_id = c.doc_id
+LEFT JOIN keepq k ON d.doc_id = k.doc_id
+GROUP BY d.lang
+""",
+)
+def llm_corpus_filter_pipeline(spark, sf_dir):
+    """End-to-end corpus cleaning funnel — the composition a pre-training
+    pipeline actually runs: exact-dedup keep-one (canonical = min doc_id
+    per content hash) ∘ quality filter (length + type-token ratio), with
+    per-lang funnel counts (total → canonical → kept). Every stage is a
+    hash aggregate or hash join on doc_id/content-hash — the whole funnel
+    is 3 shuffles at any scale, and the stages share the single corpus
+    scan."""
+    d = tables.load(spark, sf_dir, "documents")
+    canon = (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_canonical"))
+    )
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    keepq = (
+        d.where((F.size(toks) >= 20) & (ttr > 0.3))
+        .select("doc_id", F.lit(True).alias("is_quality"))
+    )
+    kept = F.col("is_canonical").isNotNull() & F.col("is_quality").isNotNull()
+    return (
+        d.select("doc_id", "lang")
+        .join(canon, "doc_id", "left")
+        .join(keepq, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("is_canonical").alias("n_canonical"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(kept, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_ratio"),
+        )
+    )
