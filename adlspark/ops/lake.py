@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from adlspark import catalog as cat
 from adlspark import tables
-from adlspark.ops.parity import dsum, o_dsum
+from adlspark.ops.parity import DEC, dsum, o_dsum
 from adlspark.io.ingest import (
     SourceConfig,
     ingest_evolving,
@@ -142,6 +142,89 @@ def sink_bucketed_colocated_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("sum_price"),
         )
+    )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {o_dsum('l_quantity')} AS sum_qty,
+       count(*) AS n_rows,
+       round({o_dsum('l_quantity')} / count(*), 6) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate (the lake's
+    standing-rollup pattern): lineitem arrives in two batches; each
+    refresh merges the NEW batch's partial aggregate into the stored MV —
+    touching only batch-sized data, never rescanning history — and writes
+    a new MV VERSION directory (readers keep the old version until the
+    swap; no in-place overwrite of a file being read). Partial states are
+    algebraic (decimal-exact sum + count), so merge order cannot change
+    results and avg derives exactly at read time. The oracle is the full
+    recompute over all of lineitem — incremental must equal from-scratch.
+    """
+    base = work_dir(sf_dir, "mv_refresh")
+    shutil.rmtree(base, ignore_errors=True)
+    li = tables.load(spark, sf_dir, "lineitem")
+    batches = [
+        li.where(F.col("l_orderkey") % 2 == 0),
+        li.where(F.col("l_orderkey") % 2 != 0),
+    ]
+    mv_path = None
+    for version, batch in enumerate(batches, start=1):
+        partial = batch.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("s_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        if mv_path is not None:
+            prev = spark.read.parquet(mv_path)
+            partial = (
+                prev.unionByName(partial)
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("s_qty").alias("s_qty"),
+                    F.sum("n_rows").alias("n_rows"),
+                )
+            )
+        new_path = os.path.join(base, f"v{version}")
+        partial.write.mode("overwrite").parquet(new_path)
+        mv_path = new_path
+    mv = spark.read.parquet(mv_path)
+    sum_qty = F.col("s_qty").cast("double")
+    return mv.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        "n_rows",
+        F.round(sum_qty / F.col("n_rows"), 6).alias("avg_qty"),
+    )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    """Columnar-format breadth: orders round-trips through ORC (Spark's
+    second built-in columnar format — same pushdown/pruning machinery as
+    parquet) and must reproduce per-status aggregates exactly. The staged
+    write partitions by o_orderstatus, so the read side partition-prunes
+    identically to the parquet layouts."""
+    out = os.path.join(work_dir(sf_dir, "sink_orc"), "orders_orc")
+    orders = tables.load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
     )
 
 

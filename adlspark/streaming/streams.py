@@ -258,3 +258,44 @@ def stream_transform_with_state(spark, sf_dir):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@query("stream_stream_join")
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + event-time range (the
+    view→purchase attribution join): both sides carry a 30-minute
+    watermark and the join condition bounds purchase time to [view,
+    view+15 min], so state for either side is evictable once the
+    watermark passes — bounded state at any scale, the property that
+    makes stream-stream joins feasible on an unbounded source. Append
+    mode (the only mode stream-stream inner joins support); output is
+    the per-user attribution count."""
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "30 minutes")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    attributed = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 15 MINUTES")),
+    )
+    name = "s_ss_join"
+    _run(
+        attributed.select("user_id", "view_ts", "purchase_ts")
+        .writeStream.format("memory")
+        .outputMode("append"),
+        name,
+    )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+    )
