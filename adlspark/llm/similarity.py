@@ -416,3 +416,55 @@ def llm_embed_near_dup(spark, sf_dir):
             (F.col("lang1") == F.col("lang2")).alias("same_lang"),
         )
     )
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127
+                           + 0.5) AS BIGINT)) AS codes,
+         list_transform(embedding,
+           x -> greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)) AS clipped
+  FROM embeddings
+)
+SELECT vec_id,
+       array_to_string(codes, ' ') AS codes_str,
+       round(sqrt(list_sum(list_transform(list_zip(codes, clipped),
+             p -> (CAST(p[1] AS DOUBLE) / 127 - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) / 127 - CAST(p[2] AS DOUBLE))))), 6)
+         AS recon_err
+FROM q
+""",
+)
+def llm_embed_quantize(spark, sf_dir):
+    """Scalar int8 quantization of embeddings + reconstruction error —
+    the storage-scale path for vector search (4× smaller than float32,
+    8× smaller than the float64 working form; IVF + int8 is the standard
+    billion-vector layout). Quantization is a pure element-wise map
+    (clip to [-1,1], scale by 127, round-half-up) — a narrow projection
+    at any scale, no shuffle. Codes are emitted as a space-joined string
+    (driver canonicalizer cannot hash array cells) and the per-vector L2
+    reconstruction error uses the engine-identical left-to-right
+    summation from vector.py's discipline."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    clipped = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)),
+    )
+    codes = F.transform(
+        clipped, lambda x: F.floor(x * 127 + F.lit(0.5)).cast("long")
+    )
+    diff_sq = F.zip_with(
+        codes,
+        clipped,
+        lambda c, x: (c.cast("double") / 127 - x) * (c.cast("double") / 127 - x),
+    )
+    err = F.sqrt(F.aggregate(diff_sq, F.lit(0.0), lambda acc, v: acc + v))
+    return e.select(
+        "vec_id",
+        F.concat_ws(" ", codes).alias("codes_str"),
+        F.round(err, 6).alias("recon_err"),
+    )
