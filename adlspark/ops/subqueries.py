@@ -127,3 +127,36 @@ def subq_lateral(spark, sf_dir):
         ) t
         """
     )
+
+
+_NOT_IN_SQL = """
+SELECT 'with_nulls' AS variant, count(*) AS n_rows,
+       coalesce(sum(o_orderkey), 0) AS key_checksum
+FROM {o}
+WHERE o_custkey NOT IN (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+  FROM {c} WHERE c_acctbal < 1000
+)
+UNION ALL
+SELECT 'null_free' AS variant, count(*) AS n_rows,
+       coalesce(sum(o_orderkey), 0) AS key_checksum
+FROM {o}
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM {c} WHERE c_acctbal >= 0 AND c_acctbal < 1000
+)
+"""
+
+
+@query(
+    "subq_not_in_null",
+    oracle=_NOT_IN_SQL.format(o="orders", c="customer"),
+)
+def subq_not_in_null(spark, sf_dir):
+    """NOT IN under 3-valued logic — the classic trap, both branches:
+    'with_nulls' has a NULL-producing IN-list (CASE nulls out negative
+    balances), so `x NOT IN (...)` is never TRUE and the count must be 0;
+    'null_free' filters the NULLs out and must return the genuine
+    null-aware anti-join result (count + orderkey checksum). Catalyst
+    compiles both to null-aware anti joins; DuckDB must agree on each."""
+    _views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL.format(o="sq_orders", c="sq_customer"))
