@@ -242,3 +242,25 @@ def test_ingest_alert_log_key(spark, sf_dir):
     assert "quarantined" in by_path["partial.jsonl"].detail
     assert by_path["corrupt.jsonl"].status == "FAILED"
     assert by_path["corrupt.jsonl"].n_good == 0
+
+
+def test_asof_join_deterministic_ties(spark):
+    """Several right rows sharing (key, ts): the carried payload must be
+    the deterministic greatest right_cols tuple, independent of input
+    partitioning (the advisory's nondeterminism finding)."""
+    from adlspark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k int, ts int"
+    )
+    right_rows = [(1, 100, "a"), (1, 100, "c"), (1, 100, "b"), (1, 150, "x")]
+    outs = []
+    for parts in (1, 4):
+        right = spark.createDataFrame(right_rows, "k int, ts int, v string").repartition(
+            parts
+        )
+        out = asof_join(left, right, ["k"], "ts", "ts", ["v"])
+        outs.append({(r.k, r.ts): r.asof_v for r in out.collect()})
+    assert outs[0] == outs[1]
+    assert outs[0][(1, 100)] == "c"  # greatest payload tuple among the tie
+    assert outs[0][(1, 200)] == "x"
