@@ -130,3 +130,58 @@ def mm_metadata_pruned_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query("mm_frame_sample")  # rows-only: binary payloads are synthesized
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling over a "video" payload — the 1-row → N-frames batch
+    shape (the other multimodal UDF signatures are 1→1): the payload is
+    chunked into fixed-size frames (stands in for demuxed video frames),
+    every STRIDE-th frame is kept, and each sampled frame gets the
+    stubbed per-frame feature. Output stays per-document (frame counts +
+    feature summary), so result size is bounded by the input row count
+    even when payloads are huge — at 100 TB the frame explosion happens
+    inside the Arrow batch and aggregates before it ever hits a shuffle.
+    Sampling is deterministic (fixed stride, content-derived features):
+    re-runs and re-partitions produce identical results."""
+    frame_bytes, stride = 32, 4
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def sample_batches(batches):
+        import hashlib as _hl
+        import math as _math
+
+        for pdf in batches:
+            doc_ids, n_frames, n_sampled, f_first, f_mean = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                sampled = frames[::stride]
+                feats = [
+                    _hl.sha256(fr).digest()[0] / 255.0 for fr in sampled
+                ]
+                doc_ids.append(doc_id)
+                n_frames.append(len(frames))
+                n_sampled.append(len(sampled))
+                f_first.append(round(feats[0], 6) if feats else None)
+                f_mean.append(
+                    round(_math.fsum(feats) / len(feats), 6) if feats else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                    "f0_first": f_first,
+                    "f0_mean": f_mean,
+                }
+            )
+
+    return d.mapInPandas(
+        sample_batches,
+        "doc_id long, n_frames long, n_sampled long, f0_first double, f0_mean double",
+    )

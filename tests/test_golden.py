@@ -264,3 +264,22 @@ def test_asof_join_deterministic_ties(spark):
     assert outs[0] == outs[1]
     assert outs[0][(1, 100)] == "c"  # greatest payload tuple among the tie
     assert outs[0][(1, 200)] == "x"
+
+
+def test_mm_frame_sample_deterministic(spark, sf_dir):
+    """Frame sampling: stride math holds and results are identical across
+    runs/partitionings (content-derived, no randomness)."""
+    import math
+
+    from adlspark.llm.multimodal import mm_frame_sample
+
+    rows = {r.doc_id: r for r in mm_frame_sample(spark, sf_dir).collect()}
+    again = {r.doc_id: r for r in mm_frame_sample(spark, sf_dir).collect()}
+    assert rows.keys() == again.keys()
+    some = list(rows)[:50]
+    for did in some:
+        r, r2 = rows[did], again[did]
+        assert (r.n_frames, r.n_sampled, r.f0_first, r.f0_mean) == (
+            r2.n_frames, r2.n_sampled, r2.f0_first, r2.f0_mean,
+        )
+        assert r.n_sampled == math.ceil(r.n_frames / 4)
