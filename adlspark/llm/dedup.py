@@ -84,12 +84,9 @@ def llm_near_dup_pairs(spark, sf_dir):
     broadcast matmul): this plan has no driver state, every stage is a
     shuffle-partitioned join/agg, and candidate volume tracks true-dup
     density — the 100 TB shape. Exactness (vs MinHash banding) means no
-    probabilistic false-negative flake against the oracle.
+    probabilistic false-negative flake against the oracle (property-
+    tested vs brute force in tests/test_properties.py).
     """
-    tau = 0.95
-    # The token-set frame feeds 4 downstream consumers (freq, prefix,
-    # verify x2); localCheckpoint materializes the text-split ONCE instead
-    # of re-scanning + re-splitting per consumer (the dominant cost here).
     d = (
         tables.load(spark, sf_dir, "documents")
         .select(
@@ -97,6 +94,17 @@ def llm_near_dup_pairs(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+    return prefix_filter_pairs(d, tau=0.95)
+
+
+def prefix_filter_pairs(d, tau: float):
+    """Prefix-filtering exact set-similarity self-join (reusable kernel).
+
+    ``d`` must have columns (doc_id, lang, toks) with distinct token
+    arrays and SHOULD be checkpointed/cached by the caller — the frame
+    feeds 4 downstream consumers (freq, prefix, verify ×2). Returns all
+    same-lang pairs with token-set Jaccard ≥ tau as (id1, id2, jaccard).
+    """
     tok = d.select(
         "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("t")
     )

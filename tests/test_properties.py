@@ -85,3 +85,51 @@ def test_semi_anti_partition_customer(spark, sf_dir, how):
         assert semi + anti == c.count()
     else:
         assert anti == c.count() - semi
+
+
+@pytest.mark.parametrize("tau,seed", [(0.95, 1), (0.8, 2), (0.5, 3)])
+def test_prefix_filter_pairs_matches_brute_force(spark, tau, seed):
+    """The prefix-filter kernel's core claim — EXACT results, zero false
+    negatives — verified against a brute-force O(n²) Jaccard on adversarial
+    random corpora: tiny shared vocabularies (hot tokens in every prefix),
+    near-identical doc families straddling the threshold, and multiple
+    langs. Any missed pair is a correctness bug, not a tuning issue."""
+    import itertools
+    import random
+
+    from adlspark.llm.dedup import prefix_filter_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab: hot tokens
+    docs = []
+    doc_id = 0
+    for fam in range(12):  # families of near-identical docs
+        base = rng.sample(vocab, rng.randint(5, 18))
+        lang = rng.choice(["en", "de"])
+        for _ in range(rng.randint(1, 4)):
+            toks = list(base)
+            for _ in range(rng.randint(0, 2)):  # small mutations
+                if rng.random() < 0.5 and len(toks) > 3:
+                    toks.remove(rng.choice(toks))
+                else:
+                    w = rng.choice(vocab)
+                    if w not in toks:
+                        toks.append(w)
+            docs.append((doc_id, lang, sorted(set(toks))))
+            doc_id += 1
+
+    expected = set()
+    for (i1, l1, t1), (i2, l2, t2) in itertools.combinations(docs, 2):
+        if l1 != l2:
+            continue
+        inter = len(set(t1) & set(t2))
+        if inter / (len(t1) + len(t2) - inter) >= tau:
+            expected.add((min(i1, i2), max(i1, i2)))
+
+    d = spark.createDataFrame(
+        docs, "doc_id long, lang string, toks array<string>"
+    ).localCheckpoint(eager=True)
+    got = {
+        (r.id1, r.id2) for r in prefix_filter_pairs(d, tau=tau).collect()
+    }
+    assert got == expected
