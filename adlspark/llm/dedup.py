@@ -450,31 +450,36 @@ def llm_dedup_cluster(spark, sf_dir):
     # propagation needs O(component diameter) rounds — near-dup clusters
     # are near-cliques, so 1-3 in practice). Exiting at the cap with
     # changes still pending would silently mislabel a long-chain
-    # component, so that raises instead.
-    max_rounds, changed = 50, -1
+    # component, so that raises instead. Convergence detection: labels
+    # only ever DECREASE, so the exact (decimal) label total strictly
+    # decreases until fixpoint — one aggregate per round instead of a
+    # full old-vs-new join.
+    max_rounds = 50
+    prev_total = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("t")
+    ).collect()[0].t
+    converged = False
     for _ in range(max_rounds):
         propagated = edges.join(
             labels, edges.src == labels.node
         ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        total = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("t")
+        ).collect()[0].t
+        if total == prev_total:
+            converged = True
             break
-    if changed != 0:
+        prev_total = total
+    if not converged:
         raise RuntimeError(
             f"llm_dedup_cluster: label propagation did not converge in "
-            f"{max_rounds} rounds ({changed} labels still changing)"
+            f"{max_rounds} rounds"
         )
     w = Window.partitionBy("label")
     return labels.select(

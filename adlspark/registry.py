@@ -60,6 +60,12 @@ def _load_all() -> None:
     (the first 50); this round front-loads llm, multimodal, new catalog /
     ingest keys, functions, timeseries, subqueries, setops. Remaining tail
     (sorts, udfs, windows tail, streaming) rotates into round 3's window.
+
+    ROUND-3 TODO: front-load the still-unverified tail — subqueries,
+    setops, sorts, udfs, streaming, windows (for win_first_last /
+    win_nth_value) — plus any key changed or added in round 2 whose
+    CORRECTNESS_r02 verdict is missing; rotate the r2-verified llm/lake/
+    functions/timeseries modules to the back.
     """
     global _LOADED
     if _LOADED:
