@@ -197,3 +197,59 @@ def ts_funnel(spark, sf_dir):
         "first_signup",
         "first_purchase",
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+WITH b AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         count(*) AS n
+  FROM events WHERE user_id < 20
+  GROUP BY user_id, day
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM b GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+)
+SELECT g.user_id, g.day, coalesce(b.n, 0) AS n_events,
+       (b.n IS NULL) AS filled
+FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.day = b.day
+""",
+)
+def ts_gap_fill(spark, sf_dir):
+    """Time-series gap filling: per-user daily counts densified onto a
+    complete day grid between that user's first and last event — missing
+    days appear as explicit zero rows (flagged), which downstream window
+    functions (moving averages, lag deltas) require to be correct. The
+    grid comes from `sequence()` per user (one row per user explodes to
+    its span) — no cross join against a global calendar, so grid size
+    scales with Σ user-spans, and the fill join is a co-partitioned
+    equi join on (user, day). User subset keeps the fixture output
+    reviewable; the plan is unchanged by the filter."""
+    ev = tables.events(spark, sf_dir).where(F.col("user_id") < 20)
+    b = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    return (
+        grid.join(b, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("filled"),
+        )
+    )

@@ -283,3 +283,33 @@ def win_nth_value(spark, sf_dir):
         F.nth_value("c_custkey", 2).over(full).alias("second_richest"),
         F.lag("c_custkey", 1).over(run).alias("prev_in_rank"),
     )
+
+
+@query(
+    "win_cume_pct",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY CAST(floor(c_acctbal / 100) AS BIGINT), c_custkey)
+""",
+)
+def win_cume_pct(spark, sf_dir):
+    """percent_rank + cume_dist over a deterministic total order
+    (floor-bucketed balance, custkey tiebreak — same rounding-mode-free
+    bucketing as win_rank_dense). Both are rank/count ratios of small
+    integers, so round-6 parity is exact."""
+    c = tables.load(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 100).cast("long")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal_bucket", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        "bal_bucket",
+    )
