@@ -157,49 +157,6 @@ def ts_dedup(spark, sf_dir):
 
 
 @query(
-    "ts_funnel",
-    oracle="""
-SELECT user_id,
-       (first_signup IS NOT NULL) AS has_signup,
-       (first_signup IS NOT NULL AND first_purchase IS NOT NULL
-        AND first_purchase > first_signup) AS converted,
-       first_signup, first_purchase
-FROM (
-  SELECT user_id,
-         min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'signup')
-           AS first_signup,
-         min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase')
-           AS first_purchase
-  FROM events GROUP BY user_id
-) t
-""",
-)
-def ts_funnel(spark, sf_dir):
-    """Ordered funnel signup→purchase per user via conditional min-ts —
-    one aggregation pass, no self-join."""
-    ev = tables.events(spark, sf_dir)
-    agg = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
-            "first_signup"
-        ),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "first_purchase"
-        ),
-    )
-    return agg.select(
-        "user_id",
-        F.col("first_signup").isNotNull().alias("has_signup"),
-        (
-            F.col("first_signup").isNotNull()
-            & F.col("first_purchase").isNotNull()
-            & (F.col("first_purchase") > F.col("first_signup"))
-        ).alias("converted"),
-        "first_signup",
-        "first_purchase",
-    )
-
-
-@query(
     "ts_gap_fill",
     oracle="""
 WITH b AS (
@@ -252,4 +209,47 @@ def ts_gap_fill(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
             F.col("n").isNull().alias("filled"),
         )
+    )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+SELECT user_id,
+       (first_signup IS NOT NULL) AS has_signup,
+       (first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_signup) AS converted,
+       first_signup, first_purchase
+FROM (
+  SELECT user_id,
+         min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'signup')
+           AS first_signup,
+         min(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase')
+           AS first_purchase
+  FROM events GROUP BY user_id
+) t
+""",
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel signup→purchase per user via conditional min-ts —
+    one aggregation pass, no self-join."""
+    ev = tables.events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return agg.select(
+        "user_id",
+        F.col("first_signup").isNotNull().alias("has_signup"),
+        (
+            F.col("first_signup").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        ).alias("converted"),
+        "first_signup",
+        "first_purchase",
     )
