@@ -390,3 +390,74 @@ def llm_corpus_filter_pipeline(spark, sf_dir):
             ).alias("kept_ratio"),
         )
     )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 id ' || CAST(1000000 + doc_id AS VARCHAR) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+         AS n_emails,
+       len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+         AS n_ips,
+       len(regexp_extract_all(raw, '\b\d{7,}\b')) AS n_long_ids,
+       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{7,}\b', '<ID>', 'g')) AS scrubbed_md5
+FROM aug
+""",
+)
+def llm_pii_scrub(spark, sf_dir):
+    r"""PII scrubbing — the redaction pass every training corpus gets
+    before the tokenizer: emails, IPv4 addresses and long numeric ids are
+    counted and replaced with typed placeholder tokens. The fixture text
+    is synthetic (PII-free), so deterministic PII is INJECTED per doc
+    (email/IP/id derived from doc_id) and the scrub must find exactly
+    those; the output carries match counts plus the md5 of the scrubbed
+    text so the oracle value-checks the rewritten string itself. One
+    narrow projection — regex runs inside whole-stage codegen, no
+    shuffle, linear at any scale."""
+    d = tables.load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 id "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    id_re = r"\b\d{7,}\b"
+    aug = d.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email_re, "<EMAIL>"),
+            ip_re,
+            "<IP>",
+        ),
+        id_re,
+        "<ID>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(raw, '{email_re}', 0)"))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.expr(rf"regexp_extract_all(raw, '{ip_re}', 0)".replace("\\", "\\\\")))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.expr(rf"regexp_extract_all(raw, '{id_re}', 0)".replace("\\", "\\\\")))
+        .cast("long")
+        .alias("n_long_ids"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
