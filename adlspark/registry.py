@@ -35,14 +35,79 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
+# Keys the external harness must judge THIS round, most-urgent first.
+# The driver verifies the first ~50 keys of queries(); everything here has
+# either (a) a round-1 failure fixed since its last verdict, (b) code or
+# output schema changed after its last green verdict, or (c) no driver
+# verdict at all yet. Keys absent from this list keep their r1/r2 verdicts
+# because their code is unchanged; they rotate to the back of the queue.
+_ROUND3_FRONT = [
+    # (a) failed r1, rewritten in r2, green locally — need external re-judge
+    "agg_stats",
+    "agg_collect_sorted",
+    "win_rank_dense",
+    # (b) changed after last verdict: catalog hashing distributed (r3),
+    # search_tokens tokenization fixed (r3), output schema changed in r2
+    "catalog_entries",
+    "catalog_persistent",
+    "catalog_search_tokens",
+    # (b) changed in r3: pii email-regex escaping, ngram df cap,
+    # env-derived block count (shared kernel with embed_near_dup)
+    "llm_pii_scrub",
+    "llm_ngram_jaccard",
+    "llm_sim_threshold_join",
+    "llm_embed_near_dup",
+    # (c) never in any driver window
+    "subq_scalar",
+    "subq_in",
+    "subq_exists_corr",
+    "subq_lateral",
+    "subq_not_in_null",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    "sort_multi",
+    "limit_topk",
+    "win_first_last",
+    "win_nth_value",
+    "win_cume_pct",
+    "ts_gap_fill",
+    "ts_funnel",
+    "udf_python",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_grouped_map",
+    "udf_map_in_pandas",
+    "udtf_python",
+    "stream_tumbling_watermark",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "stream_stateful_count",
+    "stream_foreach_batch_upsert",
+    "stream_transform_with_state",
+    "stream_stream_join",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    """Front-load _ROUND3_FRONT (in list order), then registration order."""
+    front = {k: mapping[k] for k in _ROUND3_FRONT if k in mapping}
+    rest = {k: v for k, v in mapping.items() if k not in front}
+    return {**front, **rest}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False
@@ -56,16 +121,12 @@ def _load_all() -> None:
     keys that still lack a driver verdict register FIRST and keys that went
     green in a previous round rotate to the back of the queue.
 
-    Round-2 rotation: round 1 verified scans/filters/joins/aggs/windows
-    (the first 50); this round front-loads llm, multimodal, new catalog /
-    ingest keys, functions, timeseries, subqueries, setops. Remaining tail
-    (sorts, udfs, windows tail, streaming) rotates into round 3's window.
-
-    ROUND-3 TODO: front-load the still-unverified tail — subqueries,
-    setops, sorts, udfs, streaming, windows (for win_first_last /
-    win_nth_value) — plus any key changed or added in round 2 whose
-    CORRECTNESS_r02 verdict is missing; rotate the r2-verified llm/lake/
-    functions/timeseries modules to the back.
+    Round-1 window verified scans/filters/joins/aggs/windows; round 2
+    front-loaded llm/multimodal/catalog/functions/timeseries. Round 3's
+    window is now driven by the explicit ``_ROUND3_FRONT`` list above
+    (fixed-unverified keys, keys changed since their last verdict, and the
+    32 never-windowed keys), applied in ``_ordered`` — module import order
+    below only decides the tail.
     """
     global _LOADED
     if _LOADED:
