@@ -16,7 +16,6 @@ Delta/Iceberg would slot in here unchanged when jars are available.
 from __future__ import annotations
 
 import datetime
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,27 +30,113 @@ CATALOG_SCHEMA = (
 )
 
 
-def file_metadata(path: str) -> tuple[int, str]:
-    """(total bytes, md5-of-content) for a data file or a directory of
-    part files (hashed in sorted-path order — deterministic for a given
-    staged layout; underscore/dot bookkeeping files excluded)."""
-    if os.path.isdir(path):
-        paths = sorted(
-            os.path.join(r, f)
-            for r, _d, fs in os.walk(path)
-            for f in fs
-            if not f.startswith(("_", "."))
+_FILES_META_CACHE: dict[tuple, dict[str, tuple[int, str]]] = {}
+
+
+def _stat_signature(abs_roots: list[str]) -> tuple | None:
+    """(path, size, mtime_ns) listing for every data file under the local
+    roots — metadata-only (no byte reads; the same listing any file-level
+    catalog performs). None when a root isn't a local path, which
+    disables memoization rather than guessing about remote stores."""
+    sig = []
+    for r in abs_roots:
+        if os.path.isdir(r):
+            for rr, _d, fs in os.walk(r):
+                for f in sorted(fs):
+                    if f.startswith(("_", ".")):
+                        continue
+                    p = os.path.join(rr, f)
+                    st = os.stat(p)
+                    sig.append((p, st.st_size, st.st_mtime_ns))
+        elif os.path.isfile(r):
+            st = os.stat(r)
+            sig.append((r, st.st_size, st.st_mtime_ns))
+        else:
+            return None
+    return tuple(sig)
+
+
+def files_metadata(spark: SparkSession, roots: list[str]) -> dict[str, tuple[int, str]]:
+    """(total bytes, content digest) per staged root, computed WHERE THE
+    BYTES LIVE: one ``binaryFile`` scan over all roots with per-file md5
+    evaluated on executors, then a tiny per-root aggregate. The driver
+    never reads data bytes — at a 100 TB lake the old driver-side hash
+    loop would have the driver stream the entire lake through one core;
+    here hashing scales with the cluster and only the O(#roots) summary
+    is collected.
+
+    Digest definition: a single-file root keeps the plain md5 of its
+    bytes (what any external client computes for that file); a directory
+    root gets an order-canonical composite — md5 over the sorted
+    ``relative_path:file_md5`` lines — because md5 of a concatenated
+    multi-file stream is inherently sequential (same shape as S3
+    multipart ETags). Underscore/dot bookkeeping files are excluded.
+    binaryFile materializes one row per file, so this assumes sanely
+    sized part files (the ~128 MB staged layout), not single monoliths.
+    """
+    abs_roots = {os.path.abspath(r): r for r in roots}
+    # Memoize on the stat listing: repeated catalog builds over an
+    # unchanged staged layout (the common case — several catalog queries
+    # in one session) reuse the digests instead of re-hashing the lake.
+    # Any size/mtime change invalidates the key. Cleared at 64 entries —
+    # each value is a tiny {root: (int, str)} dict.
+    sig = _stat_signature(sorted(abs_roots))
+    cache_key = (tuple(sorted(abs_roots)), sig) if sig is not None else None
+    if cache_key is not None and cache_key in _FILES_META_CACHE:
+        return dict(_FILES_META_CACHE[cache_key])
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(sorted(abs_roots))
+    )
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    # Hadoop reports URIs (file:/...); strip the scheme to match os paths.
+    local = F.regexp_replace(F.col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    root_expr = F.lit(None).cast("string")
+    for ar in sorted(abs_roots, reverse=True):  # longest prefix wins
+        root_expr = F.when(
+            (local == ar) | local.startswith(ar + "/"), F.lit(ar)
+        ).otherwise(root_expr)
+    per_file = df.where(~fname.startswith("_") & ~fname.startswith(".")).select(
+        root_expr.alias("root"),
+        local.alias("local"),
+        F.col("length").alias("size"),
+        F.md5(F.col("content")).alias("file_md5"),
+    )
+    # rel = path inside the root ('' when the root IS the file)
+    per_file = per_file.withColumn(
+        "rel", F.expr("substring(local, length(root) + 2)")
+    )
+    per_root = (
+        per_file.groupBy("root")
+        .agg(
+            F.sum("size").alias("bytes"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.max(F.when(F.col("rel") == "", F.col("file_md5"))).alias("single_md5"),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.array_sort(
+                        F.collect_list(F.concat_ws(":", "rel", "file_md5"))
+                    ),
+                ).cast("binary")
+            ).alias("composite_md5"),
         )
-    else:
-        paths = [path]
-    size = 0
-    digest = hashlib.md5()
-    for p in paths:
-        size += os.path.getsize(p)
-        with open(p, "rb") as fh:
-            for chunk in iter(lambda: fh.read(1 << 20), b""):
-                digest.update(chunk)
-    return size, digest.hexdigest()
+        .select(
+            "root",
+            "bytes",
+            F.coalesce(
+                F.when(F.col("n_files") == 1, F.col("single_md5")),
+                F.col("composite_md5"),
+            ).alias("digest"),
+        )
+    )
+    result = {r["root"]: (r["bytes"], r["digest"]) for r in per_root.collect()}
+    if cache_key is not None:
+        if len(_FILES_META_CACHE) >= 64:
+            _FILES_META_CACHE.clear()
+        _FILES_META_CACHE[cache_key] = dict(result)
+    return result
 
 
 def schema_sig(df: DataFrame) -> str:
@@ -90,9 +175,16 @@ def entry_for(
     seq: int,
     status: str = "STAGED",
     at: datetime.datetime | None = None,
+    size_digest: tuple[int, str] | None = None,
 ) -> tuple:
-    """One catalog row for a staged file/dir, with real fs metadata."""
-    size, digest = file_metadata(path)
+    """One catalog row for a staged file/dir, with real fs metadata.
+    ``size_digest`` carries precomputed (bytes, digest) from a batched
+    ``files_metadata`` call; omitted, a single-root distributed hash job
+    runs (the driver never reads data bytes either way — only parquet
+    footers for the row count)."""
+    if size_digest is None:
+        size_digest = files_metadata(df.sparkSession, [path])[os.path.abspath(path)]
+    size, digest = size_digest
     n_rows = parquet_num_rows(path)
     if n_rows is None:
         n_rows = df.count()
@@ -114,14 +206,39 @@ def entry_for(
 def build_catalog(
     spark: SparkSession, sf_dir: str, batch_id: str, seq: int = 0
 ) -> DataFrame:
-    """One catalog entry per fixture table (file-level metadata)."""
+    """One catalog entry per fixture table (file-level metadata). All
+    tables' content hashes come from ONE distributed binaryFile job;
+    driver-side work is parquet-footer row counts and the 10-row
+    assembly."""
+    paths = {t: os.path.join(sf_dir, f"{t}.parquet") for t in tables.TABLES}
+    meta = files_metadata(spark, list(paths.values()))
     entries = []
-    for t in tables.TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
+    for t, path in paths.items():
         entries.append(
-            entry_for(tables.load(spark, sf_dir, t), t, path, batch_id, seq)
+            entry_for(
+                tables.load(spark, sf_dir, t),
+                t,
+                path,
+                batch_id,
+                seq,
+                size_digest=meta[os.path.abspath(path)],
+            )
         )
-    return spark.createDataFrame(entries, CATALOG_SCHEMA)
+    return entries_df(spark, entries)
+
+
+def entries_df(spark: SparkSession, entries: list[tuple]) -> DataFrame:
+    """Catalog rows → DataFrame via pandas/Arrow, NOT a plain Python list:
+    ``createDataFrame(list)`` parallelizes into a pickled Python RDD whose
+    every downstream evaluation round-trips a Python worker per partition
+    (a coalesced write of an 11-way union paid 350+ sequential worker
+    calls — 50 s for 110 rows). The Arrow path hands the JVM a local
+    batch; all later plan evaluation stays JVM-side."""
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in CATALOG_SCHEMA.split(",")]
+    pdf = pd.DataFrame(entries, columns=cols)
+    return spark.createDataFrame(pdf, CATALOG_SCHEMA)
 
 
 def search(catalog: DataFrame, pattern: str) -> DataFrame:
@@ -143,13 +260,26 @@ def search_tokens(catalog: DataFrame, terms: list[str]) -> DataFrame:
     a broadcast — no full-text infrastructure needed.
     """
     spark = catalog.sparkSession
+    # Strip types from schema_sig to leave only column names. A plain
+    # ':[^,]*' strip breaks on comma-containing simpleStrings
+    # (map<string,string>, struct<...>): the comma inside the generic ends
+    # the match early and leaks type fragments like 'string>' into the
+    # token index. Peel angle-bracket content first — innermost-out, one
+    # nesting level per pass (8 passes covers any practical schema depth;
+    # deeper types degrade to extra tokens, never to missed column names)
+    # — after which every remaining ':type' runs comma-free to the next
+    # top-level comma.
+    names = F.col("schema_sig")
+    for _ in range(8):
+        names = F.regexp_replace(names, "<[^<>]*>", "")
+    names = F.regexp_replace(names, ":[^,]*", " ")
     text = F.lower(
         F.concat_ws(
             " ",
             F.col("table_name"),
             F.element_at(F.split(F.col("path"), "/"), -1),
             F.col("status"),
-            F.regexp_replace(F.col("schema_sig"), ":[^,]*", " "),
+            names,
         )
     )
     tok = catalog.select(
@@ -176,8 +306,11 @@ def append_entries(catalog_df: DataFrame, catalog_dir: str) -> None:
     """Append-only catalog persistence (the DynamoDB-put analogue). A
     Delta/Iceberg table would slot in here unchanged — the interface is
     (append batch, read latest-state); plain parquet append is the
-    no-extra-jars v1 per SURVEY §4."""
-    catalog_df.write.mode("append").parquet(catalog_dir)
+    no-extra-jars v1 per SURVEY §4. Catalog batches are metadata-sized
+    (one row per staged table/batch), so each append is coalesced to a
+    single file — a 10-row batch sharded across every shuffle partition
+    just multiplies log files and read-side listing cost."""
+    catalog_df.coalesce(1).write.mode("append").parquet(catalog_dir)
 
 
 def latest_state(spark: SparkSession, catalog_dir: str) -> DataFrame:

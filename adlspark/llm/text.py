@@ -448,15 +448,19 @@ def llm_pii_scrub(spark, sf_dir):
         id_re,
         "<ID>",
     )
+    # Counts use the native Column API (not F.expr) so the Python regex
+    # strings reach the engine verbatim — an F.expr SQL literal collapses
+    # '\.' to '.' unless backslash-doubled, which silently changed the
+    # email pattern vs the scrub expression and the oracle.
     return aug.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(raw, '{email_re}', 0)"))
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(email_re), 0))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.expr(rf"regexp_extract_all(raw, '{ip_re}', 0)".replace("\\", "\\\\")))
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(ip_re), 0))
         .cast("long")
         .alias("n_ips"),
-        F.size(F.expr(rf"regexp_extract_all(raw, '{id_re}', 0)".replace("\\", "\\\\")))
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(id_re), 0))
         .cast("long")
         .alias("n_long_ids"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),

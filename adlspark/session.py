@@ -54,24 +54,39 @@ def _ship_package(spark: SparkSession) -> None:
         for f in fs
         if f.endswith(".py")
     )
-    # Content-hash-named zip in a per-user path: never trusts an existing
-    # file it didn't fully verify (a predictable world-writable path +
-    # mtime check would let another local user plant code that gets
-    # shipped to executors), and concurrent sessions build to a private
-    # temp name then os.replace (atomic) — no torn archives.
+    # Content-hash-named zip under a per-user 0700 directory whose
+    # ownership and mode are verified before any reuse: a name-only check
+    # in the shared world-writable tmp dir would let another local user
+    # pre-plant the predictable path and have their code shipped to
+    # executors via addPyFile. Reuse is safe only because the parent dir
+    # is provably ours and not writable by anyone else; if the dir fails
+    # that check we fall back to a fresh private mkdtemp. Concurrent
+    # sessions build to a private temp name then os.replace (atomic) —
+    # no torn archives.
+    import stat
+
     digest = hashlib.sha256()
     for src in sources:
         digest.update(os.path.relpath(src, pkg_dir).encode())
         with open(src, "rb") as fh:
             digest.update(fh.read())
     uid = os.getuid() if hasattr(os, "getuid") else 0
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"adlspark_pkg_{uid}_{digest.hexdigest()[:16]}.zip"
-    )
-    if not os.path.exists(zip_path):
-        fd, tmp_path = tempfile.mkstemp(
-            suffix=".zip", prefix="adlspark_pkg_", dir=tempfile.gettempdir()
+    base = os.path.join(tempfile.gettempdir(), f"adlspark_pkg_{uid}")
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.lstat(base)
+        trusted = (
+            stat.S_ISDIR(st.st_mode)
+            and st.st_uid == uid
+            and not (st.st_mode & 0o077)
         )
+    except OSError:
+        trusted = False
+    if not trusted:
+        base = tempfile.mkdtemp(prefix=f"adlspark_pkg_{uid}_")
+    zip_path = os.path.join(base, f"{digest.hexdigest()[:16]}.zip")
+    if not os.path.exists(zip_path):
+        fd, tmp_path = tempfile.mkstemp(suffix=".zip", prefix="build_", dir=base)
         os.close(fd)
         with zipfile.ZipFile(tmp_path, "w") as zf:
             for full in sources:

@@ -120,6 +120,24 @@ def test_kernels_have_no_driver_collect():
         assert ".toPandas()" not in src and ".collect()" not in src
 
 
+def test_catalog_never_reads_bytes_on_driver():
+    """Catalog content hashing must stay distributed: the module may stat
+    files and read parquet FOOTERS on the driver (metadata-scale), but
+    never open data files for their bytes — at a 100 TB lake a driver-side
+    hash loop streams the whole lake through one core (the round-2 scale
+    defect). ``open(`` is allowed only inside parquet_num_rows' pyarrow
+    footer path, which reads metadata, not content."""
+    import inspect
+
+    from adlspark import catalog
+
+    src = inspect.getsource(catalog)
+    assert "hashlib" not in src, "driver-side hashing reintroduced"
+    assert "open(" not in src, "driver-side file read reintroduced"
+    # the distributed path is the only hash source
+    assert 'format("binaryFile")' in src
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     """With broadcast disabled, the bucketed-by-key join must be a
     SortMergeJoin with NO Exchange on either input — the co-located-join
