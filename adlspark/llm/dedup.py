@@ -121,10 +121,23 @@ def prefix_filter_pairs(d, tau: float):
             ),
         )
         .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "lang", "sz", "t")
+        .select("doc_id", "lang", "sz", "t", "rn")
         .localCheckpoint(eager=True)  # consumed twice by the self-join
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Positional filter (PPJoin): tokens are ranked by the SAME global
+    # order in every doc, so for a match at ranks (i, j) every shared
+    # token ranks ≥ i in A and ≥ j in B, giving the overlap upper bound
+    # 1 + min(|A|-i, |B|-j). J ≥ τ needs overlap ≥ τ/(1+τ)·(|A|+|B|);
+    # rows whose bound can't reach it are dropped. Safe: a qualifying
+    # pair's EARLIEST shared prefix token carries the loosest bound and
+    # always passes, and one surviving row is enough (distinct below).
+    # On low-τ joins over repetitive corpora this is the difference
+    # between verifying every co-bucketed pair and verifying only
+    # plausible ones.
+    overlap_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
     cand = (
         a.join(
             b,
@@ -134,6 +147,10 @@ def prefix_filter_pairs(d, tau: float):
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.lit(tau) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (
+                overlap_bound
+                >= F.lit(tau / (1.0 + tau)) * (F.col("a.sz") + F.col("b.sz"))
             ),
         )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
@@ -347,51 +364,36 @@ WHERE CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common) >= 0.30
 """,
 )
 def llm_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram (word-shingle) Jaccard pairs via an inverted index.
+    """Exact 3-gram (word-shingle) Jaccard pairs ≥ 0.30 via the shared
+    prefix-filter kernel (PPJoin family) — candidates from an inverted
+    index over each doc's RAREST shingles only, then exact verification
+    on the full shingle arrays.
 
-    Unlike unigram token sets, shingles are near-unique per document, so
-    the classic inverted-index plan IS the scalable exact algorithm:
-    explode to (shingle, doc), self-join on the shingle (buckets are tiny
-    because shingles rarely repeat across non-duplicates), count common
-    shingles per pair, then one arithmetic Jaccard — no per-pair array
-    intersection and no quadratic block. Shuffle volume scales with
-    shingle multiplicity (≈ true-duplicate density), not corpus².
+    Why not the plain inverted-index self-join (the round-2 design):
+    counting common shingles through the index requires EVERY shared
+    shingle occurrence as a join row, so one boilerplate shingle shared
+    by k documents forces a k²-row bucket with no way to prune it — the
+    hot-shingle scale hole. Here the index holds only each doc's prefix
+    under the global (df ASC, shingle) order: a corpus-hot shingle sits
+    at the tail of that order and drops out of every doc's prefix, so it
+    generates NO candidate bucket at all, while the PPJoin prefix theorem
+    (+ size filter) still guarantees every true τ=0.30 pair shares a
+    prefix shingle — zero false negatives, and the per-candidate
+    array_intersect verify recovers the exact Jaccard the oracle checks.
     """
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.expr(
-            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
-        ).alias("shingles"),
-    )
-    tok = d.select(
-        "doc_id", "lang", F.size("shingles").alias("sz"),
-        F.explode("shingles").alias("s"),
-    )
-    a, b = tok.alias("a"), tok.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+            ).alias("toks"),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            F.col("a.sz").alias("sz1"),
-            F.col("b.sz").alias("sz2"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .localCheckpoint(eager=True)  # feeds freq, prefix, verify ×2
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("sz1") + F.col("sz2") - F.col("n_common")
-    )
-    return (
-        common.where(jac >= 0.30)
-        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
-    )
+    return prefix_filter_pairs(d, tau=0.30)
 
 
 @query(

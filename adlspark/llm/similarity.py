@@ -94,10 +94,25 @@ def llm_sim_threshold_join(spark, sf_dir):
     sequential, but products are exact (float32 pairs in double) and
     τ/round-4 sit ≫ the ~1e-15 drift (fixtures measured clear of both
     boundaries)."""
+    import math
+    import os
+
     import numpy as np
     import pandas as pd
 
-    n_blocks = 8
+    # Block count scales with the CLUSTER, not the data: B(B+1)/2 block-
+    # pair groups should cover the available parallelism, so B ≈
+    # ceil(sqrt(2·defaultParallelism)), floored at 8 so toy sessions still
+    # exercise the multi-block path. Result is identical for any B (block
+    # assignment only partitions the pair space); ADLSPARK_SIM_BLOCKS
+    # overrides for tuning memory per group (each group holds 2·N/B
+    # vectors).
+    env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
+    n_blocks = (
+        int(env_blocks)
+        if env_blocks
+        else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
+    )
     e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     eb = e.withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
