@@ -465,3 +465,96 @@ def llm_pii_scrub(spark, sf_dir):
         .alias("n_long_ids"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "llm_doc_chunk",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), starts AS (
+  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+  FROM d
+)
+SELECT doc_id,
+       s / 24 AS chunk_id,
+       array_to_string(list_slice(w, s + 1, least(s + 32, len(w))), ' ')
+         AS chunk_text,
+       least(s + 32, len(w)) - s AS n_tokens
+FROM starts
+""",
+)
+def llm_doc_chunk(spark, sf_dir):
+    """Fixed-size overlapping token chunking — the step every training
+    pipeline runs between cleaning and tokenization: each document is cut
+    into 32-token windows advancing by a 24-token stride (8-token
+    overlap so no boundary context is lost); the final chunk may be
+    short. One narrow projection + posexplode: chunk starts come from a
+    per-row ``sequence`` (no join, no shuffle), so the operator is linear
+    in token volume and embarrassingly parallel at any corpus size —
+    output rows ≈ docs × (tokens/stride)."""
+    chunk, stride = 32, 24
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    starts = d.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.size("w") - F.lit(1), F.lit(stride))
+        ).alias("s"),
+    )
+    piece = F.slice(F.col("w"), F.col("s") + F.lit(1), F.lit(chunk))
+    return starts.select(
+        "doc_id",
+        (F.col("s") / stride).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+), total AS (
+  SELECT sum(cnt) AS t FROM freq
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       round(avg(ln(CAST(freq.cnt AS DOUBLE) / total.t)), 6) AS avg_logprob
+FROM tok JOIN freq USING (w) CROSS JOIN total
+GROUP BY tok.doc_id
+""",
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score: each document's mean token
+    log-probability under the corpus unigram distribution — the cheapest
+    useful LM-based quality filter (garbage and boilerplate both score
+    far from the corpus mean; real pipelines threshold on it before
+    paying for a neural scorer).
+
+    Shape at scale: one explode, one token-keyed count aggregate (map-
+    side combinable), one token-keyed join back (token frequency tables
+    are vocabulary-sized — broadcastable for real corpora), one doc-keyed
+    average. The corpus total rides a 1-row broadcast cross join, never a
+    driver collect."""
+    tok = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("t"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("t"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

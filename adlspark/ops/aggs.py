@@ -400,3 +400,43 @@ def agg_unpivot(spark, sf_dir):
         "measure",
         "val",
     )
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT bucket,
+       bucket * 50000.0 AS bucket_lo,
+       count(*) AS n,
+       {o_dsum('o_totalprice')} AS sum_price
+FROM b GROUP BY bucket
+""",
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals (50k-wide buckets): the
+    bucket id is a pure projection (floor-divide — no width_bucket
+    dependency, identical arithmetic in both engines), so the histogram
+    is ONE map-side-combinable aggregate whose shuffle carries one row
+    per (partition, bucket) — the profile/data-exploration primitive at
+    any scale."""
+    o = tables.load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n",
+            "sum_price",
+        )
+    )

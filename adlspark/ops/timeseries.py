@@ -160,7 +160,7 @@ def ts_dedup(spark, sf_dir):
     "ts_gap_fill",
     oracle="""
 WITH b AS (
-  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
          count(*) AS n
   FROM events WHERE user_id < 20
   GROUP BY user_id, day
@@ -252,4 +252,65 @@ def ts_funnel(spark, sf_dir):
         ).alias("converted"),
         "first_signup",
         "first_purchase",
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         ts, event_id, value
+  FROM events
+), r AS (
+  SELECT user_id, day, value,
+         row_number() OVER (PARTITION BY user_id, day
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT user_id, day,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+       count(*) AS n
+FROM r GROUP BY user_id, day
+""",
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Daily OHLC resample per user: open/close are the first/last value
+    by (ts, event_id) — the event_id tiebreak makes the answer
+    deterministic even under equal timestamps — high/low/n are plain
+    aggregates. Both row_numbers share the (user, day) partitioning, so
+    the exchange is paid once (the opposite sort order adds a sort, not
+    a shuffle), then a map-side-combinable aggregate; this is the
+    downsample-to-bars shape every metrics store runs at scale."""
+    ev = tables.events(spark, sf_dir)
+    e = ev.select(
+        "user_id",
+        F.to_date(F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id", "day")
+    r = e.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number()
+        .over(w.orderBy("ts", "event_id"))
+        .alias("rn_a"),
+        F.row_number()
+        .over(w.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_d"),
+    )
+    return r.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
+        F.count(F.lit(1)).alias("n"),
     )

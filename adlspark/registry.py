@@ -51,12 +51,21 @@ _ROUND3_FRONT = [
     "catalog_entries",
     "catalog_persistent",
     "catalog_search_tokens",
-    # (b) changed in r3: pii email-regex escaping, ngram df cap,
-    # env-derived block count (shared kernel with embed_near_dup)
+    # (b) changed in r3: pii email-regex escaping, prefix-filter kernel
+    # gained the positional filter (near_dup_pairs + ngram_jaccard +
+    # dedup_cluster share it), env-derived block count (threshold_join +
+    # embed_near_dup share the block-matmul)
     "llm_pii_scrub",
     "llm_ngram_jaccard",
+    "llm_near_dup_pairs",
+    "llm_dedup_cluster",
     "llm_sim_threshold_join",
     "llm_embed_near_dup",
+    # (d) NEW in round 3 — first driver verdict this round
+    "llm_doc_chunk",
+    "llm_unigram_logprob",
+    "agg_histogram",
+    "ts_resample_ohlc",
     # (c) never in any driver window
     "subq_scalar",
     "subq_in",
