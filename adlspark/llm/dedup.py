@@ -87,12 +87,8 @@ def llm_near_dup_pairs(spark, sf_dir):
     probabilistic false-negative flake against the oracle (property-
     tested vs brute force in tests/test_properties.py).
     """
-    d = (
-        tables.load(spark, sf_dir, "documents")
-        .select(
-            "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
-        )
-        .localCheckpoint(eager=True)
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     return prefix_filter_pairs(d, tau=0.95)
 
@@ -101,11 +97,33 @@ def prefix_filter_pairs(d, tau: float):
     """Prefix-filtering exact set-similarity self-join (reusable kernel).
 
     ``d`` must have columns (doc_id, lang, toks) with distinct token
-    arrays and SHOULD be checkpointed/cached by the caller — the frame
-    feeds 4 downstream consumers (freq, prefix, verify ×2). Returns all
-    same-lang pairs with token-set Jaccard ≥ tau as (id1, id2, jaccard).
+    arrays. Returns all same-lang pairs with token-set Jaccard ≥ tau as
+    (id1, id2, jaccard).
+
+    Stage 0 collapses IDENTICAL token sets first: all the join/verify
+    math runs once per unique (lang, sorted token set); member pairs are
+    expanded afterwards (within a group every pair is exactly J=1.0; a
+    cross-group pair inherits its representatives' Jaccard verbatim, so
+    the output is bit-identical to the uncollapsed join). On dup-dense
+    corpora — the case near-dup detection exists for — this turns k
+    exact copies from k² join work into 1 representative plus pure
+    output expansion; on a dup-free corpus it costs one extra hash
+    aggregate. Empty token sets are excluded from the J=1.0 expansion
+    (0/0 is NaN — not a pair — in the direct computation too).
     """
-    tok = d.select(
+    # 0. one representative per unique (lang, token set)
+    g = (
+        d.groupBy("lang", F.array_sort("toks").alias("_skey"))
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+            F.first("toks").alias("toks"),
+        )
+        .drop("_skey")
+        .localCheckpoint(eager=True)  # feeds freq, prefix, verify ×2, expand ×3
+    )
+    reps = g.select(F.col("gid").alias("doc_id"), "lang", "toks")
+    tok = reps.select(
         "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("t")
     )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -157,16 +175,39 @@ def prefix_filter_pairs(d, tau: float):
         .distinct()
     )
     verify = cand.join(
-        d.select(F.col("doc_id").alias("id1"), F.col("toks").alias("toks1")), "id1"
+        g.select(F.col("gid").alias("id1"), F.col("toks").alias("toks1")), "id1"
     ).join(
-        d.select(F.col("doc_id").alias("id2"), F.col("toks").alias("toks2")), "id2"
+        g.select(F.col("gid").alias("id2"), F.col("toks").alias("toks2")), "id2"
     )
     inter = F.size(F.array_intersect("toks1", "toks2")).cast("double")
     jac = inter / (F.size("toks1") + F.size("toks2") - inter)
-    return (
-        verify.where(jac >= tau)
-        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    rep_pairs = verify.where(jac >= tau).select(
+        "id1", "id2", F.round(jac, 6).alias("jaccard")
     )
+    # expansion: representative pairs → member pairs (pure output work)
+    m1 = g.select(F.col("gid").alias("id1"), F.explode("members").alias("m1"))
+    m2 = g.select(F.col("gid").alias("id2"), F.explode("members").alias("m2"))
+    cross = (
+        rep_pairs.join(m1, "id1")
+        .join(m2, "id2")
+        .select(
+            F.least("m1", "m2").alias("id1"),
+            F.greatest("m1", "m2").alias("id2"),
+            "jaccard",
+        )
+    )
+    within = (
+        g.where((F.size("members") >= 2) & (F.size("toks") > 0))
+        .select(F.col("members"), F.explode("members").alias("m1"))
+        .select("m1", F.explode("members").alias("m2"))
+        .where(F.col("m1") < F.col("m2"))
+        .select(
+            F.col("m1").alias("id1"),
+            F.col("m2").alias("id2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @query("llm_dedup_minhash")  # rows-only: hash internals are engine-specific
@@ -381,17 +422,13 @@ def llm_ngram_jaccard(spark, sf_dir):
     prefix shingle — zero false negatives, and the per-candidate
     array_intersect verify recovers the exact Jaccard the oracle checks.
     """
-    d = (
-        tables.load(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
-            ).alias("toks"),
-        )
-        .localCheckpoint(eager=True)  # feeds freq, prefix, verify ×2
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+        ).alias("toks"),
     )
     return prefix_filter_pairs(d, tau=0.30)
 
