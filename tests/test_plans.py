@@ -151,3 +151,39 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         assert p.count(") Exchange") == 1  # only the groupBy aggregate
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_doc_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is a narrow map: split + sequence + explode must compile
+    to a single stage — any Exchange means a 100 TB corpus pays a
+    pointless shuffle on its hottest-volume operator."""
+    p = plan_of(spark, sf_dir, "llm_doc_chunk")
+    assert "Exchange" not in p
+    assert ") Generate" in p  # the explode node, inside the codegen stage
+
+
+def test_histogram_single_aggregate_exchange(spark, sf_dir):
+    """The histogram is one partial+final hash aggregate: exactly one
+    Exchange (on the bucket key), with partial_count/partial_sum on the
+    map side so the shuffle carries one row per (partition, bucket)."""
+    p = plan_of(spark, sf_dir, "agg_histogram")
+    assert p.count(") Exchange") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_ohlc_one_exchange_for_both_sorts(spark, sf_dir):
+    """Both OHLC row_numbers share the (user, day) partitioning: the
+    opposite sort order must add a Sort, never a second shuffle. The
+    final aggregate rides the same partitioning (its keys are a superset),
+    so the whole plan has exactly one Exchange."""
+    p = plan_of(spark, sf_dir, "ts_resample_ohlc")
+    assert p.count(") Exchange") == 1
+    assert p.count(") Window") == 2
+
+
+def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
+    """The corpus token total must reach the per-token rows via a
+    broadcast of the 1-row aggregate — a non-broadcast cross join here
+    would shuffle the whole token table against a scalar."""
+    p = plan_of(spark, sf_dir, "llm_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
