@@ -32,7 +32,10 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
-DST = os.environ.get("STRESS_DST", "/tmp/sfx10skew")
+# STRESS_PLAIN=1 skips both skew injections (plain 10x key-shifted union —
+# the BASELINE.md first stress table's dataset shape)
+PLAIN = os.environ.get("STRESS_PLAIN", "") == "1"
+DST = os.environ.get("STRESS_DST", "/tmp/sfx10plain" if PLAIN else "/tmp/sfx10skew")
 COPIES = 10
 HOT_USER = 7
 HOT_LANG = "en"
@@ -90,24 +93,26 @@ def build(spark):
 
     # events: 10x, then ~20% of rows remapped to the hot user
     ev = shifted_union("events", ["event_id"])
-    ev = ev.withColumn(
-        "user_id",
-        F.when(F.col("event_id") % 5 == 0, F.lit(HOT_USER)).otherwise(
-            F.col("user_id")
-        ),
-    )
+    if not PLAIN:
+        ev = ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 5 == 0, F.lit(HOT_USER)).otherwise(
+                F.col("user_id")
+            ),
+        )
     ev.repartition(32).write.mode("overwrite").parquet(
         os.path.join(DST, "events.parquet")
     )
 
     # documents: 10x, ~90% of docs forced into one lang
     docs = shifted_union("documents", ["doc_id"])
-    docs = docs.withColumn(
-        "lang",
-        F.when(F.col("doc_id") % 10 != 0, F.lit(HOT_LANG)).otherwise(
-            F.col("lang")
-        ),
-    )
+    if not PLAIN:
+        docs = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 10 != 0, F.lit(HOT_LANG)).otherwise(
+                F.col("lang")
+            ),
+        )
     docs.repartition(32).write.mode("overwrite").parquet(
         os.path.join(DST, "documents.parquet")
     )
