@@ -93,12 +93,16 @@ def llm_near_dup_pairs(spark, sf_dir):
     return prefix_filter_pairs(d, tau=0.95)
 
 
-def prefix_filter_pairs(d, tau: float):
+def prefix_filter_pairs(d, tau: float, expand: bool = True):
     """Prefix-filtering exact set-similarity self-join (reusable kernel).
 
     ``d`` must have columns (doc_id, lang, toks) with distinct token
     arrays. Returns all same-lang pairs with token-set Jaccard ≥ tau as
-    (id1, id2, jaccard).
+    (id1, id2, jaccard). With ``expand=False`` it instead returns the
+    quotient form ``(g, rep_pairs)`` — the identity groups (gid = min
+    member doc_id, members, toks) and the pairs BETWEEN group
+    representatives — for consumers like connected components that are
+    cheaper on the quotient graph and can expand labels afterwards.
 
     Stage 0 collapses IDENTICAL token sets first: all the join/verify
     math runs once per unique (lang, sorted token set); member pairs are
@@ -184,6 +188,8 @@ def prefix_filter_pairs(d, tau: float):
     rep_pairs = verify.where(jac >= tau).select(
         "id1", "id2", F.round(jac, 6).alias("jaccard")
     )
+    if not expand:
+        return g, rep_pairs
     # expansion: representative pairs → member pairs (pure output work)
     m1 = g.select(F.col("gid").alias("id1"), F.explode("members").alias("m1"))
     m2 = g.select(F.col("gid").alias("id2"), F.explode("members").alias("m2"))
@@ -467,23 +473,32 @@ def llm_dedup_cluster(spark, sf_dir):
     Jaccard pair graph — the step that turns pair lists into keep-one-
     per-cluster decisions.
 
-    Iterative min-label propagation (Pregel-lite): each round joins the
-    current labels across edges and keeps the per-node minimum; converges
-    in O(component diameter) rounds (near-dup clusters are almost
-    cliques, so 1-3 rounds in practice). Each round is one distributed
-    join + aggregate; localCheckpoint truncates the growing plan lineage
-    — the standard shape for iterative algorithms on Spark at any scale.
-    The oracle is DuckDB's recursive CTE over the same edge set.
+    Iterative min-label propagation (Pregel-lite) on the QUOTIENT graph:
+    the pair kernel already groups identical token sets, and docs with
+    identical sets are by definition in one component, so the iteration
+    runs over group representatives only (gid = min member doc_id) and
+    member labels are joined in afterwards. Labels are provably the same
+    as doc-level propagation: a rep component's min gid IS the min doc_id
+    of the expanded component, because every gid is its group's min. On
+    dup-dense corpora this shrinks both the node and edge sets by the
+    copy multiplicity before the O(diameter) rounds start. Each round is
+    one distributed join + aggregate; localCheckpoint truncates the
+    growing plan lineage — the standard shape for iterative algorithms on
+    Spark at any scale. The oracle is DuckDB's recursive CTE over the
+    doc-level edge set.
     """
-    pairs = llm_near_dup_pairs(spark, sf_dir).select("id1", "id2")
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    g, rep_pairs = prefix_filter_pairs(d, tau=0.95, expand=False)
+    pairs = rep_pairs.select("id1", "id2")
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).unionByName(
         pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    labels = g.select(
+        F.col("gid").alias("node"), F.col("gid").alias("label")
     ).localCheckpoint(eager=True)
     # Iterate to convergence; the bound is a safety valve only (min-label
     # propagation needs O(component diameter) rounds — near-dup clusters
@@ -520,9 +535,15 @@ def llm_dedup_cluster(spark, sf_dir):
             f"llm_dedup_cluster: label propagation did not converge in "
             f"{max_rounds} rounds"
         )
-    w = Window.partitionBy("label")
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("component"),
+    # expand representative labels to every group member, then size the
+    # components over DOCS (not groups)
+    members = g.select(F.col("gid").alias("node"), F.explode("members").alias("doc_id"))
+    doc_labels = members.join(labels, "node").select(
+        "doc_id", F.col("label").alias("component")
+    )
+    w = Window.partitionBy("component")
+    return doc_labels.select(
+        "doc_id",
+        "component",
         F.count(F.lit(1)).over(w).alias("component_size"),
     )
