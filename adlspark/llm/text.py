@@ -558,3 +558,88 @@ def llm_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+WITH n AS (
+  SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang
+), b AS (
+  SELECT d.doc_id, d.lang,
+         CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+           % 10000 AS bucket,
+         n.lang_n
+  FROM documents d JOIN n USING (lang)
+)
+SELECT doc_id, lang
+FROM b
+WHERE bucket < 10000.0 * 100 / lang_n
+""",
+)
+def llm_stratified_sample(spark, sf_dir):
+    """Equalizing stratified sampler: each lang contributes ~100 docs
+    regardless of its share of the corpus — the balancing step a
+    multilingual training mix needs (dominant languages downsampled,
+    small ones kept whole). Membership is the same engine-independent
+    md5-bucket primitive as llm_train_split (pure function of doc_id —
+    stable under re-runs, re-partitioning, engine choice), with the
+    per-stratum threshold 10000·target/lang_n from a broadcast lang-count
+    join. At scale: one narrow projection + one broadcast join; the
+    corpus itself never shuffles."""
+    d = tables.load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .where(bucket < F.lit(10000.0) * 100 / F.col("lang_n"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "llm_token_histogram",
+    oracle="""
+WITH t AS (
+  SELECT CAST(floor(len(string_split(text, ' ')) / 10) AS BIGINT) AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT bucket,
+       bucket * 10 AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY bucket
+""",
+)
+def llm_token_histogram(spark, sf_dir):
+    """Document-length histogram (10-token buckets): the corpus profile
+    every pipeline checks before choosing chunk sizes and length filters.
+    Pure projection + one map-side-combinable aggregate over exact
+    integers — no float discipline needed, linear at any corpus size."""
+    d = tables.load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        d.select(
+            F.floor(n_tokens / 10).cast("long").alias("bucket"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 10).alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+    )

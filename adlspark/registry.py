@@ -72,6 +72,8 @@ _ROUND3_FRONT = [
     "llm_unigram_logprob",
     "agg_histogram",
     "ts_resample_ohlc",
+    "llm_stratified_sample",
+    "llm_token_histogram",
     # (c) never in any driver window
     "subq_scalar",
     "subq_in",
