@@ -547,3 +547,49 @@ def llm_dedup_cluster(spark, sf_dir):
         "component",
         F.count(F.lit(1)).over(w).alias("component_size"),
     )
+
+
+@query(
+    "llm_dedup_canonical",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.95
+), edges AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), comp AS (
+  SELECT node AS doc_id, min(label) AS canonical_id FROM walk GROUP BY node
+)
+SELECT doc_id, canonical_id,
+       (doc_id = canonical_id) AS is_canonical,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM comp
+""",
+)
+def llm_dedup_canonical(spark, sf_dir):
+    """The dedup DECISION: every document mapped to its cluster's
+    canonical representative (min doc_id — deterministic, join-stable)
+    with a keep/drop flag — the table a corpus build actually filters on
+    (`WHERE is_canonical`) and the provenance record for the rest.
+    Composition of the quotient-graph connected components with a flag
+    projection; at scale this is the same cost as llm_dedup_cluster plus
+    one narrow map."""
+    clustered = llm_dedup_cluster(spark, sf_dir)
+    return clustered.select(
+        "doc_id",
+        F.col("component").alias("canonical_id"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+        F.col("component_size").alias("cluster_size"),
+    )

@@ -393,3 +393,44 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey,
+         {'key': o_orderkey, 'price': o_totalprice,
+          'status': o_orderstatus} AS rec
+  FROM orders
+)
+SELECT o_orderkey,
+       rec.key AS rec_key,
+       rec.price AS rec_price,
+       upper(rec.status) AS rec_status,
+       (rec.price > 100000) AS is_big
+FROM s
+""",
+)
+def fn_struct(spark, sf_dir):
+    """Struct family: named_struct construction, field access through the
+    struct, and expressions over extracted fields. The struct exists only
+    INSIDE the plan — output is flattened scalars, so the cross-engine
+    value hash stays on plain types while the query still proves
+    constructor + accessor semantics. Catalyst collapses the whole thing
+    into one projection (structs are free at the Tungsten level — no
+    serialization until a sink demands it)."""
+    o = tables.load(spark, sf_dir, "orders")
+    rec = F.struct(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    s = o.select("o_orderkey", rec.alias("rec"))
+    return s.select(
+        "o_orderkey",
+        F.col("rec.key").alias("rec_key"),
+        F.col("rec.price").alias("rec_price"),
+        F.upper(F.col("rec.status")).alias("rec_status"),
+        (F.col("rec.price") > 100000).alias("is_big"),
+    )

@@ -360,3 +360,33 @@ def ingest_schema_evolution(spark, sf_dir):
         audit,
         "batch string, status string, schema_version long, detail string, n_rows long",
     )
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle=f"""
+SELECT s_nationkey, count(*) AS n, {o_dsum('s_acctbal')} AS sum_bal
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def sink_csv_roundtrip(spark, sf_dir):
+    """Text-format breadth: supplier round-trips through headered CSV with
+    an EXPLICIT read schema (header-only inference would silently widen
+    every column to string — the classic CSV trap) and must reproduce
+    per-nation aggregates exactly, doubles included: Spark's CSV writer
+    emits round-trippable representations, so the decimal-exact sum is
+    unchanged by the text hop. CSV is the interchange format every lake
+    still ingests; the staged layout keeps one file per shuffle partition
+    and the read side runs the same pushdown machinery as any file scan."""
+    import os as _os
+
+    out = _os.path.join(work_dir(sf_dir, "sink_csv"), "supplier_csv")
+    sup = tables.load(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).option("header", "true").csv(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("s_acctbal").alias("sum_bal"),
+    )

@@ -28,7 +28,7 @@ def _views(spark, sf_dir):
     app = spark.sparkContext.applicationId
     if _ACTIVE.get(app) == sf_dir:
         return
-    for t in ("orders", "customer", "nation"):
+    for t in ("orders", "customer", "nation", "part"):
         tables.load(spark, sf_dir, t).createOrReplaceTempView(f"sq_{t}")
     _ACTIVE[app] = sf_dir
 
@@ -160,3 +160,36 @@ def subq_not_in_null(spark, sf_dir):
     compiles both to null-aware anti joins; DuckDB must agree on each."""
     _views(spark, sf_dir)
     return spark.sql(_NOT_IN_SQL.format(o="sq_orders", c="sq_customer"))
+
+
+@query(
+    "subq_any_all",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice, p_size
+FROM part
+WHERE p_retailprice > ALL (SELECT p_retailprice FROM part
+                           WHERE p_brand = 'Brand#13')
+  AND p_size < ANY (SELECT p_size FROM part WHERE p_brand = 'Brand#13')
+""",
+)
+def subq_any_all(spark, sf_dir):
+    """Quantified comparison subqueries (> ALL / < ANY). Spark's analyzer
+    has no ALL/ANY quantifiers, so the operator IS the standard
+    aggregate rewrite — > ALL(S) ≡ > max(S), < ANY(S) ≡ < max(S) —
+    expressed as scalar subqueries that Catalyst
+    plans as one-row broadcast joins; the oracle uses DuckDB's NATIVE
+    quantifiers, so the rewrite's equivalence (including the empty-set
+    edge: ALL over empty is TRUE, ANY over empty is FALSE — the fixture
+    brand is non-empty, keeping both engines on the populated branch) is
+    what the hash check certifies."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice, p_size
+        FROM sq_part
+        WHERE p_retailprice > (SELECT max(p_retailprice) FROM sq_part
+                               WHERE p_brand = 'Brand#13')
+          AND p_size < (SELECT max(p_size) FROM sq_part
+                        WHERE p_brand = 'Brand#13')
+        """
+    )

@@ -314,3 +314,46 @@ def ts_resample_ohlc(spark, sf_dir):
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "ts_retention",
+    oracle="""
+WITH su AS (
+  SELECT user_id,
+         min(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000) AS cohort_w
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w
+  FROM events
+)
+SELECT su.cohort_w, act.w - su.cohort_w AS weeks_since,
+       count(DISTINCT act.user_id) AS n_active
+FROM su JOIN act USING (user_id)
+WHERE act.w >= su.cohort_w
+GROUP BY 1, 2
+""",
+)
+def ts_retention(spark, sf_dir):
+    """Cohort retention: users grouped by their first-signup week, counted
+    as active in each subsequent week — THE product-analytics matrix. Week
+    buckets are exact integer epoch-µs floor-divisions (no tz or float
+    drift on either engine). Shape at scale: one filter+agg for cohorts,
+    one distinct-projection for activity, a user-keyed equi join (both
+    sides shuffle on user_id once), then a small (cohort, week) aggregate
+    — no window functions, no cross joins, linear in events."""
+    ev = tables.events(spark, sf_dir)
+    week = F.expr("unix_micros(ts) div 604800000000")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_w"))
+    )
+    act = ev.select("user_id", week.alias("w")).distinct()
+    return (
+        su.join(act, "user_id")
+        .where(F.col("w") >= F.col("cohort_w"))
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

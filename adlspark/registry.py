@@ -35,11 +35,12 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# ROUND-4 TODO: once CORRECTNESS_r03 lands, every registry key should
-# have at least one driver verdict (r1 ∪ r2 ∪ r3 covers all 136). Build
-# the round-4 front list the same way: (a) any r3 window FAILURES first,
-# (b) every key whose code or output schema changes in round 4, (c) new
-# keys — then rotate this list's survivors to the back.
+# ROUND-4 TODO: the r3 window is exactly full (50), so five late-r3 keys
+# have NO driver verdict yet and MUST lead the round-4 front list:
+# ts_retention, llm_dedup_canonical, sink_csv_roundtrip, fn_struct,
+# subq_any_all (all green in local parity). After them: (a) any r3
+# window FAILURES, (b) every key whose code or output schema changes in
+# round 4, (c) new keys — then rotate this list's survivors to the back.
 #
 # Keys the external harness must judge THIS round, most-urgent first.
 # The driver verifies the first ~50 keys of queries(); everything here has
