@@ -133,3 +133,63 @@ def test_prefix_filter_pairs_matches_brute_force(spark, tau, seed):
         (r.id1, r.id2) for r in prefix_filter_pairs(d, tau=tau).collect()
     }
     assert got == expected
+
+
+def test_doc_chunk_invariants(spark, sf_dir):
+    """Chunking must cover every token (no boundary loss), start chunks
+    exactly at stride multiples, keep every chunk within [1, 32] tokens,
+    and make consecutive chunks overlap by chunk-stride tokens — the
+    invariants that let a downstream tokenizer reconstruct context."""
+    from adlspark.registry import all_queries
+
+    rows = all_queries()["llm_doc_chunk"](spark, sf_dir).collect()
+    docs = {}
+    for r in rows:
+        docs.setdefault(r.doc_id, []).append(r)
+    d = {
+        r.doc_id: len(r.text.split(" "))
+        for r in tables.load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for doc_id, chunks in docs.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = d[doc_id]
+        # chunk ids are dense 0..k-1 and starts cover all n tokens
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        covered = 0
+        for c in chunks:
+            start = c.chunk_id * 24
+            assert 1 <= c.n_tokens <= 32
+            assert c.n_tokens == min(32, n - start)
+            assert len(c.chunk_text.split(" ")) == c.n_tokens
+            covered = max(covered, start + c.n_tokens)
+        assert covered == n  # every token is in at least one chunk
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark, sf_dir):
+    """Sample membership is a pure function of doc_id: two runs agree
+    exactly; and every lang's kept count stays at or under its threshold
+    expectation band (the point of per-stratum rates)."""
+    from adlspark.registry import all_queries
+
+    q = all_queries()["llm_stratified_sample"]
+    a = sorted((r.doc_id, r.lang) for r in q(spark, sf_dir).collect())
+    b = sorted((r.doc_id, r.lang) for r in q(spark, sf_dir).collect())
+    assert a == b
+    per_lang = {}
+    for _id, lang in a:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    totals = {
+        r.lang: r.n
+        for r in tables.load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, kept in per_lang.items():
+        # small strata (≤100 docs) are kept whole; larger ones sample
+        if totals[lang] <= 100:
+            assert kept == totals[lang]
+        else:
+            assert kept < totals[lang]
