@@ -299,3 +299,35 @@ def stream_stream_join(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_attributed"))
     )
+
+
+@query("stream_tumbling_ohlc")
+def stream_tumbling_ohlc(spark, sf_dir):
+    """Daily OHLC bars per user computed IN the stream (complete mode):
+    open/close via min_by/max_by on the deterministic (ts, event_id)
+    order — the same one-pass declarative aggregates the batch
+    ts_resample_ohlc derives with windows, which is exactly what makes
+    the bars maintainable incrementally by the state store (no
+    row_number, no sort: each new event folds into its (user, day)
+    state in O(1)). Streaming/batch equivalence is pytest-asserted."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), "user_id"
+    ).agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close_v"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.col("w.start").cast("date").alias("day"),
+        "user_id",
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "n",
+    )
+    name = "s_ohlc"
+    _run(agg.writeStream.format("memory").outputMode("complete"), name)
+    return spark.table(name)

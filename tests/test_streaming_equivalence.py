@@ -65,3 +65,24 @@ def test_stream_dedup_unique(spark, sf_dir):
     )
     joined = streamed.join(batch, on="event_type", how="full")
     assert joined.filter(F.col("n_s") != F.col("n_b")).count() == 0
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir):
+    """The streaming min_by/max_by bars must equal the batch window-based
+    ts_resample_ohlc on every (user, day) — the strongest check available
+    for a streaming key: full value equality against an independently
+    derived batch plan."""
+    from adlspark.registry import all_queries
+    from adlspark.streaming.streams import stream_tumbling_ohlc
+
+    streamed = stream_tumbling_ohlc(spark, sf_dir)
+    batch = all_queries()["ts_resample_ohlc"](spark, sf_dir)
+    s = {
+        (r.user_id, str(r.day)): (r.open_v, r.high_v, r.low_v, r.close_v, r.n)
+        for r in streamed.collect()
+    }
+    b = {
+        (r.user_id, str(r.day)): (r.open_v, r.high_v, r.low_v, r.close_v, r.n)
+        for r in batch.collect()
+    }
+    assert s == b
