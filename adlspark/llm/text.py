@@ -643,3 +643,131 @@ def llm_token_histogram(spark, sf_dir):
             "total_tokens",
         )
     )
+
+
+@query(
+    "llm_pack_bins",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM t
+)
+SELECT lang, CAST(floor(off / 2048) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc
+FROM c GROUP BY lang, bin
+""",
+)
+def llm_pack_bins(spark, sf_dir):
+    """Context packing: documents laid out in deterministic (lang,
+    doc_id) order and cut into 2048-token bins by cumulative offset —
+    the sequence-packing step that turns a cleaned corpus into
+    fixed-budget training rows. Offset-based binning (a doc's bin =
+    floor(start_offset/budget)) is the streaming-friendly form: exact
+    greedy packing needs sequential state, while this is one window
+    cumsum + one aggregate, and docs straddling a boundary are counted
+    in their starting bin (documented approximation, same choice both
+    engines). All-integer arithmetic — no float discipline needed."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.groupBy("lang", F.floor(F.col("off") / 2048).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "llm_contamination_check",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, text,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+), labeled AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+  FROM b
+), w AS (
+  SELECT doc_id, lang, split, string_split(text, ' ') AS toks FROM labeled
+), sh AS (
+  SELECT doc_id, lang, split,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+  FROM w
+)
+SELECT te.doc_id AS test_doc,
+       count(DISTINCT tr.doc_id) AS n_train_docs,
+       count(*) AS n_hits
+FROM sh te JOIN sh tr ON te.s = tr.s AND te.lang = tr.lang
+WHERE te.split = 'test' AND tr.split = 'train'
+GROUP BY te.doc_id
+""",
+)
+def llm_contamination_check(spark, sf_dir):
+    """Train/test contamination detection: for every test-split document,
+    how many train-split documents share 3-gram shingles with it (and how
+    many shingle×train-doc hits in total) — the leakage audit every
+    benchmark-respecting training pipeline runs before a model sees the
+    data. Splits come from the same md5-bucket primitive as
+    llm_train_split, shingles from the same 3-gram construction as the
+    Jaccard kernel, so this is one inverted-index equi join between the
+    two sides' shingle tables keyed (shingle, lang) — at corpus scale the
+    production form routes candidate generation through the prefix-filter
+    kernel exactly as llm_ngram_jaccard does; the direct join here is the
+    oracle-checkable reference semantics."""
+    d = tables.load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    sh = d.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+            )
+        ).alias("s"),
+    )
+    te = sh.where(F.col("split") == "test").alias("te")
+    tr = sh.where(F.col("split") == "train").alias("tr")
+    return (
+        te.join(
+            tr,
+            (F.col("te.s") == F.col("tr.s")) & (F.col("te.lang") == F.col("tr.lang")),
+        )
+        .groupBy(F.col("te.doc_id").alias("test_doc"))
+        .agg(
+            F.countDistinct(F.col("tr.doc_id")).alias("n_train_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )

@@ -35,14 +35,15 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# ROUND-4 TODO: the r3 window is exactly full (50), so five late-r3 keys
-# have NO driver verdict yet and MUST lead the round-4 front list:
+# ROUND-4 TODO: the r3 window is exactly full (50), so the eight late-r3
+# keys have NO driver verdict yet and MUST lead the round-4 front list:
 # ts_retention, llm_dedup_canonical, sink_csv_roundtrip, fn_struct,
-# subq_any_all (all green in local parity), plus the rows-only
+# subq_any_all, llm_pack_bins, llm_contamination_check (all green in
+# local parity at sf0.001 and sf0.01), plus the rows-only
 # stream_tumbling_ohlc (streaming/batch equivalence pytest-asserted).
-# After them: (a) any r3
-# window FAILURES, (b) every key whose code or output schema changes in
-# round 4, (c) new keys — then rotate this list's survivors to the back.
+# After them: (a) any r3 window FAILURES, (b) every key whose code or
+# output schema changes in round 4, (c) new keys — then rotate this
+# list's survivors to the back.
 #
 # Keys the external harness must judge THIS round, most-urgent first.
 # The driver verifies the first ~50 keys of queries(); everything here has
