@@ -771,3 +771,62 @@ def llm_contamination_check(spark, sf_dir):
             F.count(F.lit(1)).alias("n_hits"),
         )
     )
+
+
+@query(
+    "llm_repetition_filter",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 1, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+  FROM w
+), per AS (
+  SELECT bg.doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         max(cnt) AS top_bigram_n
+  FROM (SELECT doc_id, bigram, count(*) AS cnt
+        FROM bg GROUP BY doc_id, bigram) bg
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6)
+         AS top_bigram_ratio,
+       (CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.05) AS is_repetitive
+FROM per
+""",
+)
+def llm_repetition_filter(spark, sf_dir):
+    """Intra-document repetition score: the share of a document's bigrams
+    taken by its single most-repeated bigram, and a threshold flag — the
+    boilerplate/spam heuristic in the C4/Gopher family of quality rules
+    (looping text and template junk light this up long before a model
+    does). Two map-side-combinable aggregates over an exploded bigram
+    table (per-(doc, bigram) count, then per-doc max) — the shuffle keys
+    are doc-scoped so the operator is linear and skew-free at any corpus
+    size; the ratio is one exact int division rounded identically in
+    both engines."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(text,' '))-2, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i+1, 2)))"
+            )
+        ).alias("bigram"),
+    )
+    counts = d.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_bigram_n"),
+    )
+    ratio = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(ratio, 6).alias("top_bigram_ratio"),
+        (ratio > 0.05).alias("is_repetitive"),
+    )
