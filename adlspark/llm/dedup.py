@@ -593,3 +593,94 @@ def llm_dedup_canonical(spark, sf_dir):
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
         F.col("component_size").alias("cluster_size"),
     )
+
+
+@query(
+    "llm_winnow_fingerprint",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS s,
+         greatest(len(toks) - 2, 1) AS n_sh
+  FROM w, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)
+), hashed AS (
+  SELECT doc_id, pos, n_sh,
+         CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) * 100000
+           + (99999 - pos) AS sel
+  FROM sh
+), wins AS (
+  SELECT doc_id, pos, n_sh,
+         min(sel) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed
+), picked AS (
+  SELECT DISTINCT doc_id, fp
+  FROM wins WHERE pos <= greatest(n_sh - 4, 0)
+)
+SELECT doc_id,
+       count(*) AS n_fp,
+       md5(array_to_string(list_sort(list(fp)), ',')) AS fp_md5
+FROM picked GROUP BY doc_id
+""",
+)
+def llm_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every 3-word shingle, slide a
+    4-hash window, keep each window's minimum — guaranteeing any
+    sufficiently long match between two documents shares a fingerprint,
+    at ~2/(w+1) the storage of the full shingle set. The classic local
+    fingerprint for partial-overlap/plagiarism-style dedup, complementing
+    MinHash (whole-set similarity) in the ladder.
+
+    Engine parity: the hash is the md5-prefix integer (same recipe as
+    the split/sample primitives); winnowing's rightmost-minimum tie rule
+    is encoded arithmetically — selection key hash·1e5 + (99999 - pos),
+    so an ordinary window MIN picks min hash with largest position on
+    ties, identically in both engines, all integer. Short docs (<4
+    shingles) keep their single partial window (pos 0), documented rule
+    on both sides. Plan shape: narrow map + one windowed min over a
+    per-doc sort + one aggregate — linear, doc-partitioned, skew-free."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3)))"
+            )
+        ).alias("pos", "s"),
+    )
+    n_sh = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    sel = (
+        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        * 100000
+        + (F.lit(99999) - F.col("pos"))
+    )
+    hashed = d.select(
+        "doc_id", "pos", n_sh.alias("n_sh"), sel.alias("sel")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    picked = (
+        hashed.select(
+            "doc_id",
+            "pos",
+            "n_sh",
+            F.min("sel").over(win).alias("fp"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("n_sh") - 4, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return picked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("fp"))).cast("binary")
+        ).alias("fp_md5"),
+    )
