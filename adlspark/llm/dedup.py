@@ -684,3 +684,62 @@ def llm_winnow_fingerprint(spark, sf_dir):
             F.concat_ws(",", F.sort_array(F.collect_list("fp"))).cast("binary")
         ).alias("fp_md5"),
     )
+
+
+@query(
+    "llm_minhash_signature",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+  FROM w
+)
+SELECT doc_id,
+       min(CAST('0x' || substring(md5('0:' || s), 1, 8) AS BIGINT)) AS sig0,
+       min(CAST('0x' || substring(md5('1:' || s), 1, 8) AS BIGINT)) AS sig1,
+       min(CAST('0x' || substring(md5('2:' || s), 1, 8) AS BIGINT)) AS sig2,
+       min(CAST('0x' || substring(md5('3:' || s), 1, 8) AS BIGINT)) AS sig3,
+       min(CAST('0x' || substring(md5('4:' || s), 1, 8) AS BIGINT)) AS sig4,
+       min(CAST('0x' || substring(md5('5:' || s), 1, 8) AS BIGINT)) AS sig5,
+       min(CAST('0x' || substring(md5('6:' || s), 1, 8) AS BIGINT)) AS sig6,
+       min(CAST('0x' || substring(md5('7:' || s), 1, 8) AS BIGINT)) AS sig7
+FROM sh GROUP BY doc_id
+""",
+)
+def llm_minhash_signature(spark, sf_dir):
+    """Value-verifiable MinHash signatures: 8 permutations simulated by
+    salted md5-prefix hashes (salt i prepended to the shingle), each
+    signature the min over the doc's distinct 3-gram shingles — the
+    estimator behind llm_dedup_minhash's LSH banding, here with an exact
+    cross-engine oracle because the hash family is the engine-independent
+    md5 primitive rather than a JVM-internal hash. P[sig_i(A)=sig_i(B)] =
+    J(A,B), so signature agreement rates estimate Jaccard; the LSH key
+    buckets these same signatures. One explode + one 8-way min aggregate
+    (map-side combinable, shuffle carries 8 longs per doc) — the linear
+    candidate-generation path at corpus scale."""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+            )
+        ).alias("s"),
+    )
+    def h(i):
+        return F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:".format(i=i)), F.col("s")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"sig{i}".format(i=i))
+    return d.groupBy("doc_id").agg(*[h(i) for i in range(8)])

@@ -39,7 +39,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # keys have NO driver verdict yet and MUST lead the round-4 front list:
 # ts_retention, llm_dedup_canonical, sink_csv_roundtrip, fn_struct,
 # subq_any_all, llm_pack_bins, llm_contamination_check,
-# llm_repetition_filter, llm_winnow_fingerprint (all green in
+# llm_repetition_filter, llm_winnow_fingerprint, llm_minhash_signature
+# (all green in
 # local parity at sf0.001 and sf0.01), plus the rows-only
 # stream_tumbling_ohlc (streaming/batch equivalence pytest-asserted).
 # After them: (a) any r3 window FAILURES, (b) every key whose code or
