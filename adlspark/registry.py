@@ -40,9 +40,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # ts_retention, llm_dedup_canonical, sink_csv_roundtrip, fn_struct,
 # subq_any_all, llm_pack_bins, llm_contamination_check,
 # llm_repetition_filter, llm_winnow_fingerprint, llm_minhash_signature
-# (all green in
+# llm_bpe_pair_count (all green in
 # local parity at sf0.001 and sf0.01), plus the rows-only
-# stream_tumbling_ohlc (streaming/batch equivalence pytest-asserted).
+# stream_tumbling_ohlc (streaming/batch equivalence pytest-asserted)
+# and llm_graph_pagerank (rows-only; mass-conservation pytest-asserted).
 # After them: (a) any r3 window FAILURES, (b) every key whose code or
 # output schema changes in round 4, (c) new keys — then rotate this
 # list's survivors to the back.
@@ -154,7 +155,8 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from adlspark.llm import dedup, similarity, text, multimodal  # noqa: F401
+    from adlspark.llm import dedup, similarity, text, multimodal, vocab  # noqa: F401
+    from adlspark.llm import graph  # noqa: F401
     from adlspark.ops import (  # noqa: F401
         lake,
         functions,

@@ -193,3 +193,44 @@ def test_stratified_sample_is_deterministic_and_stratified(spark, sf_dir):
             assert kept == totals[lang]
         else:
             assert kept < totals[lang]
+
+
+def test_pagerank_mass_conservation_and_determinism(spark, sf_dir):
+    """PageRank is a probability distribution over docs: total mass 1
+    (teleport + damped inflow + redistributed dangling mass account for
+    every unit), every rank at least the teleport floor (1-d)/N, and the
+    iteration is deterministic (pure function of the fixture corpus)."""
+    from adlspark.registry import all_queries
+
+    q = all_queries()["llm_graph_pagerank"]
+    rows = q(spark, sf_dir).collect()
+    n = len(rows)
+    mass = sum(r["rank"] for r in rows)
+    assert abs(mass - 1.0) < 1e-6
+    floor = (1.0 - 0.85) / n
+    assert all(r["rank"] >= floor - 1e-12 for r in rows)
+    again = q(spark, sf_dir).collect()
+    assert sorted((r.doc_id, r["rank"]) for r in rows) == sorted(
+        (r.doc_id, r["rank"]) for r in again
+    )
+
+
+def test_bpe_pair_count_matches_python_recount(spark, sf_dir):
+    """The top-50 weighted pair counts agree with a direct Python recount
+    over the corpus (independent of the vocab-collapse optimization)."""
+    from collections import Counter
+
+    from adlspark.registry import all_queries
+
+    docs = tables.load(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter()
+    for (text,) in docs:
+        for w in text.split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r.pair, r.pair_count)
+        for r in all_queries()["llm_bpe_pair_count"](spark, sf_dir).collect()
+    ]
+    assert got == expect
