@@ -63,49 +63,58 @@ def llm_graph_pagerank(spark, sf_dir):
     damped float iteration has no closed SQL form). 8 Jacobi iterations,
     d=0.85, uniform teleport, dangling mass redistributed uniformly.
 
-    Scale shape: per iteration one (node-keyed) join of ranks to edges
-    and one dst-keyed aggregate — the same shuffle pattern as iterative
-    CC; edge and rank partitioning is stable across rounds so AQE reuses
-    the layout. The only driver-side values are the node count and the
-    per-round dangling-mass scalar (two bounded aggregates), mirroring
-    llm_dedup_cluster's convergence scalar. localCheckpoint truncates
-    the 8-round lineage.
+    Scale shape: the static graph structure is built ONCE — edge
+    transition weights (src, dst, 1/out-degree) and the dangling-node
+    set are checkpointed before the loop — so each of the 8 iterations
+    is a single job: ranks join edge-weights on src, dst-keyed sum, with
+    the iteration's dangling mass folded in as a broadcast 1-row cross
+    join (never a driver collect; the only driver-side scalar is the
+    one-time node count). Rank partitioning is node-keyed and stable
+    across rounds; localCheckpoint truncates the lineage each round.
     """
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    edges = _band_edges(spark, sf_dir).localCheckpoint()
+    edges = _band_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edge_w = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
+    dangling_nodes = docs.join(
+        edge_w.select("src").distinct(), docs.doc_id == F.col("src"), "left_anti"
+    ).localCheckpoint()
 
     d = 0.85
     ranks = docs.select("doc_id", F.lit(1.0 / n).alias("rank"))
-    for _ in range(8):
-        with_deg = ranks.join(deg, ranks.doc_id == deg.src, "left").select(
-            ranks.doc_id, "rank", "deg"
-        )
-        dangling = (
-            with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+    for it in range(8):
+        dm = (
+            ranks.join(dangling_nodes, "doc_id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         contribs = (
-            with_deg.where(F.col("deg").isNotNull())
-            .join(edges, with_deg.doc_id == edges.src)
-            .select(F.col("dst").alias("doc_id"), (F.col("rank") / F.col("deg")).alias("c"))
+            ranks.join(edge_w, ranks.doc_id == edge_w.src)
+            .select(F.col("dst").alias("doc_id"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("doc_id")
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
             docs.join(contribs, "doc_id", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "doc_id",
                 (
                     F.lit((1.0 - d) / n)
                     + F.lit(d)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        # Lineage doubles per round; truncating every second round halves
+        # materialization jobs while keeping plans shallow (two rounds of
+        # join+agg compose into one job between checkpoints).
+        if it % 2 == 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("doc_id", F.round("rank", 9).alias("rank")).orderBy(
         F.col("rank").desc(), "doc_id"
     )
