@@ -743,3 +743,107 @@ def llm_minhash_signature(spark, sf_dir):
             ).cast("long")
         ).alias(f"sig{i}".format(i=i))
     return d.groupBy("doc_id").agg(*[h(i) for i in range(8)])
+
+
+@query(
+    "llm_minhash_estimate",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+  FROM w
+), sig AS (
+  SELECT doc_id,
+         min(CAST('0x' || substring(md5('0:' || s), 1, 8) AS BIGINT)) AS sig0,
+         min(CAST('0x' || substring(md5('1:' || s), 1, 8) AS BIGINT)) AS sig1,
+         min(CAST('0x' || substring(md5('2:' || s), 1, 8) AS BIGINT)) AS sig2,
+         min(CAST('0x' || substring(md5('3:' || s), 1, 8) AS BIGINT)) AS sig3,
+         min(CAST('0x' || substring(md5('4:' || s), 1, 8) AS BIGINT)) AS sig4,
+         min(CAST('0x' || substring(md5('5:' || s), 1, 8) AS BIGINT)) AS sig5,
+         min(CAST('0x' || substring(md5('6:' || s), 1, 8) AS BIGINT)) AS sig6,
+         min(CAST('0x' || substring(md5('7:' || s), 1, 8) AS BIGINT)) AS sig7
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS k1,
+         CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS k2
+  FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.k1 = c.k1 AND a.k2 = c.k2 AND a.doc_id < c.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         CAST(sa.sig0 = sb.sig0 AS INT) + CAST(sa.sig1 = sb.sig1 AS INT)
+       + CAST(sa.sig2 = sb.sig2 AS INT) + CAST(sa.sig3 = sb.sig3 AS INT)
+       + CAST(sa.sig4 = sb.sig4 AS INT) + CAST(sa.sig5 = sb.sig5 AS INT)
+       + CAST(sa.sig6 = sb.sig6 AS INT) + CAST(sa.sig7 = sb.sig7 AS INT)
+         AS n_agree
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, n_agree, n_agree / 8.0 AS est_jaccard
+FROM scored WHERE n_agree >= 4
+""",
+)
+def llm_minhash_estimate(spark, sf_dir):
+    """End-to-end MinHash similarity estimation with an exact oracle:
+    LSH banding (4 bands x 2 rows over the 8 salted-md5 signatures)
+    generates candidate pairs, then each candidate's Jaccard similarity
+    is estimated by its signature agreement rate (P[sig_i(A)=sig_i(B)] =
+    J(A,B)); pairs agreeing on >= 4 of 8 signatures survive. This is the
+    full production LSH rung — candidates + estimate + threshold — made
+    value-verifiable by the engine-independent md5 hash family.
+
+    Scale shape: signatures are one explode + one 8-way min aggregate
+    (linear, map-side combinable); banding shuffles 2 longs per (doc,
+    band); the self-join only pairs docs inside a bucket (never
+    all-pairs); the estimate join is doc-keyed against the
+    signature table (8 longs per doc). No verification pass touches
+    document text — the whole pipeline runs on the 72-byte sketch.
+    """
+    sig = llm_minhash_signature(spark, sf_dir).localCheckpoint()
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.col(f"sig{2 * b}").alias("k1"),
+            F.col(f"sig{2 * b + 1}").alias("k2"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.k1") == F.col("c.k1"))
+            & (F.col("a.k2") == F.col("c.k2"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    n_agree = None
+    for i in range(8):
+        term = (F.col(f"sa.sig{i}") == F.col(f"sb.sig{i}")).cast("int")
+        n_agree = term if n_agree is None else n_agree + term
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+        .where(F.col("n_agree") >= 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            (F.col("n_agree") / 8.0).alias("est_jaccard"),
+        )
+    )

@@ -483,3 +483,97 @@ def llm_embed_quantize(spark, sf_dir):
         F.concat_ws(" ", codes).alias("codes_str"),
         F.round(err, 6).alias("recon_err"),
     )
+
+
+@query(
+    "llm_srp_bits",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), planes AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(generate_series(1, len(qv)), i ->
+           qv[CAST(i AS INT)]
+           * ((CAST('0x' || substring(md5(CAST(p AS VARCHAR) || ':'
+                    || CAST(i - 1 AS VARCHAR)), 1, 2) AS BIGINT) % 16) - 8)))
+           AS s
+  FROM q, unnest(generate_series(0, 15)) AS t(p)
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN s >= 0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT)
+         AS srp_code,
+       CAST(count(*) OVER (PARTITION BY
+         CAST(sum(CASE WHEN s >= 0 THEN 1 << CAST(p AS INT) ELSE 0 END) AS BIGINT))
+         AS BIGINT) AS n_bucket
+FROM planes GROUP BY vec_id
+""",
+)
+def llm_srp_bits(spark, sf_dir):
+    """Sign-random-projection LSH over embeddings (SimHash for vectors,
+    Charikar 2002): 16 hyperplanes, each bit the sign of the embedding's
+    projection, packed into a 16-bit bucket code — the cheap candidate
+    generator for angular near-neighbor search (P[bit agree] =
+    1 - angle/pi, so Hamming distance on codes estimates cosine).
+
+    Cross-engine exactness: floats never touch the sign decision. The
+    embedding is first int8-quantized (the llm_embed_quantize scheme),
+    the hyperplane entries are md5-derived integers in [-8, 7] (salt
+    "plane:dim" — the same engine-independent hash-family trick as
+    llm_minhash_signature), and the projection is an integer dot product,
+    so the oracle agrees bit-for-bit; a float dot product would risk
+    sign flips near zero from summation-order differences.
+
+    Scale shape: code computation is a pure narrow map (16 integer
+    aggregates over a 64-element array per row — no shuffle, no UDF);
+    the only shuffle is the bucket-size window keyed by the 16-bit code,
+    which is the same shuffle an ANN bucket join would pay anyway.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    with_q = e.select("vec_id", qv.alias("qv"))
+
+    def plane_sum(p):
+        terms = F.transform(
+            F.col("qv"),
+            lambda x, i: x
+            * (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{p}:"), i.cast("string")).cast(
+                                    "binary"
+                                )
+                            ),
+                            1,
+                            2,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 16
+                )
+                - 8
+            ),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    code = None
+    for p in range(16):
+        bit = (plane_sum(p) >= 0).cast("long") * (1 << p)
+        code = bit if code is None else code + bit
+    coded = with_q.select("vec_id", code.alias("srp_code"))
+    w = Window.partitionBy("srp_code")
+    return coded.select(
+        "vec_id", "srp_code", F.count(F.lit(1)).over(w).alias("n_bucket")
+    )

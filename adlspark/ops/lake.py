@@ -390,3 +390,75 @@ def sink_csv_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("s_acctbal").alias("sum_bal"),
     )
+
+
+def _z_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB bit-interleave expression: z = interleave(a, b), a in odd
+    bit positions, b in even."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "lake_zorder_layout",
+    oracle=f"""
+WITH d AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_off
+  FROM orders
+), z AS (
+  SELECT o_custkey, day_off,
+         {_z_sql('o_custkey', 'day_off')} AS zval
+  FROM d
+)
+SELECT CAST(zval >> 28 AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       min(day_off) AS min_day, max(day_off) AS max_day
+FROM z GROUP BY bucket
+""",
+)
+def lake_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering for multi-dimensional data layout —
+    the Delta Lake OPTIMIZE ZORDER / Iceberg sort-order analogue, built
+    from plain bit arithmetic: interleave the bits of (o_custkey,
+    days-since-epoch) so that sorting by the single z-value co-locates
+    rows that are close in EITHER dimension. The result reports, per
+    top-4-bit z-bucket, the row count and the min/max of both source
+    dimensions: bounded ranges in both columns at once are exactly the
+    file-level min/max statistics that let a scan prune files for
+    predicates on custkey OR orderdate — the property a single-column
+    sort cannot provide.
+
+    Scale shape: the z-value is a pure narrow map (32 shift-and-mask
+    terms, whole-stage codegen); the bucket summary is one map-side
+    combinable aggregate on a 16-value key. In a real table rewrite the
+    same z-value feeds ``repartitionByRange(zval)`` + a sorted write —
+    a single range shuffle, the layout cost any clustering rewrite pays.
+    """
+    o = tables.load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01")))
+    z = None
+    for i in range(16):
+        t1 = F.shiftleft(
+            F.shiftright(F.col("o_custkey"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        t2 = F.shiftleft(
+            F.shiftright(F.col("day_off"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = t1 + t2 if z is None else z + t1 + t2
+    return (
+        o.select("o_custkey", day.alias("day_off"))
+        .select("o_custkey", "day_off", z.alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), 28).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day_off").alias("min_day"),
+            F.max("day_off").alias("max_day"),
+        )
+    )

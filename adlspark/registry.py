@@ -40,7 +40,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # ts_retention, llm_dedup_canonical, sink_csv_roundtrip, fn_struct,
 # subq_any_all, llm_pack_bins, llm_contamination_check,
 # llm_repetition_filter, llm_winnow_fingerprint, llm_minhash_signature
-# llm_bpe_pair_count (all green in
+# llm_bpe_pair_count, llm_srp_bits, llm_minhash_estimate,
+# lake_zorder_layout (all green in
 # local parity at sf0.001 and sf0.01), plus the rows-only
 # stream_tumbling_ohlc (streaming/batch equivalence pytest-asserted)
 # and llm_graph_pagerank (rows-only; mass-conservation pytest-asserted).
