@@ -577,3 +577,77 @@ def llm_srp_bits(spark, sf_dir):
     return coded.select(
         "vec_id", "srp_code", F.count(F.lit(1)).over(w).alias("n_bucket")
     )
+
+
+def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
+    """Lloyd's k-means over the embedding table. Deterministic init (the
+    k lowest vec_ids' embeddings), fixed iteration count. Returns
+    (assignment DataFrame, inertia-per-iteration list — empty unless
+    ``track_inertia``).
+
+    Scale shape — the canonical Spark KMeans pattern (what MLlib does):
+    centroids are k x dim doubles collected to the driver once per
+    iteration (bounded, independent of corpus size) and re-broadcast as
+    literals, so ASSIGNMENT is a pure narrow map (k squared-distance
+    aggregates over the vector, whole-stage codegen, no shuffle, no
+    UDF); the UPDATE is one posexplode + (cluster, dim)-keyed mean — a
+    map-side-combinable aggregate shuffling k*dim cells. Nothing else
+    touches the driver.
+    """
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = e.orderBy("vec_id").limit(k).collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in init]
+    inertia = []
+    assign = None
+    for _ in range(iters):
+        lits = [F.array(*[F.lit(c) for c in cen]) for cen in centroids]
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        lit,
+                        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                for lit in lits
+            ]
+        )
+        assign = e.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(
+                "cluster"
+            ),
+            F.array_min(dists).alias("sq_dist"),
+        )
+        if track_inertia:
+            inertia.append(assign.agg(F.sum("sq_dist")).collect()[0][0])
+        upd = (
+            assign.select("cluster", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: list(cen) for c, cen in enumerate(centroids)}
+        for r in upd:
+            new[r["cluster"]][r["pos"]] = float(r["m"])
+        centroids = [new[c] for c in range(k)]
+    return assign.select("vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")), inertia
+
+
+@query("llm_kmeans", oracle=None)
+def llm_kmeans(spark, sf_dir):
+    """K-means clustering of the embedding corpus (k=8, 5 Lloyd
+    iterations, deterministic seeding) — the workhorse for corpus
+    topic bucketing, domain-mixture analysis, and IVF coarse-quantizer
+    training (llm_ann_ivf's cell structure is exactly a k-means
+    codebook). Rows-only: the float iteration has no closed SQL form;
+    the pytest property suite asserts determinism, per-iteration
+    inertia monotonicity, and assignment optimality against the final
+    centroids.
+    """
+    df, _ = kmeans_fit(spark, sf_dir, k=8, iters=5)
+    return df

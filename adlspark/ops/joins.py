@@ -323,3 +323,65 @@ def join_skew_salted(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("sum_value"),
     )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+WITH top AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS win_start, count(*) AS n
+  FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+)
+SELECT t.user_id, t.win_start, count(*) AS n_events
+FROM top t JOIN events e
+  ON CAST(e.ts AS TIMESTAMP) >= t.win_start
+ AND CAST(e.ts AS TIMESTAMP) < t.win_start + INTERVAL 6 HOUR
+GROUP BY t.user_id, t.win_start
+""",
+)
+def join_interval_bucketed(spark, sf_dir):
+    """Pure range join (NO equi key) turned into an equi join by time
+    bucketing — the scale technique for point-in-interval joins that
+    would otherwise plan as a nested-loop scan of every (point,
+    interval) combination. Each interval (the 6-hour activity window
+    starting at a top-20 user's first event) is exploded into the
+    1-hour buckets it overlaps; each point carries its own hour bucket;
+    the join becomes bucket-equality plus a residual range check. An
+    interval covers at most 7 buckets and a point has exactly one, so
+    replication is bounded and no match is produced twice.
+
+    Scale shape: bucket explosion multiplies the SMALL side only (20
+    windows -> ~140 rows, broadcastable); the event side is a narrow
+    map adding its hour key. The plan is a broadcast hash join on the
+    bucket key — plan-asserted to contain no nested-loop join — and at
+    1000-executor scale the same shape holds with the window table
+    either broadcast or shuffled on the bucket key, never
+    all-pairs-compared.
+    """
+    ev = tables.events(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("win_start"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(20)
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 6 HOURS"))
+    )
+    wb = top.select(
+        "user_id",
+        "win_start",
+        "win_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("win_start")),
+                F.date_trunc("hour", F.col("win_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bkt"),
+    )
+    pt = ev.select(F.col("ts").alias("ets"), F.date_trunc("hour", F.col("ts")).alias("bkt"))
+    return (
+        pt.join(F.broadcast(wb), "bkt")
+        .where((F.col("ets") >= F.col("win_start")) & (F.col("ets") < F.col("win_end")))
+        .groupBy("user_id", "win_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

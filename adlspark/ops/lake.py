@@ -402,6 +402,51 @@ def _z_sql(a: str, b: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def zvalue(a, b, bits: int = 16):
+    """Spark Morton code: interleave the low ``bits`` of two NORMALIZED
+    integer columns (a in odd positions). Callers must pre-scale both
+    dimensions to the same bit width — raw values with unequal ranges
+    let the wider dimension own every high bit and the interleave
+    degenerates into a single-column sort."""
+    z = None
+    for i in range(bits):
+        t1 = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        t2 = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = t1 + t2 if z is None else z + t1 + t2
+    return z
+
+
+def zorder_orders(spark, sf_dir):
+    """Orders with a 32-bit z-value over (o_custkey, order-day), both
+    dimensions min-max normalized to 16-bit ranks with INTEGER
+    arithmetic (exact cross-engine; float scaling could flip a floor at
+    the last ulp). The stats row rides a broadcast cross join — the same
+    column-stats lookup a table-format z-order rewrite reads from its
+    metadata, never a driver collect."""
+    o = tables.load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01")))
+    d = o.select("o_custkey", day.alias("day_off"))
+    stats = d.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min("day_off").alias("lo_d"),
+        F.max("day_off").alias("hi_d"),
+    )
+    n = d.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "day_off",
+        F.expr(
+            "((o_custkey - lo_c) * 65535) div greatest(hi_c - lo_c, 1)"
+        ).alias("cust_n"),
+        F.expr("((day_off - lo_d) * 65535) div greatest(hi_d - lo_d, 1)").alias(
+            "day_n"
+        ),
+    )
+    return n.select(
+        "o_custkey", "day_off", zvalue(F.col("cust_n"), F.col("day_n")).alias("zval")
+    )
+
+
 @query(
     "lake_zorder_layout",
     oracle=f"""
@@ -409,10 +454,19 @@ WITH d AS (
   SELECT o_custkey,
          date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_off
   FROM orders
+), s AS (
+  SELECT min(o_custkey) AS lo_c, max(o_custkey) AS hi_c,
+         min(day_off) AS lo_d, max(day_off) AS hi_d
+  FROM d
+), nrm AS (
+  SELECT o_custkey, day_off,
+         ((o_custkey - lo_c) * 65535) // greatest(hi_c - lo_c, 1) AS cust_n,
+         ((day_off - lo_d) * 65535) // greatest(hi_d - lo_d, 1) AS day_n
+  FROM d CROSS JOIN s
 ), z AS (
   SELECT o_custkey, day_off,
-         {_z_sql('o_custkey', 'day_off')} AS zval
-  FROM d
+         {_z_sql('cust_n', 'day_n')} AS zval
+  FROM nrm
 )
 SELECT CAST(zval >> 28 AS BIGINT) AS bucket,
        count(*) AS n,
@@ -424,35 +478,27 @@ FROM z GROUP BY bucket
 def lake_zorder_layout(spark, sf_dir):
     """Z-order (Morton) clustering for multi-dimensional data layout —
     the Delta Lake OPTIMIZE ZORDER / Iceberg sort-order analogue, built
-    from plain bit arithmetic: interleave the bits of (o_custkey,
-    days-since-epoch) so that sorting by the single z-value co-locates
-    rows that are close in EITHER dimension. The result reports, per
-    top-4-bit z-bucket, the row count and the min/max of both source
-    dimensions: bounded ranges in both columns at once are exactly the
-    file-level min/max statistics that let a scan prune files for
-    predicates on custkey OR orderdate — the property a single-column
-    sort cannot provide.
+    from plain bit arithmetic: min-max normalize (o_custkey, order-day)
+    to 16-bit ranks, then interleave their bits so that sorting by the
+    single z-value co-locates rows that are close in EITHER dimension.
+    (The normalization is load-bearing: raw bit-interleave over columns
+    of unequal magnitude lets the wider column own all high bits —
+    plan-tested in test_zorder_layout_bounds_both_dimensions.) The
+    result reports, per top-4-bit z-bucket, the row count and min/max
+    of both source dimensions: bounded ranges in both columns at once
+    are exactly the file-level min/max statistics that let a scan prune
+    files for predicates on custkey OR orderdate — the property a
+    single-column sort cannot provide.
 
-    Scale shape: the z-value is a pure narrow map (32 shift-and-mask
-    terms, whole-stage codegen); the bucket summary is one map-side
-    combinable aggregate on a 16-value key. In a real table rewrite the
-    same z-value feeds ``repartitionByRange(zval)`` + a sorted write —
-    a single range shuffle, the layout cost any clustering rewrite pays.
+    Scale shape: normalization stats are one tiny broadcast aggregate;
+    the z-value is a pure narrow map (64 shift-and-mask terms,
+    whole-stage codegen); the bucket summary is one map-side combinable
+    aggregate on a 16-value key. In a real table rewrite the same
+    z-value feeds ``repartitionByRange(zval)`` + a sorted write — a
+    single range shuffle, the layout cost any clustering rewrite pays.
     """
-    o = tables.load(spark, sf_dir, "orders")
-    day = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1992-01-01")))
-    z = None
-    for i in range(16):
-        t1 = F.shiftleft(
-            F.shiftright(F.col("o_custkey"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-        t2 = F.shiftleft(
-            F.shiftright(F.col("day_off"), i).bitwiseAND(F.lit(1)), 2 * i
-        )
-        z = t1 + t2 if z is None else z + t1 + t2
     return (
-        o.select("o_custkey", day.alias("day_off"))
-        .select("o_custkey", "day_off", z.alias("zval"))
+        zorder_orders(spark, sf_dir)
         .groupBy(F.shiftright(F.col("zval"), 28).cast("long").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -41,10 +41,11 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # subq_any_all, llm_pack_bins, llm_contamination_check,
 # llm_repetition_filter, llm_winnow_fingerprint, llm_minhash_signature
 # llm_bpe_pair_count, llm_srp_bits, llm_minhash_estimate,
-# lake_zorder_layout (all green in
+# lake_zorder_layout, join_interval_bucketed (all green in
 # local parity at sf0.001 and sf0.01), plus the rows-only
-# stream_tumbling_ohlc (streaming/batch equivalence pytest-asserted)
-# and llm_graph_pagerank (rows-only; mass-conservation pytest-asserted).
+# stream_tumbling_ohlc (streaming/batch equivalence pytest-asserted),
+# llm_graph_pagerank (rows-only; mass-conservation pytest-asserted)
+# and llm_kmeans (rows-only; inertia-monotonicity pytest-asserted).
 # After them: (a) any r3 window FAILURES, (b) every key whose code or
 # output schema changes in round 4, (c) new keys — then rotate this
 # list's survivors to the back.

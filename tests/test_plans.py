@@ -187,3 +187,62 @@ def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
     would shuffle the whole token table against a scalar."""
     p = plan_of(spark, sf_dir, "llm_unigram_logprob")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_interval_bucketed_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketing rewrite must plan as a hash/merge equi join on the
+    bucket key; a BroadcastNestedLoopJoin here means the range predicate
+    leaked back into the join condition and the rewrite regressed."""
+    p = plan_of(spark, sf_dir, "join_interval_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """The pruning claim, measured the way a scan planner experiences it:
+    for a uniform point predicate on a column, the expected fraction of
+    files whose min/max range contains the point is avg(file span) /
+    domain. Under a z-order layout BOTH dimensions must have bounded
+    average span (individual files may straddle a z-curve high-bit jump
+    — that is inherent to Morton order — but the average stays low),
+    while a single-column sort leaves the other dimension's average span
+    at ~100%: every file is hit by every predicate on it."""
+    import pyspark.sql.functions as F
+
+    from adlspark.ops.lake import zorder_orders
+
+    zdf = zorder_orders(spark, sf_dir)
+
+    def avg_spans(df, order_col):
+        out = str(tmp_path / order_col)
+        df.repartitionByRange(8, order_col).sortWithinPartitions(
+            order_col
+        ).write.parquet(out)
+        per_file = (
+            spark.read.parquet(out)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("cs"),
+                (F.max("day_off") - F.min("day_off")).alias("ds"),
+            )
+            .collect()
+        )
+        assert len(per_file) >= 8
+        tot = df.agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+            (F.max("day_off") - F.min("day_off")).alias("d"),
+        ).collect()[0]
+        n = len(per_file)
+        return (
+            sum(r["cs"] for r in per_file) / n / tot["c"],
+            sum(r["ds"] for r in per_file) / n / tot["d"],
+        )
+
+    z_cust, z_day = avg_spans(zdf, "zval")
+    s_cust, s_day = avg_spans(zdf, "o_custkey")
+    # z-order: a predicate on either column prunes a real fraction of files
+    assert z_cust < 0.7 and z_day < 0.7, (z_cust, z_day)
+    # single-column sort: custkey prunes near-perfectly, day not at all —
+    # and z-order's day pruning must beat the single-sort layout's clearly
+    assert s_day > 0.9, s_day
+    assert z_day < s_day - 0.2, (z_day, s_day)

