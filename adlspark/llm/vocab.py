@@ -71,3 +71,98 @@ def llm_bpe_pair_count(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(50)
     )
+
+
+@query(
+    "llm_dsir_weight",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 4)
+              AS BIGINT) % 256 AS b
+  FROM documents
+), tgt AS (
+  SELECT CAST('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 4)
+              AS BIGINT) % 256 AS b
+  FROM documents WHERE lang = 'en'
+), tc AS (
+  SELECT b, count(*) AS nt FROM tgt GROUP BY b
+), sc AS (
+  SELECT b, count(*) AS ns FROM tok GROUP BY b
+), tot AS (
+  SELECT (SELECT count(*) FROM tgt) AS t_total,
+         (SELECT count(*) FROM tok) AS s_total
+), feat AS (
+  SELECT sc.b,
+         ln(((coalesce(tc.nt, 0) + 1.0) / (tot.t_total + 256))
+            / ((sc.ns + 1.0) / (tot.s_total + 256))) AS lw
+  FROM sc LEFT JOIN tc USING (b) CROSS JOIN tot
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       round(sum(feat.lw), 6) AS log_weight
+FROM tok JOIN feat USING (b)
+GROUP BY tok.doc_id
+""",
+)
+def llm_dsir_weight(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    per-document log importance weight log(p_target/p_source) under
+    hashed unigram feature distributions — the standard trick for
+    tilting a huge raw corpus toward a target domain (here: the 'en'
+    slice) without training a classifier. Documents are then kept with
+    probability proportional to exp(weight) (the resampling step rides
+    the same hash-bucket primitive as llm_train_split).
+
+    Engine-exactness: features are md5-hashed into 256 buckets (the
+    same engine-independent hash family as llm_minhash_signature);
+    Laplace +1 smoothing keeps every bucket's log finite; the only
+    float op is the final ln/sum, rounded to 6 places like
+    llm_unigram_logprob.
+
+    Scale shape: the feature table is 256 rows — a broadcast join
+    against the exploded token stream; both distribution counts are
+    map-side combinable aggregates; per-doc weights are one doc-keyed
+    sum. The corpus is scanned twice (target slice + full) and never
+    shuffled except by the 256-key counts and the doc-keyed final
+    aggregate — linear at any corpus size.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 256
+    ).alias("b")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "lang", bucket)
+    tc = tok.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    sc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("ns"))
+    totals = (
+        tok.agg(
+            F.count(F.lit(1)).alias("s_total"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("t_total"),
+        )
+    )
+    feat = (
+        sc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.log(
+                ((F.coalesce(F.col("nt"), F.lit(0)) + 1.0) / (F.col("t_total") + 256))
+                / ((F.col("ns") + 1.0) / (F.col("s_total") + 256))
+            ).alias("lw"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(feat), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lw"), 6).alias("log_weight"),
+        )
+    )

@@ -331,3 +331,25 @@ def stream_tumbling_ohlc(spark, sf_dir):
     name = "s_ohlc"
     _run(agg.writeStream.format("memory").outputMode("complete"), name)
     return spark.table(name)
+
+
+@query("stream_sliding_watermark")
+def stream_sliding_watermark(spark, sf_dir):
+    """Sliding 1-hour windows every 30 minutes per event_type in
+    streaming mode (complete output; each event folds into exactly two
+    window states — the state store holds one row per (window, type)).
+    Mirrors the batch ts_sliding key; streaming/batch equality is
+    pytest-asserted in test_streaming_equivalence."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_epoch"), "event_type", "n"
+        )
+    )
+    name = "s_sliding"
+    _run(agg.writeStream.format("memory").outputMode("complete"), name)
+    return spark.table(name)

@@ -273,3 +273,19 @@ def test_kmeans_inertia_monotone_and_assignment_optimal(spark, sf_dir):
         for r in rows
     )
     assert best <= cur + 1e-9
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """The semantic point of importance weighting: documents from the
+    target domain ('en') must have a higher mean log-weight than the
+    rest of the corpus — otherwise the tilt is broken even if the
+    arithmetic matches the oracle."""
+    from adlspark.registry import all_queries
+
+    w = all_queries()["llm_dsir_weight"](spark, sf_dir)
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = w.join(d, "doc_id").groupBy(F.col("lang") == "en").agg(
+        F.avg("log_weight").alias("m")
+    )
+    rows = {r[0]: r["m"] for r in j.collect()}
+    assert rows[True] > rows[False]

@@ -86,3 +86,22 @@ def test_stream_ohlc_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert s == b
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    """Complete-mode sliding windows must equal the batch sliding
+    aggregate exactly (no watermark, so no holdback)."""
+    from adlspark.streaming.streams import stream_sliding_watermark
+
+    streamed = stream_sliding_watermark(spark, sf_dir)
+    batch = (
+        tables.events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_epoch"), "event_type", "n"
+        )
+    )
+    s = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert s == b
