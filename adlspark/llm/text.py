@@ -830,3 +830,69 @@ def llm_repetition_filter(spark, sf_dir):
         F.round(ratio, 6).alias("top_bigram_ratio"),
         (ratio > 0.05).alias("is_repetitive"),
     )
+
+
+@query(
+    "llm_entropy_filter",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(text)),
+         i -> substring(text, CAST(i AS INT), 1))) AS c
+  FROM documents
+), cc AS (
+  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, sum(n) AS t FROM cc GROUP BY doc_id
+), h AS (
+  SELECT cc.doc_id,
+         CAST(tot.t AS BIGINT) AS n_chars_counted,
+         round(-sum((n / CAST(t AS DOUBLE)) * ln(n / CAST(t AS DOUBLE))), 6)
+           AS char_entropy
+  FROM cc JOIN tot USING (doc_id)
+  GROUP BY cc.doc_id, tot.t
+)
+SELECT doc_id, n_chars_counted, char_entropy,
+       char_entropy < 2.5 AS is_low_entropy
+FROM h
+""",
+)
+def llm_entropy_filter(spark, sf_dir):
+    """Character-level Shannon entropy per document — the classic cheap
+    gibberish/boilerplate detector (near-random byte soup scores high,
+    single-character or template spam scores low; both tails get cut
+    before expensive model-based scoring). Complements the word-level
+    signals (llm_text_quality, llm_repetition_filter) with a
+    sub-token-level one.
+
+    Scale shape: one char explode (linear, ~n_chars rows), a
+    (doc, char)-keyed count and a doc-keyed entropy sum — both
+    map-side combinable; all expressions JVM-side. The alphabet is
+    bounded (~tens of symbols), so the intermediate is at most
+    |alphabet| rows per doc regardless of document length.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cc.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t").cast("double")
+    h = (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id", "t")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
+        .select(
+            "doc_id",
+            F.col("t").cast("long").alias("n_chars_counted"),
+            "char_entropy",
+        )
+    )
+    return h.select(
+        "doc_id",
+        "n_chars_counted",
+        "char_entropy",
+        (F.col("char_entropy") < 2.5).alias("is_low_entropy"),
+    )

@@ -434,3 +434,54 @@ def fn_struct(spark, sf_dir):
         F.upper(F.col("rec.status")).alias("rec_status"),
         (F.col("rec.price") > 100000).alias("is_big"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc-'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&n='
+           || CAST(n_chars AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(url, '^([a-z]+):', 1) AS protocol
+FROM u
+""",
+)
+def fn_url(spark, sf_dir):
+    """URL parsing family over synthesized-but-deterministic URLs (the
+    fixture corpus has no URL column, so one is constructed from stable
+    fields — the parsing is what is under test). Spark's ``parse_url``
+    is the JVM-side fast path for host/path/query extraction — a web
+    crawl curation pipeline's first step (domain-level filtering,
+    URL dedup, per-site rate stats all key on these fields); the oracle
+    cross-checks it against pure-regex extraction semantics.
+    Narrow projection, codegen'd, zero shuffle at any scale.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

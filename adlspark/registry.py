@@ -41,7 +41,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # subq_any_all, llm_pack_bins, llm_contamination_check,
 # llm_repetition_filter, llm_winnow_fingerprint, llm_minhash_signature
 # llm_bpe_pair_count, llm_srp_bits, llm_minhash_estimate,
-# lake_zorder_layout, join_interval_bucketed, llm_dsir_weight (all green
+# lake_zorder_layout, join_interval_bucketed, llm_dsir_weight,
+# fn_url, llm_entropy_filter (all green
 # in local parity at sf0.001 and sf0.01), plus the rows-only
 # stream_tumbling_ohlc and stream_sliding_watermark (streaming/batch
 # equivalence pytest-asserted),
