@@ -42,6 +42,7 @@ HOT_LANG = "en"
 
 # Skew-sensitive keys: the salted join + hot-user aggregations over
 # events, and the lang-blocked pair/text kernels over documents.
+# Override with STRESS_KEYS="k1,k2" for targeted studies.
 KEYS = [
     "join_skew_salted",
     "ts_session",
@@ -128,9 +129,12 @@ def run(spark):
     from adlspark import registry
 
     qs = registry.all_queries()
+    keys = [
+        k for k in os.environ.get("STRESS_KEYS", "").split(",") if k
+    ] or KEYS
     # warm
     spark.read.parquet(os.path.join(DST, "region.parquet")).count()
-    for k in KEYS:
+    for k in keys:
         t0 = time.monotonic()
         df = qs[k](spark, DST)
         df.write.format("noop").mode("overwrite").save()
