@@ -11,6 +11,7 @@ cluster.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
@@ -438,5 +439,45 @@ def agg_histogram(spark, sf_dir):
             (F.col("bucket") * 50000.0).alias("bucket_lo"),
             "n",
             "sum_price",
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, count(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), r AS (
+  SELECT l_returnflag, l_quantity, n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity) AS rk
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_qty, n AS n_mode
+FROM r WHERE rk = 1
+""",
+)
+def agg_mode(spark, sf_dir):
+    """Statistical mode per group with a DETERMINISTIC tie-break (highest
+    count, then lowest value). Engine-native mode() functions leave tie
+    resolution unspecified — implementing it as count + row_number makes
+    the answer well-defined and cross-engine identical, and keeps the
+    shape scale-correct: the first aggregate is map-side combinable, the
+    window runs over the (group, distinct-value) table, which is
+    cardinality-bounded, not row-bounded."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("n_mode"),
         )
     )

@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
-from adlspark.ops.parity import DEC, O_DEC
+from adlspark.ops.parity import DEC, O_DEC, dsum, o_dsum
 from adlspark.registry import query
 
 
@@ -356,4 +356,60 @@ def ts_retention(spark, sf_dir):
         .where(F.col("w") >= F.col("cohort_w"))
         .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("weeks_since"))
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         {{o_dsum_value}} AS sx,
+         {{o_dsum_value2}} AS sxx
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         round((e.value - s.sx / s.n)
+               / sqrt((s.sxx - (s.sx * s.sx) / s.n) / (s.n - 1.0)), 6) AS zscore
+  FROM events e JOIN s USING (event_type)
+)
+SELECT event_id, event_type, value, zscore
+FROM z WHERE abs(zscore) > 3.0
+""".format(
+        o_dsum_value=o_dsum("value"),
+        o_dsum_value2=o_dsum("value * value"),
+    ),
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Z-score anomaly detection: events whose value deviates more than
+    3 standard deviations from their event_type's distribution. Uses the
+    agg_stats discipline — decimal-exact sufficient statistics (sums of
+    x, x² in DECIMAL(38,6), order-independent) and the identical IEEE
+    closed form in both engines, so the score is cross-engine stable
+    without native stddev's merge-order sensitivity.
+
+    Scale shape: one map-side-combinable stats aggregate (3 numbers per
+    event_type — a handful of groups, broadcastable), one broadcast join
+    back, one narrow filter. The event stream is scanned twice but never
+    shuffled; at 100 TB the stats side is metadata-sized. For drifting
+    distributions swap the global stats for a time-bucketed stats key
+    (same shape, composite join key).
+    """
+    ev = tables.events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("value")).alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = F.round(
+        (F.col("value") - sx / n)
+        / F.sqrt((sxx - (sx * sx) / n) / (n - F.lit(1.0))),
+        6,
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) > 3.0)
     )

@@ -42,7 +42,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # llm_repetition_filter, llm_winnow_fingerprint, llm_minhash_signature
 # llm_bpe_pair_count, llm_srp_bits, llm_minhash_estimate,
 # lake_zorder_layout, join_interval_bucketed, llm_dsir_weight,
-# fn_url, llm_entropy_filter (all green
+# fn_url, llm_entropy_filter, ts_anomaly_zscore, agg_mode (all green
 # in local parity at sf0.001 and sf0.01), plus the rows-only
 # stream_tumbling_ohlc and stream_sliding_watermark (streaming/batch
 # equivalence pytest-asserted),
