@@ -25,10 +25,18 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tolerance=None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """ASOF LEFT JOIN. ``tolerance``: optional max lookback as a Column
-    interval (e.g. ``F.expr("INTERVAL 1 HOUR")``) — matches older than
-    ``left.ts - tolerance`` are nulled out."""
+    """ASOF LEFT JOIN. ``tolerance``: optional max lookback (backward) /
+    lookahead (forward) as a Column interval (e.g. ``F.expr("INTERVAL 1
+    HOUR")``) — matches outside the horizon are nulled out.
+    ``direction``: 'backward' matches the most recent right row at or
+    before the left timestamp; 'forward' the earliest right row at or
+    after it (pandas merge_asof semantics). Forward runs the identical
+    one-window kernel with the time order reversed."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
     out_prefix = "asof_"
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
         "_ats", F.col(left_ts)
@@ -48,7 +56,7 @@ def asof_join(
     # tuple itself, so the carried row is deterministically the one with
     # the greatest right_cols value instead of whichever row the shuffle
     # happened to deliver last.
-    order = [F.col("_ats"), F.col("_side")]
+    order = [F.col("_ats").desc() if fwd else F.col("_ats"), F.col("_side")]
     if right_cols:
         order.append(F.struct(*[F.col(f"_r_{c}") for c in right_cols]))
     w = (
@@ -68,7 +76,10 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance is not None:
-        too_old = F.col(f"{out_prefix}ts") < (F.col(left_ts) - tolerance)
+        if fwd:
+            too_old = F.col(f"{out_prefix}ts") > (F.col(left_ts) + tolerance)
+        else:
+            too_old = F.col(f"{out_prefix}ts") < (F.col(left_ts) - tolerance)
         for c in right_cols:
             out = out.withColumn(
                 f"{out_prefix}{c}",

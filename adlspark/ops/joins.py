@@ -385,3 +385,51 @@ def join_interval_bucketed(spark, sf_dir):
         .groupBy("user_id", "win_start")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'error'),
+     pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'purchase')
+SELECT err.event_id AS error_id, err.user_id,
+       err.ts AS error_ts,
+       CASE WHEN pur.ts <= err.ts + INTERVAL 2 HOUR THEN pur.ts END
+         AS next_purchase_ts
+FROM err ASOF LEFT JOIN pur
+  ON err.user_id = pur.user_id AND err.ts <= pur.ts
+""",
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward-direction as-of join with a tolerance horizon: each error
+    event paired with the same user's NEXT purchase at-or-after it, but
+    only within 2 hours (the did-the-error-lose-the-sale query; pandas
+    ``merge_asof(direction='forward', tolerance=...)`` semantics). Same
+    single-window kernel as the backward key — one shuffle, no candidate
+    explosion — with the time order reversed; the tolerance is a pure
+    post-filter on the carried timestamp."""
+    from adlspark.ops.asof import asof_join
+
+    ev = tables.events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        errors,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=[],
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.col("asof_ts").alias("next_purchase_ts"),
+    )
