@@ -508,3 +508,133 @@ def lake_zorder_layout(spark, sf_dir):
             F.max("day_off").alias("max_day"),
         )
     )
+
+
+@query(
+    "lake_merge_upsert",
+    oracle="""
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 300 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'new-' || CAST(c_custkey AS VARCHAR),
+         c_nationkey, 0.0, 'INSERTED'
+  FROM customer WHERE c_custkey % 997 = 0
+)
+SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+       coalesce(u.c_name, b.c_name) AS c_name,
+       coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+       coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+       coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+       CASE WHEN b.c_custkey IS NULL THEN 'insert'
+            WHEN u.c_custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS merge_action
+FROM customer b FULL OUTER JOIN upd u USING (c_custkey)
+""",
+)
+def lake_merge_upsert(spark, sf_dir):
+    """Batch MERGE (upsert) semantics — the Delta/Iceberg ``MERGE INTO``
+    expressed as relational algebra: a deterministic updates batch
+    (every 300th customer's balance bumped + synthetic new customers)
+    merged into the base table; matched rows take the update's values,
+    unmatched updates insert, untouched base rows pass through, and
+    every row is tagged with its merge action. When ACID table-format
+    jars are available this function body becomes one MERGE statement;
+    the join shape is identical.
+
+    Scale shape: one full-outer shuffle join on the table key — with
+    the base table bucketed by key (see sink_bucketed_colocated_join)
+    the base side's exchange disappears and the merge cost is the
+    updates-batch shuffle only, which is the copy-on-write economics of
+    a real lakehouse MERGE."""
+    c = tables.load(spark, sf_dir, "customer")
+    upd = (
+        c.where(F.col("c_custkey") % 300 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 997 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                "c_nationkey",
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("INSERTED").alias("c_mktsegment"),
+            )
+        )
+    )
+    b, u = c.alias("b"), upd.alias("u")
+    merged = b.join(u, on="c_custkey", how="full_outer")
+    pick = lambda col: F.coalesce(F.col(f"u.{col}"), F.col(f"b.{col}")).alias(col)
+    return merged.select(
+        "c_custkey",
+        pick("c_name"),
+        pick("c_nationkey"),
+        pick("c_acctbal"),
+        pick("c_mktsegment"),
+        F.when(F.col("b.c_name").isNull(), "insert")
+        .when(F.col("u.c_name").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+@query("lake_compact_small_files")  # rows-only: filesystem side effects
+def lake_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the lake's OPTIMIZE primitive. A
+    deliberately fragmented staging of orders (64 tiny files — the
+    classic streaming-ingest pathology: listing cost, footer overhead
+    and task-per-file scheduling all scale with file count, not bytes)
+    is compacted to ceil(total_bytes / target) files and the before /
+    after file statistics are returned.
+
+    Scale shape: sizing reads the file LISTING only (path + length from
+    the binaryFile source's metadata columns — content is never
+    deserialized because only those columns are projected); the rewrite
+    uses ``coalesce``, a narrow dependency that merges input partitions
+    WITHOUT a shuffle — the whole compaction moves each byte exactly
+    once. Real table formats add a transactional swap on top; the data
+    movement is identical."""
+    import math
+
+    base = work_dir(sf_dir, "compaction")
+    frag = os.path.join(base, "fragmented")
+    compacted = os.path.join(base, "compacted")
+    shutil.rmtree(base, ignore_errors=True)
+    tables.load(spark, sf_dir, "orders").repartition(64).write.parquet(frag)
+
+    def listing(path):
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .load(path)
+            .select("path", "length")
+        )
+
+    before = listing(frag)
+    n_files, total = before.agg(
+        F.count(F.lit(1)), F.sum("length")
+    ).collect()[0]
+    target = 8 * 1024 * 1024  # 8 MiB demo target (128 MiB in production)
+    n_out = max(1, math.ceil(total / target))
+    spark.read.parquet(frag).coalesce(n_out).write.parquet(compacted)
+    after = listing(compacted)
+
+    def stats(df, phase):
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+            (F.sum("length") / F.count(F.lit(1))).cast("long").alias(
+                "avg_file_bytes"
+            ),
+        )
+
+    return stats(before, "before").unionByName(stats(after, "after"))

@@ -43,14 +43,16 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # llm_bpe_pair_count, llm_srp_bits, llm_minhash_estimate,
 # lake_zorder_layout, join_interval_bucketed, llm_dsir_weight,
 # fn_url, llm_entropy_filter, ts_anomaly_zscore, agg_mode,
-# join_asof_forward (all green
+# join_asof_forward, lake_merge_upsert (all green
 # in local parity at sf0.001 and sf0.01 — NOTE the shared asof kernel
 # gained the direction param in late r3, so join_asof also needs a
 # fresh driver verdict despite its r1 green), plus the rows-only
 # stream_tumbling_ohlc and stream_sliding_watermark (streaming/batch
 # equivalence pytest-asserted),
-# llm_graph_pagerank (rows-only; mass-conservation pytest-asserted)
-# and llm_kmeans (rows-only; inertia-monotonicity pytest-asserted).
+# llm_graph_pagerank (rows-only; mass-conservation pytest-asserted),
+# llm_kmeans (rows-only; inertia-monotonicity pytest-asserted)
+# and lake_compact_small_files (rows-only fs side effects;
+# file-count/row-preservation pytest-asserted).
 # After them: (a) any r3 window FAILURES, (b) every key whose code or
 # output schema changes in round 4, (c) new keys — then rotate this
 # list's survivors to the back.

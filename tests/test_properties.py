@@ -289,3 +289,25 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     )
     rows = {r[0]: r["m"] for r in j.collect()}
     assert rows[True] > rows[False]
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark, sf_dir):
+    """Compaction must reduce the file count without touching a row."""
+    from adlspark.registry import all_queries
+
+    rows = {
+        r["phase"]: r
+        for r in all_queries()["lake_compact_small_files"](spark, sf_dir).collect()
+    }
+    assert rows["after"]["n_files"] < rows["before"]["n_files"]
+    assert rows["after"]["n_files"] >= 1
+    # row preservation checked against the source table directly
+    from adlspark import tables
+    from adlspark.io.ingest import work_dir
+    import os
+
+    n_src = tables.load(spark, sf_dir, "orders").count()
+    n_after = spark.read.parquet(
+        os.path.join(work_dir(sf_dir, "compaction"), "compacted")
+    ).count()
+    assert n_after == n_src
