@@ -847,3 +847,83 @@ def llm_minhash_estimate(spark, sf_dir):
             (F.col("n_agree") / 8.0).alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+  FROM w
+), sig AS (
+  SELECT doc_id,
+         min(CAST('0x' || substring(md5('0:' || s), 1, 8) AS BIGINT)) AS sig0,
+         min(CAST('0x' || substring(md5('1:' || s), 1, 8) AS BIGINT)) AS sig1,
+         min(CAST('0x' || substring(md5('2:' || s), 1, 8) AS BIGINT)) AS sig2,
+         min(CAST('0x' || substring(md5('3:' || s), 1, 8) AS BIGINT)) AS sig3,
+         min(CAST('0x' || substring(md5('4:' || s), 1, 8) AS BIGINT)) AS sig4,
+         min(CAST('0x' || substring(md5('5:' || s), 1, 8) AS BIGINT)) AS sig5,
+         min(CAST('0x' || substring(md5('6:' || s), 1, 8) AS BIGINT)) AS sig6,
+         min(CAST('0x' || substring(md5('7:' || s), 1, 8) AS BIGINT)) AS sig7
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b,
+         CASE b WHEN 0 THEN sig0 WHEN 1 THEN sig2 WHEN 2 THEN sig4 ELSE sig6 END AS k1,
+         CASE b WHEN 0 THEN sig1 WHEN 1 THEN sig3 WHEN 2 THEN sig5 ELSE sig7 END AS k2
+  FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+)
+SELECT n.doc_id AS new_doc_id,
+       min(c.doc_id) AS matched_corpus_doc,
+       count(DISTINCT c.doc_id) AS n_matches
+FROM bands n JOIN bands c
+  ON n.b = c.b AND n.k1 = c.k1 AND n.k2 = c.k2
+WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+GROUP BY n.doc_id
+""",
+)
+def llm_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest deduplication: a NEW batch (every 10th doc)
+    probed against the EXISTING corpus's MinHash band index — the shape
+    a continuously-fed training pipeline actually runs (the corpus index
+    is persisted once; each arriving batch only hashes itself and joins
+    the bucket index; it never rescans corpus text). Emits, per new doc
+    that collides with the corpus in any band, the lowest matching
+    corpus doc and the distinct-match count — the drop/keep decision
+    input.
+
+    Scale shape: batch-side signature cost is proportional to the BATCH,
+    not the corpus; the probe is a bucket equi-join against the (doc,
+    band, key) index — at 100 TB the index is the only corpus-sized
+    artifact touched, and it shuffles on band-bucket keys exactly like
+    llm_dedup_minhash's self-join, minus the self part."""
+    sig = llm_minhash_signature(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.col(f"sig{2 * b}").alias("k1"),
+            F.col(f"sig{2 * b + 1}").alias("k2"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    bands = bands.localCheckpoint()
+    new = bands.where(F.col("doc_id") % 10 == 0).alias("n")
+    corpus = bands.where(F.col("doc_id") % 10 != 0).alias("c")
+    return (
+        new.join(
+            corpus,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.k1") == F.col("c.k1"))
+            & (F.col("n.k2") == F.col("c.k2")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc_id"))
+        .agg(
+            F.min(F.col("c.doc_id")).alias("matched_corpus_doc"),
+            F.countDistinct(F.col("c.doc_id")).alias("n_matches"),
+        )
+    )

@@ -485,6 +485,54 @@ def llm_embed_quantize(spark, sf_dir):
     )
 
 
+def srp_codes(e):
+    """16-bit sign-random-projection code per embedding row: int8-quantize
+    (llm_embed_quantize scheme), integer-project against md5-derived
+    hyperplanes in [-8, 7] (salt "plane:dim"), pack sign bits. Pure
+    narrow map, integer-exact cross-engine (see llm_srp_bits docstring).
+    Returns (vec_id, srp_code)."""
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    with_q = e.select("vec_id", qv.alias("qv"))
+
+    def plane_sum(p):
+        terms = F.transform(
+            F.col("qv"),
+            lambda x, i: x
+            * (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{p}:"), i.cast("string")).cast(
+                                    "binary"
+                                )
+                            ),
+                            1,
+                            2,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 16
+                )
+                - 8
+            ),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    code = None
+    for p in range(16):
+        bit = (plane_sum(p) >= 0).cast("long") * (1 << p)
+        code = bit if code is None else code + bit
+    return with_q.select("vec_id", code.alias("srp_code"))
+
+
 @query(
     "llm_srp_bits",
     oracle="""
@@ -533,46 +581,7 @@ def llm_srp_bits(spark, sf_dir):
     which is the same shuffle an ANN bucket join would pay anyway.
     """
     e = tables.load(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(
-            F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127
-            + F.lit(0.5)
-        ).cast("long"),
-    )
-    with_q = e.select("vec_id", qv.alias("qv"))
-
-    def plane_sum(p):
-        terms = F.transform(
-            F.col("qv"),
-            lambda x, i: x
-            * (
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(F.lit(f"{p}:"), i.cast("string")).cast(
-                                    "binary"
-                                )
-                            ),
-                            1,
-                            2,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 16
-                )
-                - 8
-            ),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
-
-    code = None
-    for p in range(16):
-        bit = (plane_sum(p) >= 0).cast("long") * (1 << p)
-        code = bit if code is None else code + bit
-    coded = with_q.select("vec_id", code.alias("srp_code"))
+    coded = srp_codes(e)
     w = Window.partitionBy("srp_code")
     return coded.select(
         "vec_id", "srp_code", F.count(F.lit(1)).over(w).alias("n_bucket")
@@ -651,3 +660,59 @@ def llm_kmeans(spark, sf_dir):
     """
     df, _ = kmeans_fit(spark, sf_dir, k=8, iters=5)
     return df
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127
+                           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+), planes AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(generate_series(1, len(qv)), i ->
+           qv[CAST(i AS INT)]
+           * ((CAST('0x' || substring(md5(CAST(p AS VARCHAR) || ':'
+                    || CAST(i - 1 AS VARCHAR)), 1, 2) AS BIGINT) % 16) - 8)))
+           AS s
+  FROM q, unnest(generate_series(0, 15)) AS t(p)
+), codes AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s >= 0 THEN 1 << CAST(p AS INT) ELSE 0 END)
+              AS BIGINT) AS srp_code
+  FROM planes GROUP BY vec_id
+)
+SELECT vec_id, srp_code,
+       min(vec_id) OVER (PARTITION BY srp_code) AS canonical_id,
+       vec_id = min(vec_id) OVER (PARTITION BY srp_code) AS keep
+FROM codes
+""",
+)
+def llm_semantic_dedup(spark, sf_dir):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, collapsed to
+    its LSH form): embeddings landing in the same sign-random-projection
+    bucket are semantic near-duplicates; each bucket keeps one canonical
+    representative (lowest id — deterministic) and marks the rest for
+    drop. This is the embedding-space rung of the dedup ladder (exact →
+    shingle/MinHash → SimHash → semantic): it removes *paraphrase*
+    duplicates that every lexical method misses.
+
+    Scale shape: code computation is the llm_srp_bits narrow map (no
+    shuffle, integer-exact); the canonical pick is one window keyed by
+    the 16-bit bucket code — the same single shuffle any per-bucket
+    reduction pays. At corpus scale buckets are bounded by the code
+    space, so no reducer sees more than corpus/65536-ish rows under
+    uniform hashing."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    coded = srp_codes(e)
+    w = Window.partitionBy("srp_code")
+    canonical = F.min("vec_id").over(w)
+    return coded.select(
+        "vec_id",
+        "srp_code",
+        canonical.alias("canonical_id"),
+        (F.col("vec_id") == canonical).alias("keep"),
+    )
