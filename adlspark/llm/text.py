@@ -896,3 +896,75 @@ def llm_entropy_filter(spark, sf_dir):
         "char_entropy",
         (F.col("char_entropy") < 2.5).alias("is_low_entropy"),
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM w WHERE len(toks) >= 2
+), bgc AS (
+  SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram
+), hc AS (
+  SELECT string_split(bigram, ' ')[1] AS head, sum(c2) AS c1
+  FROM bgc GROUP BY head
+)
+SELECT bg.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln(CAST(bgc.c2 AS DOUBLE) / hc.c1)), 6) AS avg_bigram_logprob
+FROM bg
+JOIN bgc USING (bigram)
+JOIN hc ON string_split(bg.bigram, ' ')[1] = hc.head
+GROUP BY bg.doc_id
+""",
+)
+def llm_bigram_logprob(spark, sf_dir):
+    """Bigram language-model quality score: each document's mean
+    conditional log-probability ln p(w_i | w_{i-1}) under corpus bigram
+    statistics — one Markov order above llm_unigram_logprob, and the
+    strongest cheap LM signal before a neural scorer (repetitive
+    boilerplate scores suspiciously HIGH, incoherent word soup scores
+    LOW; pipelines cut both tails). No smoothing is needed because
+    scored bigrams come from the same corpus as the counts.
+
+    Scale shape: one bigram explode (linear), bigram- and head-keyed
+    count aggregates (both map-side combinable, vocabulary²-bounded not
+    corpus-bounded), two token-keyed joins back, one doc-keyed average.
+    For real corpora the head-count table is broadcastable and the
+    bigram join shuffles on a well-distributed key."""
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text,' ')) - 2),"
+                    " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    hc = (
+        bgc.select(F.split("bigram", " ")[0].alias("head"), "c2")
+        .groupBy("head")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    return (
+        bg.join(bgc, "bigram")
+        .join(hc, F.split(F.col("bigram"), " ")[0] == F.col("head"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))), 6
+            ).alias("avg_bigram_logprob"),
+        )
+    )
