@@ -413,3 +413,69 @@ def ts_anomaly_zscore(spark, sf_dir):
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .where(F.abs(F.col("zscore")) > 3.0)
     )
+
+
+@query(
+    "ts_trend_slope",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id,
+         -- floor() matches Spark unix_timestamp's whole-second truncation
+         -- (DuckDB epoch() keeps fractional microseconds)
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS x,
+         value AS y
+  FROM events
+), s AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         {o_dsum('y')} AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy
+  FROM e GROUP BY user_id HAVING count(*) >= 2
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6)
+         AS slope_per_day
+FROM s
+""",
+)
+def ts_trend_slope(spark, sf_dir):
+    """Per-user linear trend: the least-squares slope of event value
+    over time (scaled to per-day units) — the standard drift/trend
+    detector for engagement or metric decay. Follows the agg_stats
+    discipline: order-independent DECIMAL(38,6) sufficient sums (n, Σx,
+    Σx², Σy, Σxy) then the identical IEEE closed form in both engines —
+    native regr_slope is merge-order sensitive and cross-engine
+    unstable.
+
+    Scale shape: one map-side-combinable aggregate shuffling five
+    numbers per user, one narrow projection. Nothing else — the
+    canonical sufficient-statistics reduction that holds at any scale.
+    """
+    ev = tables.events(spark, sf_dir)
+    x = F.unix_timestamp(F.col("ts")).cast(DEC)
+    y = F.col("value")
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            dsum(y).alias("sy"),
+            F.sum(x * y.cast(DEC)).cast("double").alias("sxy"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    return s.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6).alias(
+            "slope_per_day"
+        ),
+    )
