@@ -166,3 +166,69 @@ def llm_dsir_weight(spark, sf_dir):
             F.round(F.sum("lw"), 6).alias("log_weight"),
         )
     )
+
+
+@query(
+    "llm_mixture_weights",
+    oracle="""
+WITH t AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+  FROM t GROUP BY lang
+), tot AS (
+  SELECT sum(avail_tokens) AS total_tokens,
+         count(*) AS n_langs
+  FROM per_lang
+)
+SELECT lang, n_docs, avail_tokens,
+       round(1.0 / n_langs, 6) AS target_share,
+       round(least(1.0, (CAST(total_tokens AS DOUBLE) / n_langs)
+                        / avail_tokens), 6) AS sampling_rate,
+       CAST(floor(least(1.0, (CAST(total_tokens AS DOUBLE) / n_langs)
+                             / avail_tokens) * avail_tokens) AS BIGINT)
+         AS expected_tokens
+FROM per_lang CROSS JOIN tot
+""",
+)
+def llm_mixture_weights(spark, sf_dir):
+    """Training-mixture weighting: per-language sampling rates that tilt
+    the corpus toward a target mix (here: equal token share per
+    language) under the constraint that no slice is upsampled past 1.0
+    — the data-mixing step every multilingual training run performs
+    between curation and packing (cf. the hand-tuned mixture tables of
+    public LLM recipes). Rates then feed the deterministic hash-bucket
+    sampler (llm_stratified_sample / llm_train_split) to realize the
+    mix.
+
+    Scale shape: one narrow token-count map, one lang-keyed aggregate
+    (map-side combinable), a 1-row totals broadcast — the corpus never
+    shuffles; output is mixture-table-sized (one row per slice).
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    per_lang = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("avail_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("avail_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("total_tokens").cast("double") / F.col("n_langs"))
+        / F.col("avail_tokens"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        F.round(F.lit(1.0) / F.col("n_langs"), 6).alias("target_share"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.floor(rate * F.col("avail_tokens")).cast("long").alias(
+            "expected_tokens"
+        ),
+    )
