@@ -638,3 +638,76 @@ def lake_compact_small_files(spark, sf_dir):
         )
 
     return stats(before, "before").unionByName(stats(after, "after"))
+
+
+@query(
+    "lake_profile_columns",
+    oracle="""
+SELECT 'c_custkey' AS col_name,
+       count(*) AS n_rows,
+       count(*) - count(c_custkey) AS n_nulls,
+       count(DISTINCT c_custkey) AS n_distinct,
+       CAST(min(c_custkey) AS VARCHAR) AS min_str,
+       CAST(max(c_custkey) AS VARCHAR) AS max_str
+FROM customer
+UNION ALL
+SELECT 'c_name', count(*), count(*) - count(c_name),
+       count(DISTINCT c_name), min(c_name), max(c_name)
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+       count(DISTINCT c_nationkey),
+       CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+       count(DISTINCT c_acctbal),
+       CAST(CAST(min(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR),
+       CAST(CAST(max(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+       count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+FROM customer
+""",
+)
+def lake_profile_columns(spark, sf_dir):
+    """Column-level data profiling — the catalog-quality stats a lake
+    publishes per dataset (what AWS Glue data profiling / Deequ
+    analyzers compute): per column, row count, null count, exact
+    distinct count, and min/max rendered as strings so heterogeneous
+    column types share one result schema. Doubles are normalized
+    through DECIMAL(18,2) before rendering (both engines print
+    '9999.99', avoiding float repr divergence).
+
+    Scale shape: one pass per column over a column-pruned scan — each
+    aggregate is map-side combinable; the count(DISTINCT) is the only
+    shuffle per column and can be swapped for approx_count_distinct at
+    100 TB (same plan otherwise; the exact form is kept here because
+    the oracle must agree). Profiles are per-table metadata-sized
+    outputs that append to the catalog log."""
+    c = tables.load(spark, sf_dir, "customer")
+
+    def prof(col, render=None):
+        r = render or (lambda x: x.cast("string"))
+        return c.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(col))).alias("n_nulls"),
+            F.countDistinct(F.col(col)).alias("n_distinct"),
+            r(F.min(F.col(col))).alias("min_str"),
+            r(F.max(F.col(col))).alias("max_str"),
+        )
+
+    dec2 = lambda x: x.cast("decimal(18,2)").cast("string")
+    out = None
+    for col, render in (
+        ("c_custkey", None),
+        ("c_name", None),
+        ("c_nationkey", None),
+        ("c_acctbal", dec2),
+        ("c_mktsegment", None),
+    ):
+        p = prof(col, render)
+        out = p if out is None else out.unionByName(p)
+    return out
