@@ -711,3 +711,67 @@ def lake_profile_columns(spark, sf_dir):
         p = prof(col, render)
         out = p if out is None else out.unionByName(p)
     return out
+
+
+@query(
+    "lake_schema_diff",
+    oracle="""
+WITH v1(col_name, col_type) AS (VALUES
+  ('c_custkey', 'bigint'), ('c_name', 'string'), ('c_nationkey', 'int'),
+  ('c_acctbal', 'double'), ('c_mktsegment', 'string')
+), v2(col_name, col_type) AS (VALUES
+  ('c_custkey', 'bigint'), ('c_name', 'string'), ('c_nationkey', 'bigint'),
+  ('c_acctbal', 'double'), ('c_phone', 'string')
+)
+SELECT coalesce(v1.col_name, v2.col_name) AS col_name,
+       v1.col_type AS old_type,
+       v2.col_type AS new_type,
+       CASE WHEN v1.col_name IS NULL THEN 'added'
+            WHEN v2.col_name IS NULL THEN 'removed'
+            ELSE 'retyped' END AS change
+FROM v1 FULL OUTER JOIN v2 USING (col_name)
+WHERE v1.col_name IS NULL OR v2.col_name IS NULL
+   OR v1.col_type <> v2.col_type
+""",
+)
+def lake_schema_diff(spark, sf_dir):
+    """Schema-drift diff between two catalog versions of a table — the
+    alerting primitive behind ingest_schema_evolution's policy decisions
+    (added column → widen, removed → alert, retyped → quarantine or
+    widen). Version 1 is the LIVE customer schema read from the real
+    DataFrame (name:type per field, the catalog's schema_sig fidelity);
+    version 2 is the drifted re-ingest shape (c_nationkey widened
+    int→bigint, c_mktsegment dropped, c_phone added). The diff is a
+    full-outer join on column name — added / removed / retyped rows
+    fall out of the null pattern.
+
+    Scale shape: schema rows are metadata (a handful per table version,
+    from catalog entries — never a data scan); the diff join is
+    metadata-sized at any lake size."""
+    import pandas as pd
+
+    c = tables.load(spark, sf_dir, "customer")
+    v1_rows = [(f.name, f.dataType.simpleString()) for f in c.schema.fields]
+    drift = {"c_nationkey": "bigint"}
+    v2_rows = [
+        (n, drift.get(n, t)) for n, t in v1_rows if n != "c_mktsegment"
+    ] + [("c_phone", "string")]
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["col_name", "col_type"]),
+        "col_name string, col_type string",
+    )
+    v1, v2 = mk(v1_rows).alias("v1"), mk(v2_rows).alias("v2")
+    j = v1.join(v2, on="col_name", how="full_outer")
+    return j.select(
+        "col_name",
+        F.col("v1.col_type").alias("old_type"),
+        F.col("v2.col_type").alias("new_type"),
+        F.when(F.col("v1.col_type").isNull(), "added")
+        .when(F.col("v2.col_type").isNull(), "removed")
+        .otherwise("retyped")
+        .alias("change"),
+    ).where(
+        F.col("v1.col_type").isNull()
+        | F.col("v2.col_type").isNull()
+        | (F.col("v1.col_type") != F.col("v2.col_type"))
+    )
