@@ -968,3 +968,66 @@ def llm_bigram_logprob(spark, sf_dir):
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+@query(
+    "llm_url_dedup",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://' || upper(source) || '.Example.COM:443/' || lang
+           || '/page-' || CAST(doc_id % 50 AS VARCHAR)
+           || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) AS raw_url
+  FROM documents
+), n AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/:]+)', 1))
+           || regexp_replace(
+                regexp_extract(raw_url, '^[A-Za-z]+://[^/]+(/[^?#]*)', 1),
+                '/$', '')
+           AS canon_url
+  FROM u
+)
+SELECT canon_url,
+       min(doc_id) AS canonical_doc,
+       count(*) AS n_dups
+FROM n GROUP BY canon_url
+""",
+)
+def llm_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup — the first dedup rung of a web-crawl
+    pipeline, BEFORE any content hashing: lowercase the host, drop the
+    scheme, default port, query string (tracking params) and trailing
+    slash, then group by the canonical URL and keep the lowest doc id.
+    The fixture synthesizes messy-but-deterministic raw URLs (mixed
+    case, :443, utm tracking params, doc_id%50 collisions) so the
+    canonicalizer has real work to do.
+
+    Scale shape: canonicalization is a pure narrow regex map (JVM-side,
+    codegen); the dedup is one group-by on the canonical key — at crawl
+    scale this single shuffle replaces content hashing for the ~30% of
+    duplicates that are URL-level, which is why pipelines run it first.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.lower(F.regexp_extract(raw, "^[A-Za-z]+://([^/:]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(raw, "^[A-Za-z]+://[^/]+(/[^?#]*)", 1), "/$", ""
+    )
+    return (
+        d.select("doc_id", F.concat(host, path).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

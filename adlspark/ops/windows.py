@@ -313,3 +313,65 @@ def win_cume_pct(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         "bal_bucket",
     )
+
+
+@query(
+    "win_streak",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE user_id < 50
+), g AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, grp, count(*) AS streak_len, min(day) AS streak_start
+  FROM g GROUP BY user_id, grp
+), r AS (
+  SELECT user_id, streak_len, streak_start,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, streak_start) AS rk
+  FROM s
+)
+SELECT user_id, streak_len AS longest_streak_days, streak_start
+FROM r WHERE rk = 1
+""",
+)
+def win_streak(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands window pattern (day minus dense row_number is
+    constant within a run of consecutive days, so runs fall out of one
+    group-by), used for engagement/retention features. Deterministic
+    tie-break: earliest streak wins.
+
+    Scale shape: distinct (user, day) first — collapses event volume to
+    at most users x days; then two user-partitioned windows and two
+    map-side-combinable aggregates, all on the same user-keyed shuffle.
+    The user filter keeps fixture output reviewable; the plan shape is
+    unchanged without it."""
+    ev = tables.events(spark, sf_dir).where(F.col("user_id") < 50)
+    d = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    rw = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )

@@ -45,7 +45,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # fn_url, llm_entropy_filter, ts_anomaly_zscore, agg_mode,
 # join_asof_forward, lake_merge_upsert, llm_semantic_dedup,
 # llm_incremental_dedup, llm_bigram_logprob, ts_trend_slope,
-# llm_mixture_weights, lake_profile_columns, lake_schema_diff (all green
+# llm_mixture_weights, lake_profile_columns, lake_schema_diff,
+# win_streak, llm_url_dedup (all green
 # in local parity at sf0.001 and sf0.01 — NOTE the shared asof kernel
 # gained the direction param in late r3, so join_asof also needs a
 # fresh driver verdict despite its r1 green), plus the rows-only
