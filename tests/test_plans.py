@@ -59,7 +59,18 @@ def test_topk_is_take_ordered(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "key",
-    ["join_theta_range", "join_interval", "join_asof", "llm_near_dup_pairs"],
+    [
+        "join_theta_range",
+        "join_interval",
+        "join_asof",
+        "join_asof_forward",
+        "join_interval_bucketed",
+        "llm_near_dup_pairs",
+        "llm_minhash_estimate",
+        "llm_incremental_dedup",
+        "lake_merge_upsert",
+        "llm_bigram_logprob",
+    ],
 )
 def test_no_cartesian_product(key, spark, sf_dir):
     """Range/interval/as-of joins must ride their equi conjunct (or a
@@ -246,3 +257,14 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     # and z-order's day pruning must beat the single-sort layout's clearly
     assert s_day > 0.9, s_day
     assert z_day < s_day - 0.2, (z_day, s_day)
+
+
+def test_semantic_dedup_single_shuffle(spark, sf_dir):
+    """The SRP code computation must stay a narrow map: exactly one
+    Exchange (the bucket-code window) in the whole plan."""
+    p = plan_of(spark, sf_dir, "llm_semantic_dedup")
+    import re
+
+    n_exchanges = len(re.findall(r"\bExchange\b", p))
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{p[:2000]}"
+    assert "Window" in p
