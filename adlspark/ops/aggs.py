@@ -481,3 +481,21 @@ def agg_mode(spark, sf_dir):
             F.col("n").alias("n_mode"),
         )
     )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch quantiles differ per engine
+def agg_approx_percentile(spark, sf_dir):
+    """Approximate percentiles via Spark's Greenwald-Khanna-style sketch
+    (approx_percentile, accuracy 10000 ≈ 0.01% rank error) — the 100 TB
+    path where the exact form (agg_percentile) would sort-or-collect
+    full value distributions per group. The sketch is mergeable, so the
+    aggregate stays one map-side-combinable shuffle of sketch state per
+    group; rows-only because sketch boundaries are engine-specific
+    (the exact key next to it carries the value verification)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "p50_p95_p99"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

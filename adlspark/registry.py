@@ -54,8 +54,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # equivalence pytest-asserted),
 # llm_graph_pagerank (rows-only; mass-conservation pytest-asserted),
 # llm_kmeans (rows-only; inertia-monotonicity pytest-asserted)
-# and lake_compact_small_files (rows-only fs side effects;
-# file-count/row-preservation pytest-asserted).
+# lake_compact_small_files (rows-only fs side effects;
+# file-count/row-preservation pytest-asserted) and
+# agg_approx_percentile (rows-only sketch, by design like
+# agg_approx_distinct).
 # After them: (a) any r3 window FAILURES, (b) every key whose code or
 # output schema changes in round 4, (c) new keys — then rotate this
 # list's survivors to the back.
