@@ -927,3 +927,62 @@ def llm_incremental_dedup(spark, sf_dir):
             F.countDistinct(F.col("c.doc_id")).alias("n_matches"),
         )
     )
+
+
+@query(
+    "llm_prefix_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, n_chars FROM documents
+), k AS (
+  SELECT doc_id, text, n_chars,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS head5
+  FROM d
+), cand AS (
+  SELECT a.doc_id AS short_doc, b.doc_id AS long_doc,
+         a.text AS a_text, b.text AS b_text
+  FROM k a JOIN k b
+    ON a.head5 = b.head5 AND a.doc_id <> b.doc_id
+   AND (len(a.text) < len(b.text)
+        OR (len(a.text) = len(b.text) AND a.doc_id < b.doc_id))
+)
+SELECT short_doc, long_doc,
+       len(a_text) AS prefix_len
+FROM cand
+WHERE substring(b_text, 1, len(a_text)) = a_text
+""",
+)
+def llm_prefix_dedup(spark, sf_dir):
+    """Truncation-duplicate detection: documents whose ENTIRE text is a
+    prefix of another document — the snippet/preview/cut-off-crawl dup
+    class that whole-document hashing misses (hashes differ) and
+    Jaccard under-scores (the long doc dilutes the overlap). Pairs
+    (short, long) where short's full text prefixes long's; equal-length
+    pairs (exact dups) are oriented by id to avoid double-reporting.
+
+    Scale shape: candidates are generated by a first-5-tokens bucket
+    join — prefixes MUST share their opening tokens, so the bucket key
+    is a provably complete blocking scheme (no false negatives) with
+    bounded buckets on natural text; verification is one substring
+    comparison per candidate, JVM-side. Never all-pairs."""
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    k = d.select(
+        "doc_id",
+        "text",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("head5"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    la, lb = F.length(F.col("a.text")), F.length(F.col("b.text"))
+    cand = a.join(
+        b,
+        (F.col("a.head5") == F.col("b.head5"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & ((la < lb) | ((la == lb) & (F.col("a.doc_id") < F.col("b.doc_id")))),
+    )
+    return cand.where(
+        F.expr("substring(b.text, 1, length(a.text))") == F.col("a.text")
+    ).select(
+        F.col("a.doc_id").alias("short_doc"),
+        F.col("b.doc_id").alias("long_doc"),
+        F.length(F.col("a.text")).alias("prefix_len"),
+    )

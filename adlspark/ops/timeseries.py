@@ -479,3 +479,52 @@ def ts_trend_slope(spark, sf_dir):
             "slope_per_day"
         ),
     )
+
+
+@query(
+    "ts_seasonality",
+    oracle=f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+         value
+  FROM events
+), p AS (
+  SELECT event_type, hr, count(*) AS n,
+         {{o_dsum_v}} AS sum_value
+  FROM h GROUP BY event_type, hr
+), r AS (
+  SELECT event_type, hr, n, sum_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hr) AS rk
+  FROM p
+)
+SELECT event_type, hr, n, sum_value, (rk = 1) AS is_peak_hour
+FROM r
+""".format(o_dsum_v=o_dsum("value")),
+)
+def ts_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type, with the peak
+    hour flagged (deterministic tie-break: earliest hour) — the daily
+    activity fingerprint behind load forecasting and anomaly baselining
+    (an hourly z-score baseline would key ts_anomaly_zscore's stats by
+    this profile's buckets).
+
+    Scale shape: one map-side-combinable aggregate onto at most
+    |types| x 24 rows, then a window over that tiny profile — event
+    volume never reaches the window."""
+    ev = tables.events(spark, sf_dir)
+    p = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("hr"))
+    return p.withColumn("rk", F.row_number().over(w)).select(
+        "event_type",
+        "hr",
+        "n",
+        "sum_value",
+        (F.col("rk") == 1).alias("is_peak_hour"),
+    )

@@ -46,7 +46,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # join_asof_forward, lake_merge_upsert, llm_semantic_dedup,
 # llm_incremental_dedup, llm_bigram_logprob, ts_trend_slope,
 # llm_mixture_weights, lake_profile_columns, lake_schema_diff,
-# win_streak, llm_url_dedup (all green
+# win_streak, llm_url_dedup, llm_prefix_dedup, ts_seasonality (all green
 # in local parity at sf0.001 and sf0.01 — NOTE the shared asof kernel
 # gained the direction param in late r3, so join_asof also needs a
 # fresh driver verdict despite its r1 green), plus the rows-only
