@@ -959,7 +959,7 @@ def llm_bigram_logprob(spark, sf_dir):
     )
     return (
         bg.join(bgc, "bigram")
-        .join(hc, F.split(F.col("bigram"), " ")[0] == F.col("head"))
+        .join(F.broadcast(hc), F.split(F.col("bigram"), " ")[0] == F.col("head"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
