@@ -283,3 +283,19 @@ def test_mm_frame_sample_deterministic(spark, sf_dir):
             r2.n_frames, r2.n_sampled, r2.f0_first, r2.f0_mean,
         )
         assert r.n_sampled == math.ceil(r.n_frames / 4)
+
+
+def test_registry_verification_window_is_pinned():
+    """The external harness verifies the FIRST ~50 registry keys; the
+    round-3 window was hand-chosen to cover every key lacking a driver
+    verdict (registry._ROUND3_FRONT). An accidental reorder — a module
+    import shuffled, a key renamed — would silently burn the round's
+    verification budget on already-green keys, so the order is pinned."""
+    from adlspark.registry import _ROUND3_FRONT, all_queries
+
+    keys = list(all_queries())
+    assert len(_ROUND3_FRONT) == 50
+    assert keys[:50] == _ROUND3_FRONT, (
+        "first-50 registry keys diverge from the planned verification window"
+    )
+    assert len(keys) == len(set(keys))
