@@ -35,105 +35,76 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-# ROUND-4 TODO: the r3 window is exactly full (50), so the late-r3
-# keys have NO driver verdict yet and MUST lead the round-4 front list:
-# ts_retention, llm_dedup_canonical, sink_csv_roundtrip, fn_struct,
-# subq_any_all, llm_pack_bins, llm_contamination_check,
-# llm_repetition_filter, llm_winnow_fingerprint, llm_minhash_signature
-# llm_bpe_pair_count, llm_srp_bits, llm_minhash_estimate,
-# lake_zorder_layout, join_interval_bucketed, llm_dsir_weight,
-# fn_url, llm_entropy_filter, ts_anomaly_zscore, agg_mode,
-# join_asof_forward, lake_merge_upsert, llm_semantic_dedup,
-# llm_incremental_dedup, llm_bigram_logprob, ts_trend_slope,
-# llm_mixture_weights, lake_profile_columns, lake_schema_diff,
-# win_streak, llm_url_dedup, llm_prefix_dedup, ts_seasonality (all green
-# in local parity at sf0.001 and sf0.01 — NOTE the shared asof kernel
-# gained the direction param in late r3, so join_asof also needs a
-# fresh driver verdict despite its r1 green), plus the rows-only
-# stream_tumbling_ohlc and stream_sliding_watermark (streaming/batch
-# equivalence pytest-asserted),
-# llm_graph_pagerank (rows-only; mass-conservation pytest-asserted),
-# llm_kmeans (rows-only; inertia-monotonicity pytest-asserted)
-# lake_compact_small_files (rows-only fs side effects;
-# file-count/row-preservation pytest-asserted) and
-# agg_approx_percentile (rows-only sketch, by design like
-# agg_approx_distinct).
-# After them: (a) any r3 window FAILURES, (b) every key whose code or
-# output schema changes in round 4, (c) new keys — then rotate this
-# list's survivors to the back.
-#
 # Keys the external harness must judge THIS round, most-urgent first.
 # The driver verifies the first ~50 keys of queries(); everything here has
-# either (a) a round-1 failure fixed since its last verdict, (b) code or
-# output schema changed after its last green verdict, or (c) no driver
-# verdict at all yet. Keys absent from this list keep their r1/r2 verdicts
-# because their code is unchanged; they rotate to the back of the queue.
-_ROUND3_FRONT = [
-    # (a) failed r1, rewritten in r2, green locally — need external re-judge
-    "agg_stats",
-    "agg_collect_sorted",
-    "win_rank_dense",
-    # (b) changed after last verdict: catalog hashing distributed (r3),
-    # search_tokens tokenization fixed (r3), output schema changed in r2
-    "catalog_entries",
-    "catalog_persistent",
-    "catalog_search_tokens",
-    # (b) changed in r3: pii email-regex escaping, prefix-filter kernel
-    # gained the positional filter (near_dup_pairs + ngram_jaccard +
-    # dedup_cluster share it), env-derived block count (threshold_join +
-    # embed_near_dup share the block-matmul)
-    "llm_pii_scrub",
-    "llm_ngram_jaccard",
-    "llm_near_dup_pairs",
-    "llm_dedup_cluster",
-    "llm_sim_threshold_join",
-    "llm_embed_near_dup",
-    # (d) NEW in round 3 — first driver verdict this round
-    "llm_doc_chunk",
-    "llm_unigram_logprob",
-    "agg_histogram",
-    "ts_resample_ohlc",
-    "llm_stratified_sample",
-    "llm_token_histogram",
-    # (c) never in any driver window
-    "subq_scalar",
-    "subq_in",
-    "subq_exists_corr",
-    "subq_lateral",
-    "subq_not_in_null",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    "sort_multi",
-    "limit_topk",
-    "win_first_last",
-    "win_nth_value",
-    "win_cume_pct",
-    "ts_gap_fill",
-    "ts_funnel",
-    "udf_python",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_grouped_map",
-    "udf_map_in_pandas",
-    "udtf_python",
-    "stream_tumbling_watermark",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_stateful_count",
-    "stream_foreach_batch_upsert",
-    "stream_transform_with_state",
-    "stream_stream_join",
+# either (a) no driver verdict at all yet (landed after the round-3 window
+# filled at exactly 50), (b) code or output schema changed after its last
+# green verdict, or (c) is new in round 4. Keys absent from this list keep
+# their r1/r2/r3 verdicts because their code is unchanged; they rotate to
+# the back of the queue.
+#
+# NOTE: CORRECTNESS_r03.json was never written to the repo by the driver,
+# so the round-3 window (_ROUND3_FRONT in git history @71fc38f: the
+# fixed-unverified trio, catalog keys, changed llm kernels, subq/setops/
+# sorts/udf/stream families) carries no recorded external verdict either.
+# Those 50 keys stay green in local parity at sf0.001 AND sf0.01 and were
+# clean in the end-of-round full driver simulation (COVERAGE.md); the 39
+# late-r3 keys below have had NO window slot at all, so they take priority.
+# ROUND-5 TODO: if CORRECTNESS_r04 again lacks verdicts for the old
+# _ROUND3_FRONT keys, re-front-load them in round 5.
+_ROUND4_FRONT = [
+    # (a) landed after the r3 window filled — first driver verdict now
+    "ts_retention",
+    "llm_dedup_canonical",
+    "sink_csv_roundtrip",
+    "fn_struct",
+    "subq_any_all",
+    "llm_pack_bins",
+    "llm_contamination_check",
+    "llm_repetition_filter",
+    "llm_winnow_fingerprint",
+    "llm_minhash_signature",
+    "llm_bpe_pair_count",
+    "llm_srp_bits",
+    "llm_minhash_estimate",
+    "lake_zorder_layout",
+    "join_interval_bucketed",
+    "llm_dsir_weight",
+    "fn_url",
+    "llm_entropy_filter",
+    "ts_anomaly_zscore",
+    "agg_mode",
+    "join_asof_forward",
+    "lake_merge_upsert",
+    "llm_semantic_dedup",
+    "llm_incremental_dedup",
+    "llm_bigram_logprob",
+    "ts_trend_slope",
+    "llm_mixture_weights",
+    "lake_profile_columns",
+    "lake_schema_diff",
+    "win_streak",
+    "llm_url_dedup",
+    "llm_prefix_dedup",
+    "ts_seasonality",
+    # (a) rows-only late-r3 keys (pytest-asserted invariants; the driver
+    # records the weaker ran-without-error check)
+    "stream_tumbling_ohlc",
+    "stream_sliding_watermark",
+    "llm_graph_pagerank",
+    "llm_kmeans",
+    "lake_compact_small_files",
+    "agg_approx_percentile",
+    # (b) the shared asof kernel gained the direction param in late r3, so
+    # join_asof needs a fresh verdict despite its r1 green
+    "join_asof",
+    # (c) new / changed in round 4 — appended as the round progresses
 ]
 
 
 def _ordered(mapping: dict) -> dict:
-    """Front-load _ROUND3_FRONT (in list order), then registration order."""
-    front = {k: mapping[k] for k in _ROUND3_FRONT if k in mapping}
+    """Front-load _ROUND4_FRONT (in list order), then registration order."""
+    front = {k: mapping[k] for k in _ROUND4_FRONT if k in mapping}
     rest = {k: v for k, v in mapping.items() if k not in front}
     return {**front, **rest}
 
@@ -160,11 +131,12 @@ def _load_all() -> None:
     green in a previous round rotate to the back of the queue.
 
     Round-1 window verified scans/filters/joins/aggs/windows; round 2
-    front-loaded llm/multimodal/catalog/functions/timeseries. Round 3's
-    window is now driven by the explicit ``_ROUND3_FRONT`` list above
-    (fixed-unverified keys, keys changed since their last verdict, and the
-    32 never-windowed keys), applied in ``_ordered`` — module import order
-    below only decides the tail.
+    front-loaded llm/multimodal/catalog/functions/timeseries; round 3
+    covered the fixed-unverified and never-windowed backlog. Round 4's
+    window is the explicit ``_ROUND4_FRONT`` list above (the 39 keys that
+    landed after the r3 window filled, the rows-only late arrivals, and
+    join_asof whose kernel changed), applied in ``_ordered`` — module
+    import order below only decides the tail.
     """
     global _LOADED
     if _LOADED:

@@ -287,15 +287,16 @@ def test_mm_frame_sample_deterministic(spark, sf_dir):
 
 def test_registry_verification_window_is_pinned():
     """The external harness verifies the FIRST ~50 registry keys; the
-    round-3 window was hand-chosen to cover every key lacking a driver
-    verdict (registry._ROUND3_FRONT). An accidental reorder — a module
+    round-4 window was hand-chosen to cover every key lacking a driver
+    verdict (registry._ROUND4_FRONT). An accidental reorder — a module
     import shuffled, a key renamed — would silently burn the round's
     verification budget on already-green keys, so the order is pinned."""
-    from adlspark.registry import _ROUND3_FRONT, all_queries
+    from adlspark.registry import _ROUND4_FRONT, all_queries
 
     keys = list(all_queries())
-    assert len(_ROUND3_FRONT) == 50
-    assert keys[:50] == _ROUND3_FRONT, (
-        "first-50 registry keys diverge from the planned verification window"
+    assert len(_ROUND4_FRONT) <= 50
+    n = len(_ROUND4_FRONT)
+    assert keys[:n] == _ROUND4_FRONT, (
+        "first registry keys diverge from the planned verification window"
     )
     assert len(keys) == len(set(keys))
