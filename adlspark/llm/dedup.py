@@ -986,3 +986,99 @@ def llm_prefix_dedup(spark, sf_dir):
         F.col("b.doc_id").alias("long_doc"),
         F.length(F.col("a.text")).alias("prefix_len"),
     )
+
+
+@query(
+    "llm_substring_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), w AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS wh
+  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+), dup AS (
+  SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+), agg AS (
+  SELECT w.doc_id,
+         count(*) AS n_windows,
+         CAST(sum(CASE WHEN dup.wh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM w LEFT JOIN dup ON w.wh = dup.wh
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_windows, 0) AS n_windows,
+       coalesce(agg.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(agg.n_windows, 0) = 0 THEN 0.0
+            ELSE round(CAST(agg.n_dup_windows AS DOUBLE) / agg.n_windows, 6)
+       END AS dup_ratio,
+       CASE WHEN coalesce(agg.n_windows, 0) > 0
+             AND CAST(agg.n_dup_windows AS DOUBLE) / agg.n_windows > 0.5
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def llm_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication profiling à la Lee et al. (2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token rolling window (k=8) is hashed; a window hash seen in ≥2
+    DISTINCT documents marks a cross-document duplicated span, and each
+    document reports its duplicated-window fraction plus a keep/drop
+    verdict at the 50% threshold. This catches partial overlap (shared
+    paragraphs, boilerplate, quote chains) that whole-document hashing
+    misses entirely and Jaccard merely dilutes — the suffix-array
+    substring dedup re-expressed as a shuffle-friendly hash plan.
+
+    Scale shape: tokenize/slice/hash is a narrow JVM-side projection
+    (transform over sequence — no Python), the explode is linear in
+    corpus token count, and BOTH reductions are hash aggregates on the
+    window-hash / doc key — no self-join and no pair materialization
+    anywhere, so a hot window (site boilerplate shared by millions of
+    docs) costs one aggregate row, not a k² bucket. The dup-hash side of
+    the final equi-join carries only hashes with ≥2 distinct docs, a
+    vanishing fraction of window volume on real corpora."""
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),"
+                " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+            )
+        ).alias("wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh", F.lit(True).alias("is_dup"))
+    )
+    agg = (
+        wins.join(dup, "wh", "left_outer")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_windows"),
+        )
+    )
+    ratio = F.col("n_dup_windows").cast("double") / F.col("n_windows")
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(ratio, 6))
+            .alias("dup_ratio"),
+            F.when(
+                (F.coalesce("n_windows", F.lit(0)) > 0) & (ratio > 0.5),
+                "drop",
+            )
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )

@@ -118,3 +118,96 @@ def llm_graph_pagerank(spark, sf_dir):
     return ranks.select("doc_id", F.round("rank", 9).alias("rank")).orderBy(
         F.col("rank").desc(), "doc_id"
     )
+
+
+@query(
+    "llm_graph_triangles",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.95
+), tri AS (
+  SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id1 = e1.id2
+  JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2
+), nodes AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles
+FROM nodes GROUP BY doc_id
+""",
+)
+def llm_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts on the >=0.95 Jaccard similarity graph —
+    the local-clustering primitive that separates true duplicate CLUSTERS
+    (triangle-dense near-cliques, safe to collapse to one canonical doc)
+    from chain artifacts (A~B~C where A and C are genuinely different:
+    zero triangles, collapsing would over-delete).
+
+    Scale shape — degree-ordered node iterator (the MapReduce triangle
+    scheme of Suri & Vassilvitskii): every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher, so wedges are
+    enumerated only at each triangle's LOWEST-degree vertex. A hub of
+    degree k contributes no wedges unless both neighbors out-rank it,
+    bounding wedge volume by O(E^1.5) regardless of skew — the plain
+    id-ordered join (the oracle's form, same triangle set) would square
+    the hub's adjacency instead. Wedge closure is one equi-join against
+    the id-normalized edge list; per-node counts are one explode + hash
+    aggregate. Edges come from the shared prefix-filter kernel, so the
+    graph build itself never goes all-pairs either.
+    """
+    from adlspark.llm.dedup import prefix_filter_pairs
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    und = prefix_filter_pairs(d, tau=0.95).select("id1", "id2")
+    deg = (
+        und.select(F.col("id1").alias("node"))
+        .unionByName(und.select(F.col("id2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("node").alias("id1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("node").alias("id2"), F.col("deg").alias("deg2"))
+    ranked = und.join(d1, "id1").join(d2, "id2")
+    lower_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("id1") < F.col("id2"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("id1")).otherwise(F.col("id2")).alias("src"),
+        F.when(lower_first, F.col("id2")).otherwise(F.col("id1")).alias("dst"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.src").alias("u"),
+        F.col("e1.dst").alias("v"),
+        F.col("e2.dst").alias("w"),
+    )
+    closure = und.select(
+        F.col("id1").alias("cv"), F.col("id2").alias("cw")
+    )
+    tri = wedges.join(
+        closure,
+        (F.least("v", "w") == F.col("cv"))
+        & (F.greatest("v", "w") == F.col("cw")),
+    ).select("u", "v", "w")
+    nodes = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("doc_id")
+    )
+    return nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

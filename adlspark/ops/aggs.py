@@ -207,6 +207,65 @@ def agg_stats(spark, sf_dir):
 
 
 @query(
+    "agg_skew_kurt",
+    oracle=f"""
+SELECT l_returnflag,
+       round(((sxxx - ((3.0 * sx) * sxx) / n + ((2.0 * sx) * sx * sx) / (n * n)) / n)
+             / pow((sxx - (sx * sx) / n) / n, 1.5), 6) AS skew_qty,
+       round(((sxxxx - ((4.0 * sx) * sxxx) / n
+               + (((6.0 * sx) * sx) * sxx) / (n * n)
+               - (((3.0 * sx) * sx) * sx * sx) / ((n * n) * n)) / n)
+             / pow((sxx - (sx * sx) / n) / n, 2.0), 6) - 3.0 AS kurt_qty
+FROM (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         {o_dsum('l_quantity')} AS sx,
+         {o_dsum('l_quantity * l_quantity')} AS sxx,
+         {o_dsum('l_quantity * l_quantity * l_quantity')} AS sxxx,
+         {o_dsum('l_quantity * l_quantity * l_quantity * l_quantity')} AS sxxxx
+  FROM lineitem GROUP BY l_returnflag
+) t
+""",
+)
+def agg_skew_kurt(spark, sf_dir):
+    """Population skewness and excess kurtosis from decimal-exact raw
+    moments (sums of x..x⁴), the same sufficient-statistics discipline as
+    ``agg_stats``: engine-native skewness/kurtosis merge co-moments in
+    partition order (non-deterministic across engines), while decimal sums
+    are associative, and the closed form is evaluated with an identical
+    IEEE expression tree on both sides. l_quantity is integral ≤ 50, so
+    the double products feeding the decimal cast are exact (50⁴ ≪ 2⁵³).
+    Scale shape: one map-side-combinable hash aggregate shuffling six
+    numbers per group — the moment sketch a 1000-executor cluster wants
+    (third/fourth moments merge trivially, unlike streaming one-pass
+    central-moment updates)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    suff = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(qty * qty).alias("sxx"),
+        dsum(qty * qty * qty).alias("sxxx"),
+        dsum(qty * qty * qty * qty).alias("sxxxx"),
+    )
+    n, sx = F.col("n"), F.col("sx")
+    sxx, sxxx, sxxxx = F.col("sxx"), F.col("sxxx"), F.col("sxxxx")
+    m2 = (sxx - (sx * sx) / n) / n
+    m3 = (sxxx - ((F.lit(3.0) * sx) * sxx) / n + ((F.lit(2.0) * sx) * sx * sx) / (n * n)) / n
+    m4 = (
+        sxxxx
+        - ((F.lit(4.0) * sx) * sxxx) / n
+        + (((F.lit(6.0) * sx) * sx) * sxx) / (n * n)
+        - (((F.lit(3.0) * sx) * sx) * sx * sx) / ((n * n) * n)
+    ) / n
+    return suff.select(
+        "l_returnflag",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_qty"),
+        (F.round(m4 / F.pow(m2, F.lit(2.0)), 6) - F.lit(3.0)).alias("kurt_qty"),
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
 SELECT l_returnflag,

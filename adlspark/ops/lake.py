@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import catalog as cat
@@ -507,6 +508,90 @@ def lake_zorder_layout(spark, sf_dir):
             F.min("day_off").alias("min_day"),
             F.max("day_off").alias("max_day"),
         )
+    )
+
+
+@query(
+    "lake_scd2",
+    oracle="""
+WITH ch AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), ver AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         sum(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM ch
+), v AS (
+  SELECT o_custkey AS custkey, version,
+         min(o_orderpriority) AS priority,
+         min(o_orderdate) AS valid_from
+  FROM ver GROUP BY o_custkey, version
+)
+SELECT custkey, version, priority, valid_from,
+       lead(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL
+         AS is_current
+FROM v
+""",
+)
+def lake_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 built from a change stream: each
+    order is a change event carrying the customer's current priority
+    attribute; contiguous runs of the SAME value collapse into one version
+    (gaps-and-islands via a lag-based change flag and its running sum),
+    and each version row gets [valid_from, valid_to) effective-dating with
+    an is_current flag — the standard dimension-history build every
+    warehouse load performs.
+
+    Scale shape: one shuffle by the dimension key feeds ALL THREE window
+    passes and the version group-by (Catalyst reuses the single
+    hash-partitioning for lag, running sum and groupBy since the keys are
+    prefixes of the sort), so the whole build costs one exchange of the
+    change stream — at 100 TB the change batch, not the dimension, is the
+    big side, and it only moves once. Ordering within a customer is made
+    deterministic with the (date, orderkey) tiebreak."""
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    ch = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            prev.isNull() | (prev != F.col("o_orderpriority")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    ver = ch.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    v = ver.groupBy(
+        F.col("o_custkey").alias("custkey"), "version"
+    ).agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("version")
+    valid_to = F.lead("valid_from").over(w2)
+    return v.select(
+        "custkey",
+        "version",
+        "priority",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
     )
 
 

@@ -528,3 +528,68 @@ def ts_seasonality(spark, sf_dir):
         "sum_value",
         (F.col("rk") == 1).alias("is_peak_hour"),
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+), r(user_id, rn, event_id, value, ewma) AS (
+  SELECT user_id, rn, event_id, value, value FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.event_id, s.value,
+         0.5 * s.value + 0.5 * r.ewma
+  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, value, ewma FROM r
+""",
+)
+def ts_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average (α=0.5) — the
+    inherently SEQUENTIAL time-series statistic: ewma_t = α·x_t +
+    (1-α)·ewma_{t-1}, seeded with the first observation. No built-in
+    window frame expresses this recurrence, so it is the canonical
+    applyInPandas case: one Arrow batch per user, an explicit O(n) scan
+    inside the batch, zero driver involvement.
+
+    Cross-engine exactness without rounding: α=0.5 makes every step two
+    exact halvings (scaling a double by 0.5 is lossless barring
+    underflow) plus one correctly-rounded IEEE add — bit-identical to
+    DuckDB's recursive-CTE evaluation of the same recurrence, in the
+    same (µs-truncated ts, event_id) order. The recurrence is coded as
+    an explicit loop rather than pandas ``ewm`` so the arithmetic is
+    exactly 0.5*x + 0.5*prev on both sides.
+
+    Scale shape: one shuffle by user_id (the grouping key), then purely
+    local sequential work per user — the same layout a 1000-executor
+    cluster needs, since EWMA cannot be computed without each user's
+    history in one place. Users are independent, so parallelism is the
+    user count; a single pathological user is bounded by its own event
+    count, not the corpus."""
+    import pandas as pd
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        vals = pdf["value"].to_numpy()
+        out = vals.copy()
+        for i in range(1, len(out)):
+            out[i] = 0.5 * vals[i] + 0.5 * out[i - 1]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "ewma": out,
+            }
+        )
+
+    ev = tables.events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, event_id long, value double, ewma double"
+    )

@@ -99,6 +99,11 @@ _ROUND4_FRONT = [
     # join_asof needs a fresh verdict despite its r1 green
     "join_asof",
     # (c) new / changed in round 4 — appended as the round progresses
+    "agg_skew_kurt",
+    "lake_scd2",
+    "llm_substring_dedup",
+    "llm_graph_triangles",
+    "ts_ewma",
 ]
 
 
