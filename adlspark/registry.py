@@ -36,80 +36,101 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 
 # Keys the external harness must judge THIS round, most-urgent first.
-# The driver verifies the first ~50 keys of queries(); everything here has
-# either (a) no driver verdict at all yet (landed after the round-3 window
-# filled at exactly 50), (b) code or output schema changed after its last
-# green verdict, or (c) is new in round 4. Keys absent from this list keep
-# their r1/r2/r3 verdicts because their code is unchanged; they rotate to
+# The driver verifies the first ~50 keys of queries() (CORRECTNESS_r01 and
+# _r02 each hold exactly 50 verdicts); keys absent from this list keep
+# their existing verdicts because their code is unchanged, and rotate to
 # the back of the queue.
 #
-# NOTE: CORRECTNESS_r03.json was never written to the repo by the driver,
-# so the round-3 window (_ROUND3_FRONT in git history @71fc38f: the
-# fixed-unverified trio, catalog keys, changed llm kernels, subq/setops/
-# sorts/udf/stream families) carries no recorded external verdict either.
-# Those 50 keys stay green in local parity at sf0.001 AND sf0.01 and were
-# clean in the end-of-round full driver simulation (COVERAGE.md); the 39
-# late-r3 keys below have had NO window slot at all, so they take priority.
-# ROUND-5 TODO: if CORRECTNESS_r04 again lacks verdicts for the old
-# _ROUND3_FRONT keys, re-front-load them in round 5.
-_ROUND4_FRONT = [
-    # (a) landed after the r3 window filled — first driver verdict now
-    "ts_retention",
+# State entering this round (driver round 3; CORRECTNESS_r02 is the latest
+# file on disk — the "round 3/4" windows planned by the previous session
+# never received a driver verdict, so their keys are still debt):
+#   - r1 ∪ r2 verdicts cover 100/182 keys; 82 keys have NO verdict.
+#   - 3 keys FAILED r1 and were fixed (agg_stats, agg_collect_sorted,
+#     win_rank_dense) — green in local parity only; need a green row.
+#   - catalog_entries/catalog_persistent changed output schema after
+#     their r1 green; join_asof's shared kernel gained a direction
+#     parameter — all three need fresh verdicts.
+#   - VERDICT r2's #1 instruction: verify the §2 debt (subqueries,
+#     setops, sorts/limits, UDFs, streaming, window tail, ts_funnel,
+#     ts_gap_fill) before anything else.
+# This 50-key window = fixed trio (3) + changed-code (3) + §2 debt (25)
+# + VERDICT-named extension debt (7) + the 12 highest-value unverified
+# LLM-pipeline/function keys. The ~32 remaining unverified extension keys
+# (ts_retention, lake_*, llm sketch family, graph, kmeans, ...) are the
+# NEXT round's window; see the ROUND-4 TODO below.
+#
+# ROUND-4 TODO: front-load every key that still lacks a verdict after
+# this round's CORRECTNESS file lands (compute with
+# tools/verification_debt.py if present, else the set difference of
+# registry keys vs CORRECTNESS_r0*.json unions), plus anything whose
+# code changes this round.
+_VERIFY_WINDOW = [
+    # (a) failed r1, rewritten, locally green — need external re-verdict
+    "agg_stats",
+    "agg_collect_sorted",
+    "win_rank_dense",
+    # (b) code/schema changed after last green verdict
+    "catalog_entries",
+    "catalog_persistent",
+    "join_asof",
+    # (c) §2 keys never in any driver window: subqueries
+    "subq_scalar",
+    "subq_in",
+    "subq_exists_corr",
+    # (c) setops
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    # (c) sorts/limits
+    "sort_multi",
+    "limit_topk",
+    # (c) UDF surface
+    "udf_python",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_grouped_map",
+    "udf_map_in_pandas",
+    "udtf_python",
+    # (c) window tail + funnel
+    "win_first_last",
+    "ts_funnel",
+    # (c) streaming (rows-only by contract; batch-equivalence pytested)
+    "stream_tumbling_watermark",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "stream_stateful_count",
+    "stream_foreach_batch_upsert",
+    # (d) extension debt named in VERDICT r2's "What's missing" #1
+    "win_nth_value",
+    "win_cume_pct",
+    "subq_lateral",
+    "subq_not_in_null",
+    "ts_gap_fill",
+    "stream_stream_join",
+    "stream_transform_with_state",
+    # (e) highest-value unverified LLM-pipeline / function keys
     "llm_dedup_canonical",
-    "sink_csv_roundtrip",
-    "fn_struct",
-    "subq_any_all",
-    "llm_pack_bins",
     "llm_contamination_check",
     "llm_repetition_filter",
-    "llm_winnow_fingerprint",
-    "llm_minhash_signature",
-    "llm_bpe_pair_count",
-    "llm_srp_bits",
-    "llm_minhash_estimate",
-    "lake_zorder_layout",
-    "join_interval_bucketed",
-    "llm_dsir_weight",
-    "fn_url",
-    "llm_entropy_filter",
-    "ts_anomaly_zscore",
-    "agg_mode",
-    "join_asof_forward",
-    "lake_merge_upsert",
     "llm_semantic_dedup",
     "llm_incremental_dedup",
-    "llm_bigram_logprob",
-    "ts_trend_slope",
-    "llm_mixture_weights",
-    "lake_profile_columns",
-    "lake_schema_diff",
-    "win_streak",
     "llm_url_dedup",
     "llm_prefix_dedup",
-    "ts_seasonality",
-    # (a) rows-only late-r3 keys (pytest-asserted invariants; the driver
-    # records the weaker ran-without-error check)
-    "stream_tumbling_ohlc",
-    "stream_sliding_watermark",
-    "llm_graph_pagerank",
-    "llm_kmeans",
-    "lake_compact_small_files",
-    "agg_approx_percentile",
-    # (b) the shared asof kernel gained the direction param in late r3, so
-    # join_asof needs a fresh verdict despite its r1 green
-    "join_asof",
-    # (c) new / changed in round 4 — appended as the round progresses
-    "agg_skew_kurt",
-    "lake_scd2",
     "llm_substring_dedup",
-    "llm_graph_triangles",
-    "ts_ewma",
+    "llm_minhash_signature",
+    "llm_entropy_filter",
+    "fn_struct",
+    "fn_url",
 ]
 
 
 def _ordered(mapping: dict) -> dict:
-    """Front-load _ROUND4_FRONT (in list order), then registration order."""
-    front = {k: mapping[k] for k in _ROUND4_FRONT if k in mapping}
+    """Front-load _VERIFY_WINDOW (in list order), then registration order."""
+    front = {k: mapping[k] for k in _VERIFY_WINDOW if k in mapping}
     rest = {k: v for k, v in mapping.items() if k not in front}
     return {**front, **rest}
 
@@ -136,12 +157,9 @@ def _load_all() -> None:
     green in a previous round rotate to the back of the queue.
 
     Round-1 window verified scans/filters/joins/aggs/windows; round 2
-    front-loaded llm/multimodal/catalog/functions/timeseries; round 3
-    covered the fixed-unverified and never-windowed backlog. Round 4's
-    window is the explicit ``_ROUND4_FRONT`` list above (the 39 keys that
-    landed after the r3 window filled, the rows-only late arrivals, and
-    join_asof whose kernel changed), applied in ``_ordered`` — module
-    import order below only decides the tail.
+    front-loaded llm/multimodal/catalog/functions/timeseries. The current
+    window is the explicit ``_VERIFY_WINDOW`` list above, applied in
+    ``_ordered`` — module import order below only decides the tail.
     """
     global _LOADED
     if _LOADED:

@@ -1,10 +1,12 @@
 """SparkSession factory with the engine's baseline configuration.
 
 Config rationale (SURVEY.md §4 baseline):
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the ``events.ts`` fixture is
-  a nanosecond parquet timestamp, illegal in Spark 4.x without this flag
-  (SURVEY.md §1.3). It arrives as LongType ns-since-epoch; ``tables.py``
-  converts to a µs TimestampType column.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: in driver rounds 1-2 the
+  ``events.ts`` fixture was a nanosecond parquet timestamp, illegal in
+  Spark 4.x without this flag (SURVEY.md §1.3); it arrived as LongType
+  ns-since-epoch and ``tables.py`` converted it. The round-3 regeneration
+  made ``ts`` a native µs timestamp (FIXTURES.md), which this flag does not
+  affect — it stays set so the engine still reads the older fixture layout.
 - UTC session timezone: timestamp parity with the DuckDB oracle.
 - Low shuffle partitions locally + AQE: at sf0.1 the data is small; AQE
   coalescing keeps task overhead down. On a real cluster these are raised

@@ -19,36 +19,36 @@ import uuid
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from adlspark.io.ingest import work_dir
 from adlspark.registry import query
 
-_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanosAsLong (§1.3)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def events_stream(spark, sf_dir):
+    """readStream over the events fixture with ``ts`` normalized to a
+    session-zone µs timestamp.
+
+    ``readStream`` needs an explicit schema, and the fixture's on-disk
+    ``ts`` type has varied across driver rounds (ns-epoch long vs native
+    µs timestamp), so the schema comes from one driver-side parquet
+    footer read of the same file — metadata only, no data scan — and the
+    normalization mirrors ``adlspark.tables.events``.
+    """
+    batch_schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     s = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(s.dtypes).get("ts")
+    if ts_type == "bigint":
+        return s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s
 
 
 def _run(df_writer, name: str):

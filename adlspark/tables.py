@@ -34,17 +34,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as TimestampType at µs precision (ns truncated).
+    """events with ``ts`` as session-zone TimestampType at µs precision.
 
-    Requires ``spark.sql.legacy.parquet.nanosAsLong=true`` (session.py);
-    the raw column arrives as LongType nanoseconds since epoch.
+    The fixture's on-disk type has varied across driver rounds, so the
+    normalization is schema-adaptive:
 
-    NOTE: integer division (``ts div 1000``) is essential. SURVEY.md §1.3's
-    ``(F.col("ts")/1000).cast("long")`` is a *double* division: ns epochs
-    (~1.7e18) exceed double's 2^53 exact range, so it lands on the wrong µs
-    for ~12% of rows (1217/10000 measured at sf0.01 vs DuckDB's
-    ``CAST(ts AS TIMESTAMP)``). ``div`` stays in long arithmetic: 0/10000
-    mismatches.
+    - ``bigint`` — ns-epoch longs surfaced via
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` (session.py). Integer
+      division (``ts div 1000``) is essential here: SURVEY.md §1.3's
+      ``(F.col("ts")/1000).cast("long")`` is a *double* division and ns
+      epochs (~1.7e18) exceed double's 2^53 exact range, landing on the
+      wrong µs for ~12% of rows (1217/10000 measured at sf0.01 vs DuckDB's
+      ``CAST(ts AS TIMESTAMP)``). ``div`` stays in long arithmetic: 0
+      mismatches.
+    - ``timestamp_ntz`` — native µs parquet timestamps (driver rounds ≥3).
+      Cast to the session-zone type; with ``spark.sql.session.timeZone=UTC``
+      the wall clock (and hence DuckDB's naive-timestamp view of the same
+      file) is preserved exactly.
+    - ``timestamp`` — already the session-zone type; pass through.
     """
     df = load(spark, sf_dir, "events")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

@@ -287,16 +287,19 @@ def test_mm_frame_sample_deterministic(spark, sf_dir):
 
 def test_registry_verification_window_is_pinned():
     """The external harness verifies the FIRST ~50 registry keys; the
-    round-4 window was hand-chosen to cover every key lacking a driver
-    verdict (registry._ROUND4_FRONT). An accidental reorder — a module
+    window is hand-chosen each round to cover every key lacking a driver
+    verdict (registry._VERIFY_WINDOW). An accidental reorder — a module
     import shuffled, a key renamed — would silently burn the round's
     verification budget on already-green keys, so the order is pinned."""
-    from adlspark.registry import _ROUND4_FRONT, all_queries
+    from adlspark.registry import _VERIFY_WINDOW, all_queries
 
     keys = list(all_queries())
-    assert len(_ROUND4_FRONT) <= 50
-    n = len(_ROUND4_FRONT)
-    assert keys[:n] == _ROUND4_FRONT, (
+    assert len(_VERIFY_WINDOW) <= 50
+    n = len(_VERIFY_WINDOW)
+    assert keys[:n] == _VERIFY_WINDOW, (
         "first registry keys diverge from the planned verification window"
     )
     assert len(keys) == len(set(keys))
+    # Every window key must resolve to a real registered query.
+    missing = [k for k in _VERIFY_WINDOW if k not in keys]
+    assert not missing, f"window names unregistered keys: {missing}"

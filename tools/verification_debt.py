@@ -1,0 +1,62 @@
+"""Compute the driver-verification debt for the next round's window.
+
+The external driver verifies the FIRST ~50 keys of ``queries()`` per
+round and records verdicts in ``CORRECTNESS_r*.json``. This tool prints
+every registry key that has never received a verdict (in registry order),
+so the next round's ``_VERIFY_WINDOW`` in ``adlspark/registry.py`` can be
+composed mechanically: debt first, then anything whose code changed after
+its last green verdict (the tool cannot see that — check git log).
+
+Usage: python tools/verification_debt.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from adlspark import registry
+
+    keys = list(registry.all_queries())
+    oracles = registry.all_oracles()
+
+    seen: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_") : -len(".json")]
+        with open(path) as f:
+            verdicts = json.load(f)
+        for k, v in verdicts.items():
+            if v.get("err") not in (None, "no_oracle"):
+                status = f"FAILED-{rnd}"  # harness error/crash
+            elif v.get("hash_match") is False:
+                status = f"FAILED-{rnd}"  # compared and mismatched
+            elif v.get("hash_match"):
+                status = f"green-{rnd}"
+            else:
+                status = f"ran-{rnd}"  # rows-only (no_oracle) keys
+            seen[k] = status  # later rounds overwrite earlier ones
+
+    debt = [k for k in keys if k not in seen]
+    failed = [k for k, s in seen.items() if s.startswith("FAILED")]
+
+    print(f"registry keys: {len(keys)}  with-verdict: {len(seen)}  "
+          f"debt: {len(debt)}  latest-verdict-failed: {len(failed)}")
+    if failed:
+        print("\nFAILED in their latest window (re-front-load FIRST):")
+        for k in failed:
+            print(f"  {k}  [{seen[k]}]")
+    print("\nNever verified (registry order):")
+    for k in debt:
+        kind = "oracle" if k in oracles else "rows-only"
+        print(f"  {k}  ({kind})")
+
+
+if __name__ == "__main__":
+    main()
