@@ -1031,3 +1031,78 @@ def llm_url_dedup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+@query(
+    "llm_quality_classifier",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x ->
+           (CAST('0x' || substring(md5(x), 1, 15) AS BIGINT) % 1024)
+             * 2654435761 % 2001 - 1000)) AS margin
+  FROM tok
+)
+SELECT doc_id, n_tokens, margin,
+       round(1.0 / (1.0 + exp(-(margin / (greatest(n_tokens, 1) * 1000.0)))), 6)
+         AS quality_score,
+       margin >= 0 AS keep
+FROM feat
+""",
+)
+def llm_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality classifier over hashed bag-of-words.
+
+    Production corpus filters (CCNet, Gopher/FineWeb quality models)
+    score each document with a linear model over hashed token features
+    and keep documents above a threshold. The operator reproduces that
+    shape with a deterministic stand-in model: token → 1024-bucket hash
+    (md5-derived, bit-identical cross-engine — same rationale as
+    llm_simhash), bucket → integer weight in [-1000, 1000] via a
+    Knuth-multiplicative mix, document margin = Σ weights (EXACT integer
+    arithmetic, so the keep decision `margin >= 0` can never drift on
+    float summation order), score = sigmoid(margin / (n·1000)).
+
+    Scale shape: the entire operator is a NARROW map — split, transform,
+    aggregate() fold per row, all inside whole-stage codegen. Zero
+    shuffles, zero Python workers; at 100 TB it is scan-bound, which is
+    the correct cost for a corpus scoring pass. Swapping the stand-in
+    weights for a trained model is a broadcast-join of a 1024-row weight
+    table (or a literal array), not a redesign.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    margin = F.expr(
+        "aggregate(filter(split(text, ' '), x -> x <> ''), 0L, (acc, x) ->"
+        " acc + (pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint),"
+        " 1024) * 2654435761L) % 2001 - 1000)"
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        margin.alias("margin"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "margin",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.col("margin")
+                        / (F.greatest(F.col("n_tokens"), F.lit(1)) * F.lit(1000.0))
+                    )
+                )
+            ),
+            6,
+        ).alias("quality_score"),
+        (F.col("margin") >= 0).alias("keep"),
+    )

@@ -11,6 +11,7 @@ north star documented in SURVEY.md §2 M.)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from adlspark import tables
@@ -231,4 +232,100 @@ def llm_mixture_weights(spark, sf_dir):
         F.floor(rate * F.col("avail_tokens")).cast("long").alias(
             "expected_tokens"
         ),
+    )
+
+
+@query("llm_bpe_learn")  # rows-only: iterative algorithm (no single-SQL oracle)
+def llm_bpe_learn(spark, sf_dir):
+    """BPE tokenizer training: learn the first 6 merges over the corpus.
+
+    Full Sennrich et al. (2016) outer loop on top of the
+    ``llm_bpe_pair_count`` inner step: the corpus collapses to its
+    word-frequency table ONCE (the only corpus-wide shuffle), words are
+    re-segmented into space-joined symbols, then each round (a) counts
+    corpus-weighted adjacent symbol pairs — explode + map-combinable
+    aggregate over the vocab-sized table, (b) collects the single argmax
+    row to the driver (ties broken by pair text, so the learned merge
+    list is deterministic), and (c) rewrites the vocab with an
+    Arrow-batched pandas UDF applying the standard greedy left-to-right
+    merge. ``localCheckpoint`` truncates lineage each round, exactly as
+    in ``llm_dedup_cluster``.
+
+    Scale shape: rounds operate on the vocabulary (millions of rows at
+    100 TB, not billions); the per-round driver traffic is ONE row. The
+    returned DataFrame is the learned model — merge table rows, naturally
+    driver-sized, like kmeans centroids.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    words = (
+        tables.load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    wc = words.groupBy("word").agg(F.sum(F.lit(1)).alias("wn"))
+    sym = wc.select(
+        "wn",
+        F.expr("array_join(filter(split(word, ''), x -> x <> ''), ' ')").alias(
+            "sym"
+        ),
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, 7):
+        pairs = (
+            sym.where(F.size(F.split("sym", " ")) >= 2)
+            .select(
+                "wn",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(sym, ' ')) - 1), i ->"
+                        " concat_ws(' ', element_at(split(sym, ' '), i),"
+                        " element_at(split(sym, ' '), i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("wn").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+        )
+        top = pairs.collect()  # ONE model row per round, like kmeans centroids
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ")
+        cnt = top[0]["cnt"]
+        merges.append((rank, left, right, left + right, cnt))
+
+        def _merge_udf(lo: str, hi: str):
+            @pandas_udf("string")
+            def _merge(col: pd.Series) -> pd.Series:
+                def one(s: str) -> str:
+                    toks = s.split(" ")
+                    out = []
+                    i = 0
+                    while i < len(toks):
+                        if (
+                            i + 1 < len(toks)
+                            and toks[i] == lo
+                            and toks[i + 1] == hi
+                        ):
+                            out.append(lo + hi)
+                            i += 2
+                        else:
+                            out.append(toks[i])
+                            i += 1
+                    return " ".join(out)
+
+                return col.map(one)
+
+            return _merge
+
+        sym = sym.select(
+            "wn", _merge_udf(left, right)("sym").alias("sym")
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, pair_count long",
     )

@@ -168,6 +168,7 @@ def _load_all() -> None:
     from adlspark.llm import graph  # noqa: F401
     from adlspark.ops import (  # noqa: F401
         lake,
+        quality,
         functions,
         timeseries,
         subqueries,

@@ -303,3 +303,36 @@ def test_registry_verification_window_is_pinned():
     # Every window key must resolve to a real registered query.
     missing = [k for k in _VERIFY_WINDOW if k not in keys]
     assert not missing, f"window names unregistered keys: {missing}"
+
+
+def test_bpe_learn_matches_pair_count_and_is_deterministic(spark, sf_dir):
+    """The first learned merge must be exactly the argmax of the
+    llm_bpe_pair_count inner step (same count, same tie order — the pair
+    'x y' ↔ 'xy' mapping is order-preserving for single chars), every
+    merged symbol must be the concatenation of its pair, and a second run
+    must reproduce the merge table bit-for-bit."""
+    from adlspark.registry import all_queries
+
+    qs = all_queries()
+    merges = qs["llm_bpe_learn"](spark, sf_dir).collect()
+    assert len(merges) == 6
+    top = qs["llm_bpe_pair_count"](spark, sf_dir).limit(1).collect()[0]
+    assert merges[0]["merged"] == top["pair"]
+    assert merges[0]["pair_count"] == top["pair_count"]
+    for m in merges:
+        assert m["merged"] == m["left"] + m["right"]
+    again = qs["llm_bpe_learn"](spark, sf_dir).collect()
+    assert [tuple(r) for r in merges] == [tuple(r) for r in again]
+
+
+def test_quality_classifier_margin_is_exact_integer(spark, sf_dir):
+    """keep must equal margin >= 0 row-for-row (the decision is integer
+    arithmetic, immune to float summation order), and margins must be
+    bounded by ±1000 per token."""
+    from adlspark.registry import all_queries
+
+    rows = all_queries()["llm_quality_classifier"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["margin"] >= 0)
+        assert abs(r["margin"]) <= 1000 * r["n_tokens"]

@@ -268,3 +268,29 @@ def test_semantic_dedup_single_shuffle(spark, sf_dir):
     n_exchanges = len(re.findall(r"\bExchange\b", p))
     assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{p[:2000]}"
     assert "Window" in p
+
+
+def test_validate_rules_single_scan_single_exchange(spark, sf_dir):
+    """Every rule is a conditional sum in ONE aggregate over ONE lineitem
+    scan: adding rules must add columns, never scans or shuffles."""
+    p = plan_of(spark, sf_dir, "lake_validate_rules")
+    assert p.count("Location: InMemoryFileIndex") == 1  # one file scan
+    assert p.count(") Exchange") == 1  # the single-row final aggregate
+    assert p.count(") HashAggregate") >= 2  # partial + final
+
+
+def test_quality_classifier_is_narrow(spark, sf_dir):
+    """The classifier is a pure per-row map (hash + fold inside codegen):
+    any Exchange in the plan means a regression to a join/agg design."""
+    p = plan_of(spark, sf_dir, "llm_quality_classifier")
+    assert ") Exchange" not in p
+    assert "[codegen id :" in p  # scan + final projection stay in codegen
+
+
+def test_ri_check_no_fanout_joins(spark, sf_dir):
+    """Each FK edge joins the child against a DEDUPLICATED parent key
+    set, so the plan must aggregate parents before every join (no row
+    fan-out), and nation/region edges must broadcast."""
+    p = plan_of(spark, sf_dir, "lake_ri_check")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
