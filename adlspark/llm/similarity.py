@@ -9,6 +9,7 @@ O(N·nprobe/ncells) per probe.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -715,4 +716,194 @@ def llm_semantic_dedup(spark, sf_dir):
         "srp_code",
         canonical.alias("canonical_id"),
         (F.col("vec_id") == canonical).alias("keep"),
+    )
+
+
+def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=4):
+    """Train a product-quantization codebook over the embedding corpus.
+
+    The embedding space splits into ``m`` contiguous subspaces; each gets
+    its own ``k``-codeword k-means codebook. All ``m`` codebooks train
+    SIMULTANEOUSLY: one Lloyd round is ONE distributed job — codes are
+    assigned by the vectorized Arrow encoder (``_pq_encode_udf``; one
+    (n,m,k) numpy distance per batch, no 128-expression Catalyst tree),
+    then a single (subspace, code, dim)-keyed mean shuffles m·k·d cells.
+    Only the m·k·d-float codebook (1024 doubles here) ever reaches the
+    driver — it is the MODEL, re-broadcast each round exactly like
+    kmeans_fit's centroids. Training reads a deterministic
+    1/``sample_mod`` sample; init is the first ``k`` sampled vectors'
+    subvectors.
+
+    Returns (codebook nested list [m][k][d], sub_dim).
+    """
+    import numpy as np
+
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = e.select(F.size("embedding")).first()[0]  # one metadata-sized read
+    sub = dim // m
+    train = e.where(F.col("vec_id") % sample_mod == 0)
+    init = train.orderBy("vec_id").limit(k).collect()
+    codebook = np.array(
+        [
+            [[float(r["embedding"][ms * sub + d]) for d in range(sub)] for r in init]
+            for ms in range(m)
+        ]
+    )  # (m, k, sub)
+
+    for _ in range(iters):
+        coded = train.select(
+            "embedding", _pq_encode_udf(codebook, sub)("embedding").alias("codes")
+        )
+        upd = (
+            coded.select(F.posexplode("codes").alias("ms", "code"), "embedding")
+            .select(
+                "ms",
+                "code",
+                F.posexplode(
+                    F.expr(f"slice(embedding, ms * {sub} + 1, {sub})")
+                ).alias("pos", "x"),
+            )
+            .groupBy("ms", "code", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mval"))
+            .collect()
+        )
+        new = codebook.copy()
+        for r in upd:
+            new[r["ms"], r["code"], r["pos"]] = float(r["mval"])
+        codebook = new
+    return codebook.tolist(), sub
+
+
+def _pq_encode_udf(codebook, sub):
+    """Vectorized PQ encoder: embedding → array of per-subspace argmin
+    codes. One Arrow batch becomes an (n, m, sub) tensor; distances to
+    all k codewords per subspace are one einsum-shaped broadcastted
+    subtraction — no per-row Python, no JVM expression blow-up."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    m = cb.shape[0]
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in col]
+        )  # (n, dim)
+        n = x.shape[0]
+        if n == 0:
+            return pd.Series([], dtype=object)
+        xs = x.reshape(n, m, sub)  # (n, m, sub)
+        # (n, m, k): squared distance to every codeword in every subspace
+        d2 = ((xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2).astype("int32")  # (n, m)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+@query("llm_ann_ivf_pq")  # rows-only: approximate by construction
+def llm_ann_ivf_pq(spark, sf_dir):
+    """Product-quantized ANN — the MEMORY lever for 100 TB vector search
+    (Jégou et al. 2011). Each 64-dim float vector (256 B) compresses to
+    8 small codes (8 B as ints, 4 B packed): at lake scale the code
+    table fits in a fraction of the raw footprint, which is what makes
+    post-IVF candidate scans affordable.
+
+    Pipeline: ``pq_fit`` trains the 8 subspace codebooks (distributed
+    Lloyd; the driver holds only the 1024-double codebook — the model);
+    ENCODING is one narrow Arrow pass (the float vectors are never
+    shuffled); SEARCH is asymmetric distance computation with the
+    block-replication scheme of ``llm_sim_threshold_join``: the code
+    table is hashed into B blocks, the (deterministic 1%) probe set is
+    replicated to each block, and ``applyInPandas`` per block computes
+    every probe's per-subspace lookup table once and gathers approximate
+    distances for the whole block in numpy — per-block top-10, then one
+    window for the global top-10 per probe. No driver state beyond the
+    codebook; block count scales with the cluster. ``llm_ann_ivf``'s
+    cell pruning composes in front of this scan in production; here the
+    scan is exhaustive so the pytest recall check isolates quantization
+    error alone.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codebook, sub = pq_fit(spark, sf_dir)
+    cb = np.asarray(codebook)  # (m, k, sub)
+    m = cb.shape[0]
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    n_blocks = 8
+    coded = e.select(
+        "vec_id", _pq_encode_udf(codebook, sub)("embedding").alias("codes")
+    ).withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+
+    probes = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    probe_rep = probes.crossJoin(F.broadcast(blocks)).select(
+        "blk",
+        F.col("probe_id").alias("vec_id"),
+        F.col("pe").alias("payload"),
+        F.lit(1).alias("is_probe"),
+    )
+    code_rows = coded.select(
+        "blk",
+        "vec_id",
+        F.col("codes").cast("array<double>").alias("payload"),
+        F.lit(0).alias("is_probe"),
+    )
+    both = code_rows.unionByName(probe_rep)
+
+    def search_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        codes_part = pdf[pdf["is_probe"] == 0]
+        probe_part = pdf[pdf["is_probe"] == 1]
+        if len(codes_part) == 0 or len(probe_part) == 0:
+            return pd.DataFrame(
+                {"probe_id": [], "neighbor_id": [], "adc_dist": []}
+            ).astype(
+                {"probe_id": "int64", "neighbor_id": "int64", "adc_dist": "float64"}
+            )
+        codes = np.asarray(
+            [np.asarray(v, dtype=np.int64) for v in codes_part["payload"]]
+        )  # (n, m)
+        nids = np.asarray(codes_part["vec_id"], dtype=np.int64)
+        pids = np.asarray(probe_part["vec_id"], dtype=np.int64)
+        pe = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in probe_part["payload"]]
+        )  # (p, dim)
+        ps = pe.reshape(len(pids), m, sub)  # (p, m, sub)
+        # per-probe LUT: (p, m, k) squared distances probe-sub → codeword
+        lut = ((ps[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        # gather: dist (p, n) = sum_m lut[p, m, codes[n, m]]
+        dist = np.zeros((len(pids), len(nids)))
+        for ms in range(m):
+            dist += lut[:, ms, codes[:, ms]]
+        out = []
+        top = min(10, dist.shape[1])
+        for pi in range(len(pids)):
+            # deterministic top-k: sort by (dist, neighbor_id)
+            order = np.lexsort((nids, dist[pi]))[:top]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "probe_id": pids[pi],
+                        "neighbor_id": nids[order],
+                        "adc_dist": np.round(dist[pi][order], 6),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    per_block = both.groupBy("blk").applyInPandas(
+        search_block, "probe_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        per_block.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
     )
