@@ -319,9 +319,24 @@ def latest_state(spark: SparkSession, catalog_dir: str) -> DataFrame:
     needed until the log is large, then foreachBatch compaction applies).
     Ordered by the numeric ``seq`` (NOT the batch-id string, which
     misorders at double digits), tie-broken by ingest timestamp."""
+    return state_as_of(spark, catalog_dir, None)
+
+
+def state_as_of(
+    spark: SparkSession, catalog_dir: str, seq: int | None
+) -> DataFrame:
+    """Catalog state AS OF a sequence number (time travel over the
+    append-only log): entries with ``seq`` beyond the requested version
+    are filtered BEFORE the per-table last-writer window, so the result
+    is exactly the state a reader at that point saw. ``seq=None`` means
+    latest. The filter is a pushed-down predicate on the log scan —
+    time-travel reads never cost more than latest-state reads; a
+    Delta/Iceberg snapshot read slots in here unchanged."""
     from pyspark.sql import Window
 
     log = spark.read.parquet(catalog_dir)
+    if seq is not None:
+        log = log.where(F.col("seq") <= F.lit(seq))
     w = Window.partitionBy("table_name").orderBy(
         F.col("seq").desc(), F.col("ingested_at").desc()
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
@@ -184,4 +185,68 @@ def mm_frame_sample(spark, sf_dir):
     return d.mapInPandas(
         sample_batches,
         "doc_id long, n_frames long, n_sampled long, f0_first double, f0_mean double",
+    )
+
+
+@query(
+    "mm_phash_dedup",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(sha256(substring(text, 1, 128)), 1, 4)
+              AS BIGINT) AS phash
+  FROM documents
+)
+SELECT doc_id, phash,
+       min(doc_id) OVER (PARTITION BY phash) AS canonical_id,
+       doc_id = min(doc_id) OVER (PARTITION BY phash) AS is_canonical,
+       count(*) OVER (PARTITION BY phash) AS cluster_size
+FROM h
+""",
+)
+def mm_phash_dedup(spark, sf_dir):
+    """Perceptual-hash-style dedup over an opaque BINARY media column —
+    the media rung of the dedup ladder (image/audio near-dup via compact
+    content hashes, pHash/aHash in production).
+
+    The payload is the document's bytes standing in for a media blob
+    (same synthesis as mm_binary_pipeline); the DECODE+HASH step is the
+    honestly-stubbed part — a real deployment swaps the sha256-of-header
+    for a DCT pHash over decoded pixels — while everything around it is
+    production-shaped: binary column kept in its own parquet pages,
+    ``mapInPandas`` batch decode emitting a 16-bit code per payload, one
+    hash-shuffle window for canonical pick. Because the stub hashes the
+    payload's first 128 bytes, truncation/prefix duplicates land in one
+    bucket (the media analogue of llm_prefix_dedup), and the sha256 stub
+    is reproducible in SQL — so unlike the other mm keys this one carries
+    a full value oracle across the Python decode path.
+
+    Scale shape: decode is Arrow-batched narrow work; the only shuffle is
+    the 16-bit-bucket window — bucket count is bounded by the code space,
+    the same property llm_semantic_dedup leans on.
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def hash_batches(batches):
+        import hashlib as _hl
+
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["phash"] = [
+                int(_hl.sha256(bytes(p)[:128]).hexdigest()[:4], 16)
+                for p in pdf["payload"]
+            ]
+            yield out
+
+    coded = d.mapInPandas(hash_batches, "doc_id long, phash long")
+    w = Window.partitionBy("phash")
+    canonical = F.min("doc_id").over(w)
+    return coded.select(
+        "doc_id",
+        "phash",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )

@@ -860,3 +860,68 @@ def lake_schema_diff(spark, sf_dir):
         | F.col("v2.col_type").isNull()
         | (F.col("v1.col_type") != F.col("v2.col_type"))
     )
+
+
+@query(
+    "lake_time_travel",
+    oracle="""
+SELECT 'v0' AS as_of, 'nation' AS table_name, 0 AS seq,
+       (SELECT count(*) FROM nation) AS row_count
+UNION ALL SELECT 'v0', 'region', 0, (SELECT count(*) FROM region)
+UNION ALL SELECT 'v1', 'nation', 1, (SELECT count(*) FROM nation)
+UNION ALL SELECT 'v1', 'region', 0, (SELECT count(*) FROM region)
+UNION ALL SELECT 'v1', 'supplier', 1, (SELECT count(*) FROM supplier)
+UNION ALL SELECT 'latest', 'nation', 1, (SELECT count(*) FROM nation)
+UNION ALL SELECT 'latest', 'part', 2, (SELECT count(*) FROM part)
+UNION ALL SELECT 'latest', 'region', 0, (SELECT count(*) FROM region)
+UNION ALL SELECT 'latest', 'supplier', 2, (SELECT count(*) FROM supplier)
+""",
+)
+def lake_time_travel(spark, sf_dir):
+    """Time travel over the append-only catalog log: three catalog
+    batches (seq 0/1/2) are appended with ``append_entries`` — region and
+    nation cataloged at v0, nation re-ingested and supplier added at v1,
+    supplier re-ingested and part added at v2 — then ``state_as_of``
+    reconstructs the table each reader generation saw: as-of-0, as-of-1,
+    and latest. The as-of filter is a pushed-down predicate on the log
+    scan before the per-table last-writer window, so historical reads
+    cost the same as current ones; a Delta/Iceberg snapshot read slots
+    into the same interface (SURVEY §4 ACID note).
+
+    Row counts come from one count per cataloged table (metadata-scale
+    driver scalars, exactly what the reference's ingestion writes into
+    its catalog items); ``ingested_at`` uses fixed literals so the log —
+    and therefore the whole query — is deterministic across runs.
+    """
+    import shutil as _sh
+
+    from adlspark import catalog as cat
+
+    log_dir = os.path.join(work_dir(sf_dir, "time_travel"), "catalog_log")
+    _sh.rmtree(log_dir, ignore_errors=True)
+
+    counts = {
+        t: tables.load(spark, sf_dir, t).count()
+        for t in ("region", "nation", "supplier", "part")
+    }
+    batches = [
+        (0, [("region", counts["region"]), ("nation", counts["nation"])]),
+        (1, [("nation", counts["nation"]), ("supplier", counts["supplier"])]),
+        (2, [("supplier", counts["supplier"]), ("part", counts["part"])]),
+    ]
+    for seq, rows in batches:
+        df = spark.createDataFrame(
+            [(t, seq, n, f"2026-01-0{seq + 1} 00:00:00") for t, n in rows],
+            "table_name string, seq int, row_count long, ingested_at string",
+        ).withColumn("ingested_at", F.to_timestamp("ingested_at"))
+        cat.append_entries(df, log_dir)
+
+    views = [
+        cat.state_as_of(spark, log_dir, 0).withColumn("as_of", F.lit("v0")),
+        cat.state_as_of(spark, log_dir, 1).withColumn("as_of", F.lit("v1")),
+        cat.latest_state(spark, log_dir).withColumn("as_of", F.lit("latest")),
+    ]
+    out = views[0]
+    for v in views[1:]:
+        out = out.unionByName(v)
+    return out.select("as_of", "table_name", "seq", "row_count")
