@@ -719,58 +719,53 @@ def llm_semantic_dedup(spark, sf_dir):
     )
 
 
-def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=4):
+def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=None):
     """Train a product-quantization codebook over the embedding corpus.
 
     The embedding space splits into ``m`` contiguous subspaces; each gets
-    its own ``k``-codeword k-means codebook. All ``m`` codebooks train
-    SIMULTANEOUSLY: one Lloyd round is ONE distributed job — codes are
-    assigned by the vectorized Arrow encoder (``_pq_encode_udf``; one
-    (n,m,k) numpy distance per batch, no 128-expression Catalyst tree),
-    then a single (subspace, code, dim)-keyed mean shuffles m·k·d cells.
-    Only the m·k·d-float codebook (1024 doubles here) ever reaches the
-    driver — it is the MODEL, re-broadcast each round exactly like
-    kmeans_fit's centroids. Training reads a deterministic
-    1/``sample_mod`` sample; init is the first ``k`` sampled vectors'
-    subvectors.
+    its own ``k``-codeword k-means codebook. Training input is BOUNDED BY
+    DESIGN: codebook quality needs a representative sample, not the
+    corpus (FAISS trains IVF/PQ on a capped sample too), so a
+    deterministic 1/``sample_mod`` sample targeting ~4096 vectors (~2 MB)
+    is collected once and all ``m`` codebooks run their Lloyd iterations
+    driver-local in vectorized numpy — microseconds, zero per-round
+    Spark jobs. An earlier version ran each Lloyd round as a distributed
+    job; with the sample capped that paid ~4 s of fixed job latency per
+    round to average 4096 rows, the wrong side of the trade at every
+    scale. What stays distributed is what actually grows with the lake:
+    ENCODING and SEARCH (see llm_ann_ivf_pq).
 
     Returns (codebook nested list [m][k][d], sub_dim).
     """
     import numpy as np
 
     e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = e.select(F.size("embedding")).first()[0]  # one metadata-sized read
+    if sample_mod is None:
+        n_total = e.count()
+        # Floor of 4 keeps the toy fixtures exercising the sampled path.
+        sample_mod = max(4, n_total // 4096)
+    sample = (
+        e.where(F.col("vec_id") % sample_mod == 0)
+        .orderBy("vec_id")
+        .collect()
+    )  # bounded: ~4096 rows regardless of corpus size
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
+    )  # (n, dim)
+    dim = x.shape[1]
     sub = dim // m
-    train = e.where(F.col("vec_id") % sample_mod == 0)
-    init = train.orderBy("vec_id").limit(k).collect()
-    codebook = np.array(
-        [
-            [[float(r["embedding"][ms * sub + d]) for d in range(sub)] for r in init]
-            for ms in range(m)
-        ]
-    )  # (m, k, sub)
+    xs = x.reshape(len(x), m, sub)  # (n, m, sub)
+    codebook = np.transpose(xs[:k], (1, 0, 2)).copy()  # init: first k rows
 
     for _ in range(iters):
-        coded = train.select(
-            "embedding", _pq_encode_udf(codebook, sub)("embedding").alias("codes")
-        )
-        upd = (
-            coded.select(F.posexplode("codes").alias("ms", "code"), "embedding")
-            .select(
-                "ms",
-                "code",
-                F.posexplode(
-                    F.expr(f"slice(embedding, ms * {sub} + 1, {sub})")
-                ).alias("pos", "x"),
-            )
-            .groupBy("ms", "code", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("mval"))
-            .collect()
-        )
-        new = codebook.copy()
-        for r in upd:
-            new[r["ms"], r["code"], r["pos"]] = float(r["mval"])
-        codebook = new
+        # (n, m, k) distances, argmin per subspace → (n, m) codes
+        d2 = ((xs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2)
+        for ms in range(m):
+            for c in range(k):
+                mask = codes[:, ms] == c
+                if mask.any():
+                    codebook[ms, c] = xs[mask, ms, :].mean(axis=0)
     return codebook.tolist(), sub
 
 

@@ -925,3 +925,86 @@ def lake_time_travel(spark, sf_dir):
     for v in views[1:]:
         out = out.unionByName(v)
     return out.select("as_of", "table_name", "seq", "row_count")
+
+
+@query(
+    "lake_cdc_diff",
+    oracle="""
+WITH newsnap AS (
+  SELECT c_custkey,
+         c_name,
+         CASE WHEN c_custkey % 13 = 0 THEN round(c_acctbal + 10.0, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_acctbal
+  FROM customer WHERE c_custkey <= 25
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'I'
+            WHEN n.c_custkey IS NULL THEN 'D'
+            ELSE 'U' END AS change_type,
+       o.c_acctbal AS old_acctbal,
+       n.c_acctbal AS new_acctbal
+FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) o
+FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_name <> n.c_name OR o.c_acctbal <> n.c_acctbal
+""",
+)
+def lake_cdc_diff(spark, sf_dir):
+    """Snapshot-diff change-data-capture: given yesterday's and today's
+    table states, emit the insert/update/delete row set — the feed a
+    downstream incremental consumer (or a MERGE writer, lake_merge_upsert)
+    applies. Today's snapshot is derived deterministically from customer
+    (every 97th key deleted, every 13th balance bumped, 25 keys
+    re-inserted under new ids).
+
+    Shape: ONE full-outer hash join on the primary key — both snapshots
+    shuffle once, change classification falls out of the null pattern and
+    an attribute compare. At 100 TB both sides partition by the same key
+    (bucketed table layouts make this exchange-free — see
+    lake_bucketed_join); the attribute compare widens to a precomputed
+    row-hash column to avoid moving wide rows, which the parity-safe
+    version here keeps as explicit column compares (cross-engine float
+    formatting makes md5-of-concat unportable).
+    """
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = (
+        c.where(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.round(F.col("c_acctbal") + 10.0, 2)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") <= 25).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+    )
+    o, n = c.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    changed = (
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | (F.col("o.c_name") != F.col("n.c_name"))
+        | (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
+    )
+    return j.where(changed).select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        F.when(F.col("o.c_custkey").isNull(), "I")
+        .when(F.col("n.c_custkey").isNull(), "D")
+        .otherwise("U")
+        .alias("change_type"),
+        F.col("o.c_acctbal").alias("old_acctbal"),
+        F.col("n.c_acctbal").alias("new_acctbal"),
+    )
