@@ -1082,3 +1082,112 @@ def llm_substring_dedup(spark, sf_dir):
             .alias("verdict"),
         )
     )
+
+
+@query(
+    "llm_dedup_bloom",
+    oracle="""
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents WHERE doc_id >= 100
+), corpus_pos AS (
+  SELECT DISTINCT
+         CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || h), 1, 15)
+              AS BIGINT) % 65536 AS pos
+  FROM corpus, unnest([0, 1, 2, 3]) AS t(k)
+), batch AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' zz' END AS btext
+  FROM documents WHERE doc_id < 100
+), bpos AS (
+  SELECT doc_id, k,
+         CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || md5(btext)), 1, 15)
+              AS BIGINT) % 65536 AS pos
+  FROM batch, unnest([0, 1, 2, 3]) AS t(k)
+), hits AS (
+  SELECT b.doc_id, count(*) AS n_hits
+  FROM bpos b JOIN corpus_pos c ON b.pos = c.pos
+  GROUP BY b.doc_id
+)
+SELECT batch.doc_id,
+       coalesce(hits.n_hits, 0) = 4 AS might_be_dup,
+       EXISTS (SELECT 1 FROM corpus WHERE corpus.h = md5(batch.btext))
+         AS is_true_dup
+FROM batch LEFT JOIN hits ON batch.doc_id = hits.doc_id
+""",
+)
+def llm_dedup_bloom(spark, sf_dir):
+    """Bloom-filter incremental dedup — the SKETCH membership path next
+    to llm_incremental_dedup's exact join. The corpus (doc_id ≥ 100)
+    builds a 65536-bit Bloom filter with 4 md5-derived hash functions; an
+    arriving batch (doc_id < 100, odd ids mutated so half are genuinely
+    novel) is screened against it: all-4-bits-set → might_be_dup. The
+    output carries the exact verdict too, so the oracle checks the
+    guarantee that MATTERS about a Bloom filter: zero false NEGATIVES
+    (every true dup flagged), false positives possible and visible.
+
+    Spark-first shape: the filter is built as a DataFrame — explode the 4
+    bit positions per corpus doc, DISTINCT them (bounded by the 65536-bit
+    space, like llm_semantic_dedup's code space) — and membership is a
+    broadcast join of batch positions against that bounded set, grouped
+    back per doc. No driver-side filter object, no row-at-a-time UDF; on
+    a cluster the distinct position set IS the serialized filter, and it
+    merges across corpus partitions for free (map-side combine), which is
+    the mergeability property production bloom builds rely on.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 100).select(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    )
+
+    def positions(hcol):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{k}:"), hcol).cast("binary")),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 65536
+                )
+                for k in range(4)
+            ]
+        )
+
+    corpus_pos = (
+        corpus.select(F.explode(positions(F.col("h"))).alias("pos")).distinct()
+    )
+    batch = d.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zz")))
+        .alias("btext"),
+    )
+    bh = batch.select(
+        "doc_id",
+        F.md5(F.col("btext").cast("binary")).alias("bh"),
+    )
+    bpos = bh.select(
+        "doc_id", "bh", F.explode(positions(F.col("bh"))).alias("pos")
+    )
+    hits = (
+        bpos.join(F.broadcast(corpus_pos), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    exact = corpus.distinct().withColumnRenamed("h", "bh").withColumn(
+        "is_true_dup", F.lit(True)
+    )
+    return (
+        bh.join(hits, "doc_id", "left")
+        .join(F.broadcast(exact), "bh", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) == 4).alias("might_be_dup"),
+            F.coalesce(F.col("is_true_dup"), F.lit(False)).alias("is_true_dup"),
+        )
+    )

@@ -1106,3 +1106,54 @@ def llm_quality_classifier(spark, sf_dir):
         ).alias("quality_score"),
         (F.col("margin") >= 0).alias("keep"),
     )
+
+
+@query(
+    "llm_text_normalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         '  ' || upper(substring(text, 1, 20)) || chr(9)
+           || substring(text, 21) || '   ' AS raw
+  FROM documents
+), norm AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')) AS norm
+  FROM raw
+)
+SELECT doc_id,
+       len(raw) AS n_chars_raw,
+       len(norm) AS n_chars_norm,
+       md5(norm) AS norm_md5
+FROM norm
+""",
+)
+def llm_text_normalize(spark, sf_dir):
+    """Text normalization — the first transform of every ingest pipeline:
+    case-fold, collapse whitespace runs (spaces/tabs/newlines) to single
+    spaces, trim. The fixture text is already clean, so a deterministic
+    'dirty' view is synthesized first (upper-cased head, embedded tab,
+    padding) and the operator must provably undo it — the md5 of each
+    normalized string is part of the checked output, so the oracle
+    verifies byte equality, not just lengths. Unicode NFC/NFKC fold and
+    control-char stripping slot into the same regexp_replace chain
+    (omitted here: not expressible identically in the DuckDB oracle).
+
+    Scale shape: pure narrow map, whole-stage codegen, zero shuffles —
+    scan-bound at any corpus size, exactly like llm_quality_classifier.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 20)),
+        F.lit("\t"),
+        F.expr("substring(text, 21)"),
+        F.lit("   "),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(raw), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length(raw).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+    )

@@ -353,3 +353,19 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
 
     again = qs["llm_ann_ivf_pq"](spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_bloom_dedup_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee: every exact duplicate must be flagged
+    might_be_dup (no false negatives); false positives are allowed but
+    must be a strict subset relationship, and the mutated (odd-id) batch
+    docs must all be true-novel."""
+    from adlspark.registry import all_queries
+
+    rows = all_queries()["llm_dedup_bloom"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["is_true_dup"]:
+            assert r["might_be_dup"], f"false negative at doc {r['doc_id']}"
+        if r["doc_id"] % 2 == 1:
+            assert not r["is_true_dup"]  # ' zz' mutation makes it novel
