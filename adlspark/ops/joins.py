@@ -433,3 +433,71 @@ def join_asof_forward(spark, sf_dir):
         F.col("ts").alias("error_ts"),
         F.col("asof_ts").alias("next_purchase_ts"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH err AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'error'),
+     pur AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'purchase'),
+     back AS (
+       SELECT err.event_id, err.user_id, err.ts, pur.ts AS prev_ts
+       FROM err ASOF LEFT JOIN pur
+         ON err.user_id = pur.user_id AND err.ts >= pur.ts
+     ),
+     fwd AS (
+       SELECT err.event_id, pur.ts AS next_ts
+       FROM err ASOF LEFT JOIN pur
+         ON err.user_id = pur.user_id AND err.ts <= pur.ts
+     )
+SELECT b.event_id AS error_id, b.user_id, b.ts AS error_ts,
+       CASE
+         WHEN b.prev_ts IS NULL THEN f.next_ts
+         WHEN f.next_ts IS NULL THEN b.prev_ts
+         WHEN date_diff('microseconds', b.prev_ts, b.ts)
+              <= date_diff('microseconds', b.ts, f.next_ts) THEN b.prev_ts
+         ELSE f.next_ts
+       END AS nearest_purchase_ts
+FROM back b JOIN fwd f ON b.event_id = f.event_id
+""",
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas ``merge_asof(
+    direction='nearest')``): each error event paired with the same user's
+    CLOSEST purchase in time, whichever side it falls on — ties go
+    backward, matching pandas. Composition of the backward and forward
+    single-window kernels on the same shuffle key plus one equi-join on
+    the left key; at scale all three hash-partition by user, so AQE/
+    bucketing keeps the final join co-located. No candidate explosion —
+    each direction contributes at most one row per left row.
+    """
+    from adlspark.ops.asof import asof_join
+
+    ev = tables.events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    back = asof_join(
+        errors, purchases, ["user_id"], "ts", "ts", [], direction="backward"
+    ).select("event_id", "user_id", "ts", F.col("asof_ts").alias("prev_ts"))
+    fwd = asof_join(
+        errors, purchases, ["user_id"], "ts", "ts", [], direction="forward"
+    ).select("event_id", F.col("asof_ts").alias("next_ts"))
+    j = back.join(fwd, "event_id")
+    back_gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    fwd_gap = F.col("next_ts").cast("double") - F.col("ts").cast("double")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(back_gap <= fwd_gap, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return j.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        nearest.alias("nearest_purchase_ts"),
+    )
