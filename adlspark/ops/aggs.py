@@ -558,3 +558,93 @@ def agg_approx_percentile(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    oracle="""
+WITH pos AS (
+  SELECT user_id, r,
+         CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':'
+              || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS p
+  FROM events, unnest([0, 1, 2, 3]) AS t(r)
+), counters AS (
+  SELECT r, p, count(*) AS c FROM pos GROUP BY r, p
+), cand AS (
+  SELECT DISTINCT user_id FROM events
+), cand_pos AS (
+  SELECT user_id, r,
+         CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':'
+              || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS p
+  FROM cand, unnest([0, 1, 2, 3]) AS t(r)
+), est AS (
+  SELECT cp.user_id, min(c.c) AS est_count
+  FROM cand_pos cp JOIN counters c ON cp.r = c.r AND cp.p = c.p
+  GROUP BY cp.user_id
+), truth AS (
+  SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id
+)
+SELECT est.user_id, est.est_count, truth.true_count
+FROM est JOIN truth ON est.user_id = truth.user_id
+ORDER BY est.est_count DESC, est.user_id
+LIMIT 10
+""",
+)
+def agg_heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan
+    2005) — the frequency-estimation rung of the sketch suite next to
+    HLL (distinct), GK (percentile) and Bloom (membership). A 4x1024
+    counter sketch is built AS A DATAFRAME: each event contributes 4
+    (row, md5-derived bucket) increments, aggregated to at most 4096
+    counter cells — map-side combinable and mergeable across partitions/
+    days by plain cell-wise sum, which is the property streaming
+    pipelines keep sketches for. Estimation joins candidate keys'
+    positions against the BROADCAST counter table (bounded by sketch
+    size, never by data) and takes the per-key min; output is the top-10
+    estimated-heaviest users with their true counts alongside, so the
+    one-sided error guarantee (est ≥ true) is visible and oracle-checked.
+
+    The md5-derived bucketing is integer-exact cross-engine (same recipe
+    as llm_simhash), making the whole sketch — normally 'approximate' —
+    bit-deterministic and fully value-checked against DuckDB.
+    """
+    ev = tables.load(spark, sf_dir, "events").select("user_id")
+    rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
+
+    def bucket(r_col, u_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            r_col.cast("string"), F.lit(":"), u_col.cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    pos = ev.crossJoin(F.broadcast(rows)).select(
+        "user_id", "r", bucket(F.col("r"), F.col("user_id")).alias("p")
+    )
+    counters = pos.groupBy("r", "p").agg(F.count(F.lit(1)).alias("c"))
+    cand = ev.distinct()
+    cand_pos = cand.crossJoin(F.broadcast(rows)).select(
+        "user_id", "r", bucket(F.col("r"), F.col("user_id")).alias("p")
+    )
+    est = (
+        cand_pos.join(F.broadcast(counters), ["r", "p"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(truth, "user_id")
+        .orderBy(F.col("est_count").desc(), F.col("user_id"))
+        .limit(10)
+    )

@@ -165,3 +165,62 @@ def lake_ri_check(spark, sf_dir):
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
+    "lake_gdpr_delete",
+    oracle="""
+WITH del AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+), kept AS (
+  SELECT e.user_id FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.user_id = e.user_id)
+), audit AS (
+  SELECT d.user_id,
+         (SELECT count(*) FROM events e WHERE e.user_id = d.user_id)
+           AS n_rows_deleted
+  FROM del d
+)
+SELECT 'deleted_user' AS record_type,
+       user_id,
+       n_rows_deleted AS n_rows
+FROM audit
+UNION ALL
+SELECT 'summary', NULL,
+       (SELECT count(*) FROM kept)
+""",
+)
+def lake_gdpr_delete(spark, sf_dir):
+    """Right-to-be-forgotten erasure: given a deletion list (every 37th
+    user id), remove all of those users' events and emit the compliance
+    audit — one tombstone row per erased subject with the row count
+    removed, plus the surviving-table summary. This is the lake operation
+    GDPR/CCPA mandates and the reference's catalog-driven lake must
+    support (delete + auditable proof).
+
+    Shape: the deletion list is DISTINCT-ed and broadcast (subject lists
+    are human-scale); the erase is one broadcast ANTI join — a narrow
+    pass over the fact table, exactly what a Delta DELETE compiles to —
+    and the audit is one broadcast SEMI join + per-subject count on the
+    same scan. Nothing shuffles the fact table; rewritten-file planning
+    (the physical delete) is the table format's job downstream.
+    """
+    ev = tables.load(spark, sf_dir, "events")
+    del_list = (
+        ev.where(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    )
+    kept_n = ev.join(F.broadcast(del_list), "user_id", "left_anti").count()
+    audit = (
+        ev.join(F.broadcast(del_list), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit("deleted_user").alias("record_type"),
+            "user_id",
+            "n_rows",
+        )
+    )
+    summary = spark.createDataFrame(
+        [("summary", None, kept_n)], "record_type string, user_id long, n_rows long"
+    )
+    return audit.unionByName(summary)

@@ -294,3 +294,33 @@ def test_ri_check_no_fanout_joins(spark, sf_dir):
     p = plan_of(spark, sf_dir, "lake_ri_check")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_diff_is_single_join_no_nested_loop(spark, sf_dir):
+    """Snapshot CDC must stay ONE full-outer equi join on the key —
+    a nested-loop/cartesian here is a silent N² at lake scale."""
+    p = plan_of(spark, sf_dir, "lake_cdc_diff")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p
+
+
+def test_bloom_membership_is_broadcast(spark, sf_dir):
+    """The Bloom position set is bounded by the bit space: membership
+    screening must broadcast it, never shuffle the batch against it."""
+    p = plan_of(spark, sf_dir, "llm_dedup_bloom")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_text_normalize_is_narrow(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "llm_text_normalize")
+    assert ") Exchange" not in p
+
+
+def test_gdpr_delete_is_broadcast_anti_semi(spark, sf_dir):
+    """Erasure must be a broadcast anti/semi join against the subject
+    list — shuffling the fact table to delete a handful of users is the
+    anti-pattern."""
+    p = plan_of(spark, sf_dir, "lake_gdpr_delete")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p

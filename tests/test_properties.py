@@ -369,3 +369,15 @@ def test_bloom_dedup_no_false_negatives(spark, sf_dir):
             assert r["might_be_dup"], f"false negative at doc {r['doc_id']}"
         if r["doc_id"] % 2 == 1:
             assert not r["is_true_dup"]  # ' zz' mutation makes it novel
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min's one-sided error guarantee: the sketch estimate is
+    always >= the true count, and with 15 users in 1024 buckets there
+    are no collisions at fixture scale, so est == true here."""
+    from adlspark.registry import all_queries
+
+    rows = all_queries()["agg_heavy_hitters_cms"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["true_count"]
