@@ -1191,3 +1191,80 @@ def llm_dedup_bloom(spark, sf_dir):
             F.coalesce(F.col("is_true_dup"), F.lit(False)).alias("is_true_dup"),
         )
     )
+
+
+@query(
+    "llm_paragraph_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), paras AS (
+  SELECT doc_id, i AS para_id,
+         array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS para
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(i)
+), freq AS (
+  SELECT para, count(*) AS n_occurrences, min(doc_id) AS first_doc
+  FROM paras GROUP BY para
+), flagged AS (
+  SELECT p.doc_id, p.para_id,
+         f.n_occurrences > 1
+           AND NOT (p.doc_id = f.first_doc) AS is_dup
+  FROM paras p JOIN freq f ON p.para = f.para
+)
+SELECT doc_id,
+       count(*) AS n_paras,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*), 6)
+         AS dup_fraction,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*) > 0.3 AS drop_doc
+FROM flagged GROUP BY doc_id
+""",
+)
+def llm_paragraph_dedup(spark, sf_dir):
+    """Paragraph/line-level exact dedup — the C4/Gopher repetition-removal
+    step that document-level dedup cannot do: boilerplate paragraphs
+    (headers, navigation, license blocks) repeat across otherwise-unique
+    documents. The fixture text has no newlines, so 'paragraphs' are
+    fixed 10-token segments; the real corpus swaps the segmenter for
+    split-on-newline and nothing else changes. Each paragraph's corpus
+    frequency is computed once (hash aggregate on the paragraph text —
+    in production on its md5, same shuffle), every non-first occurrence
+    is flagged, and documents with >30% duplicated paragraphs are marked
+    for drop — C4 removes the lines, Gopher drops the doc; both
+    decisions fall out of this table.
+
+    Scale shape: one explode (bounded: tokens/10 rows per doc), one
+    paragraph-keyed aggregate, one join back — all hash-shuffles on
+    fine-grained keys, no pair explosion anywhere (frequency, not
+    pairwise comparison, carries the signal).
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    paras = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))"
+            )
+        ).alias("para_id", "para"),
+    )
+    freq = paras.groupBy("para").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    flagged = paras.join(freq, "para").select(
+        "doc_id",
+        (
+            (F.col("n_occurrences") > 1)
+            & (F.col("doc_id") != F.col("first_doc"))
+        ).alias("is_dup"),
+    )
+    dup_n = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        dup_n.cast("long").alias("n_dup_paras"),
+        F.round(dup_n / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        (dup_n / F.count(F.lit(1)) > 0.3).alias("drop_doc"),
+    )

@@ -1157,3 +1157,80 @@ def llm_text_normalize(spark, sf_dir):
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm.cast("binary")).alias("norm_md5"),
     )
+
+
+@query(
+    "llm_gopher_rules",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         list_sum(list_transform(list_filter(string_split(text, ' '),
+           x -> x <> ''), x -> len(x))) AS sum_word_len,
+         len(list_filter(string_split(text, ' '),
+           x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')))
+           AS n_stop,
+         len(regexp_extract_all(text, '[a-z]')) AS n_alpha,
+         len(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(sum_word_len / greatest(n_words, 1), 6) AS mean_word_len,
+       round(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       sum_word_len / greatest(n_words, 1) >= 3.0
+         AND sum_word_len / greatest(n_words, 1) <= 10.0 AS ok_mean_word_len,
+       n_stop >= 2 AS ok_stopwords,
+       n_alpha / greatest(n_chars, 1) >= 0.6 AS ok_alpha_ratio,
+       n_words >= 50 AND n_words <= 100000
+         AND sum_word_len / greatest(n_words, 1) >= 3.0
+         AND sum_word_len / greatest(n_words, 1) <= 10.0
+         AND n_stop >= 2
+         AND n_alpha / greatest(n_chars, 1) >= 0.6 AS keep
+FROM f
+""",
+)
+def llm_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule suite (Rae et al. 2021, Table A1 subset):
+    word-count bounds, mean-word-length band, minimum stopword hits, and
+    alphabetic-character ratio — each rule surfaced as its own flag plus
+    the combined keep decision, so downstream analysis can attribute WHY
+    a document was dropped (the per-rule attribution is what pipeline
+    dashboards chart). Completes the quality family next to the learned
+    scorer (llm_quality_classifier) and the entropy/repetition filters.
+
+    Scale shape: one narrow pass — every feature is a split/transform/
+    regexp aggregate inside codegen over the row's own text; zero
+    shuffles, scan-bound at any corpus size. Ratios are computed in
+    integer counts and divided once (round 6) for cross-engine parity.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    words = F.expr("filter(split(text, ' '), x -> x <> '')")
+    n_words = F.size(words)
+    sum_wl = F.expr(
+        "aggregate(filter(split(text, ' '), x -> x <> ''), 0L,"
+        " (a, x) -> a + length(x))"
+    )
+    stop = F.expr(
+        "size(filter(split(text, ' '), x -> x IN"
+        " ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')))"
+    )
+    n_alpha = F.size(F.expr("regexp_extract_all(text, '[a-z]', 0)"))
+    n_chars = F.length("text")
+    mean_wl = sum_wl / F.greatest(n_words, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    ok_wc = (n_words >= 50) & (n_words <= 100000)
+    ok_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_stop = stop >= 2
+    ok_alpha = alpha_ratio >= 0.6
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        (ok_wc & ok_mwl & ok_stop & ok_alpha).alias("keep"),
+    )
