@@ -346,3 +346,60 @@ def ingest_idempotent(spark, sf_dir):
         fresh.write.mode("append").parquet(staged)
         results.append((arrival, spark.read.parquet(staged).count()))
     return spark.createDataFrame(results, "arrival int, staged_total long")
+
+
+@query(
+    "join_dpp_prune",
+    oracle="""
+WITH dim AS (
+  SELECT * FROM (VALUES
+    ('2024-01-05', 'normal'), ('2024-01-10', 'peak'),
+    ('2024-01-15', 'peak'), ('2024-01-20', 'normal'),
+    ('2024-01-25', 'normal')
+  ) AS d(event_date, day_label)
+  WHERE day_label = 'peak'
+)
+SELECT CAST(CAST(e.ts AS TIMESTAMP) AS DATE)::VARCHAR AS event_date,
+       e.event_type, count(*) AS n
+FROM events e
+JOIN dim ON CAST(CAST(e.ts AS TIMESTAMP) AS DATE)::VARCHAR = dim.event_date
+GROUP BY 1, 2
+""",
+)
+def join_dpp_prune(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is staged
+    partitionBy(event_date) (same layout as ingest_partitioned_prune),
+    the date dimension is a real parquet table filtered at runtime
+    (day_label = 'peak'), and the join on the partition column must let
+    Spark prune fact partitions USING THE JOIN — the dim filter's
+    surviving keys become a runtime subquery in the fact scan's
+    PartitionFilters (plan-asserted ``dynamicpruning``). This is the
+    mechanism that turns 'join January's peak days' into reading 2 of
+    10 000 partition directories at lake scale — static pruning can't do
+    it because the date list is only known after filtering the dim.
+    """
+    base = work_dir(sf_dir, "staged_by_day")
+    fact_path = os.path.join(base, "events_staged")
+    ev = tables.events(spark, sf_dir).withColumn(
+        "event_date", F.col("ts").cast("date").cast("string")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_path)
+    dim_path = os.path.join(base, "date_dim")
+    spark.createDataFrame(
+        [
+            ("2024-01-05", "normal"),
+            ("2024-01-10", "peak"),
+            ("2024-01-15", "peak"),
+            ("2024-01-20", "normal"),
+            ("2024-01-25", "normal"),
+        ],
+        "event_date string, day_label string",
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("day_label") == "peak")
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

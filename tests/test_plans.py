@@ -324,3 +324,13 @@ def test_gdpr_delete_is_broadcast_anti_semi(spark, sf_dir):
     p = plan_of(spark, sf_dir, "lake_gdpr_delete")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """The join on the partition column must inject a runtime pruning
+    subquery into the fact scan (dynamicpruningexpression in
+    PartitionFilters) — reading all partitions and filtering post-join
+    would defeat the staged layout at lake scale."""
+    p = plan_of(spark, sf_dir, "join_dpp_prune")
+    assert "dynamicpruning" in p
+    assert "PartitionFilters" in p
