@@ -1008,3 +1008,65 @@ def lake_cdc_diff(spark, sf_dir):
         F.col("o.c_acctbal").alias("old_acctbal"),
         F.col("n.c_acctbal").alias("new_acctbal"),
     )
+
+
+@query("lake_vacuum_orphans")  # rows-only: filesystem side effects
+def lake_vacuum_orphans(spark, sf_dir):
+    """VACUUM planning: find staged files on disk that no catalog entry
+    references — aborted writes, superseded compactions, failed batches
+    leave orphans that cost storage and confuse listings; every table
+    format ships a vacuum for them. Three batches are staged (b0, b1,
+    b2) but the catalog log only records b0 and b2 (b1 simulates an
+    aborted ingest that died before its catalog append). The file
+    inventory comes from a ``binaryFile`` LISTING scan over the staged
+    root (paths + sizes — metadata volume, the payload bytes are never
+    read because only metadata columns are selected), anti-joined
+    against the referenced-prefix set; the report aggregates per batch.
+
+    Scale shape: listing is distributed (one row per file), the
+    referenced set is catalog-sized and broadcast; the anti join is the
+    whole algorithm. Deleting the files is the storage layer's move —
+    the operator produces the deletion manifest, which is what Delta's
+    VACUUM DRY RUN returns.
+    """
+    import shutil as _sh
+
+    base = work_dir(sf_dir, "vacuum")
+    staged_root = os.path.join(base, "staged")
+    _sh.rmtree(staged_root, ignore_errors=True)
+    ev = tables.load(spark, sf_dir, "events").limit(300)
+    for b in ("b0", "b1", "b2"):
+        ev.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staged_root, b)
+        )
+    referenced = spark.createDataFrame(
+        [("b0",), ("b2",)], "batch string"
+    )  # b1 aborted before its catalog append
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(staged_root)
+        .select("path", "length")
+    )
+    batch_of = F.regexp_extract("path", r"staged/(b\d+)/", 1)
+    inv = files.select(batch_of.alias("batch"), "length")
+    orphans = inv.join(F.broadcast(referenced), "batch", "left_anti")
+    kept = inv.join(F.broadcast(referenced), "batch", "left_semi")
+    return (
+        orphans.groupBy("batch")
+        .agg(
+            F.lit("orphan").alias("status"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("bytes_reclaimable"),
+        )
+        .unionByName(
+            kept.groupBy("batch").agg(
+                F.lit("referenced").alias("status"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.lit(0).cast("long").alias("bytes_reclaimable"),
+            )
+        )
+        .select("batch", "status", "n_files", "bytes_reclaimable")
+    )

@@ -336,3 +336,18 @@ def test_quality_classifier_margin_is_exact_integer(spark, sf_dir):
     for r in rows:
         assert r["keep"] == (r["margin"] >= 0)
         assert abs(r["margin"]) <= 1000 * r["n_tokens"]
+
+
+def test_vacuum_finds_exactly_the_aborted_batch(spark, sf_dir):
+    """The aborted batch (b1) must be the one and only orphan with
+    reclaimable bytes; referenced batches must never be listed for
+    deletion — a vacuum that reclaims referenced files destroys data."""
+    from adlspark.registry import all_queries
+
+    rows = {r["batch"]: r for r in
+            all_queries()["lake_vacuum_orphans"](spark, sf_dir).collect()}
+    assert set(rows) == {"b0", "b1", "b2"}
+    assert rows["b1"]["status"] == "orphan"
+    assert rows["b1"]["bytes_reclaimable"] > 0
+    for b in ("b0", "b2"):
+        assert rows[b]["status"] == "referenced"

@@ -381,3 +381,16 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["est_count"] >= r["true_count"]
+
+
+def test_hll_merge_equals_direct_and_error_band(spark, sf_dir):
+    """Sketch mergeability: the union of daily partials must estimate
+    exactly what the single-pass sketch estimates (same algorithm, same
+    input multiset), and both must sit inside the lgK=12 error band of
+    the exact distinct count."""
+    from adlspark.registry import all_queries
+
+    r = all_queries()["agg_hll_partial_merge"](spark, sf_dir).collect()[0]
+    assert r["merged_distinct_est"] == r["direct_distinct_est"]
+    exact = r["exact_distinct"]
+    assert abs(r["merged_distinct_est"] - exact) / max(exact, 1) < 0.05
