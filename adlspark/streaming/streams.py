@@ -353,3 +353,30 @@ def stream_sliding_watermark(spark, sf_dir):
     name = "s_sliding"
     _run(agg.writeStream.format("memory").outputMode("complete"), name)
     return spark.table(name)
+
+
+@query("stream_hll_distinct")
+def stream_hll_distinct(spark, sf_dir):
+    """Streaming approximate distinct users per tumbling day — the sketch
+    aggregate running INSIDE the streaming state store: each day window
+    keeps a single HLL sketch (kilobytes) instead of a per-user exact
+    state map, which is what makes distinct-count dashboards viable on
+    unbounded cardinality streams. Complete mode surfaces every window;
+    the estimate and the per-window event count come out together; the
+    batch-equivalence pytest pins the streaming estimates exactly equal
+    to the batch hll_sketch_agg of the same windows (same algorithm,
+    same multiset — determinism the sketch guarantees)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "distinct_users_est"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("day_start"), "distinct_users_est", "n_events")
+    )
+    name = "s_hll_distinct"
+    _run(agg.writeStream.format("memory").outputMode("complete"), name)
+    return spark.table(name)

@@ -105,3 +105,29 @@ def test_stream_sliding_matches_batch(spark, sf_dir):
     s = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert s == b
+
+
+def test_stream_hll_distinct_equals_batch(spark, sf_dir):
+    """Complete-mode streaming HLL estimates must equal the batch
+    hll_sketch_agg over the same day windows — the sketch is
+    deterministic for a fixed input multiset, so streaming state
+    accumulation cannot change the answer."""
+    from adlspark.registry import all_queries
+    from adlspark import tables
+
+    got = {
+        r["day_start"]: (r["distinct_users_est"], r["n_events"])
+        for r in all_queries()["stream_hll_distinct"](spark, sf_dir).collect()
+    }
+    batch = (
+        tables.events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("day_start"), "est", "n")
+        .collect()
+    )
+    expected = {r["day_start"]: (r["est"], r["n"]) for r in batch}
+    assert got == expected
