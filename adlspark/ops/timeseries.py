@@ -593,3 +593,106 @@ def ts_ewma(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         ewma, "user_id long, event_id long, value double, ewma double"
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*), 6) AS v
+  FROM events WHERE user_id < 20
+  GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id
+), grid AS (
+  SELECT s.user_id, g.day
+  FROM span s, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(day)
+), joined AS (
+  SELECT g.user_id, g.day, o.v,
+         last_value(o.v IGNORE NULLS) OVER w_prev AS v_prev,
+         last_value(CASE WHEN o.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER w_prev AS d_prev,
+         first_value(o.v IGNORE NULLS) OVER w_next AS v_next,
+         first_value(CASE WHEN o.v IS NOT NULL THEN g.day END IGNORE NULLS)
+           OVER w_next AS d_next
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+  WINDOW
+    w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE round(v_prev + (v_next - v_prev)
+                 * date_diff('day', d_prev, day)
+                 / date_diff('day', d_prev, d_next), 6) END AS value,
+       v IS NULL AS interpolated
+FROM joined
+""",
+)
+def ts_interpolate(spark, sf_dir):
+    """Linear interpolation of missing days in each user's daily mean
+    value series — the sensor-data companion to ts_gap_fill's zero-fill:
+    gaps are filled on the straight line between the surrounding observed
+    days (endpoints always observed because the grid spans first..last
+    observation). The prev/next anchors come from IGNORE NULLS window
+    frames over one (user, day) sort — the whole operator is the
+    gap-fill grid join plus two window passes sharing a single shuffle.
+    """
+    ev = tables.events(spark, sf_dir).where(F.col("user_id") < 20)
+    from adlspark.ops.parity import dsum
+
+    obs = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("d_prev"),
+        F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("d_next"),
+    )
+    interp = F.round(
+        F.col("v_prev")
+        + (F.col("v_next") - F.col("v_prev"))
+        * F.datediff(F.col("day"), F.col("d_prev"))
+        / F.datediff(F.col("d_next"), F.col("d_prev")),
+        6,
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
+            "value"
+        ),
+        F.col("v").isNull().alias("interpolated"),
+    )
