@@ -626,9 +626,12 @@ WITH obs AS (
 )
 SELECT user_id, day,
        CASE WHEN v IS NOT NULL THEN v
-            ELSE round(v_prev + (v_next - v_prev)
-                 * date_diff('day', d_prev, day)
-                 / date_diff('day', d_prev, d_next), 6) END AS value,
+            ELSE round(
+              (CAST(round(v_prev * 1000000) AS BIGINT)
+                 * date_diff('day', day, d_next)
+               + CAST(round(v_next * 1000000) AS BIGINT)
+                 * date_diff('day', d_prev, day))
+              / date_diff('day', d_prev, d_next) / 1000000.0, 6) END AS value,
        v IS NULL AS interpolated
 FROM joined
 """,
@@ -681,11 +684,20 @@ def ts_interpolate(spark, sf_dir):
         F.first("v", ignorenulls=True).over(w_next).alias("v_next"),
         F.first(obs_day, ignorenulls=True).over(w_next).alias("d_next"),
     )
+    # Integer-exact interpolation numerator (values carry ≤6 decimals by
+    # construction, so round(v·1e6) recovers an exact long): one double
+    # division at the end means both engines perform the IDENTICAL IEEE
+    # ops — the float formula (v_prev + Δ·a/b) rounds differently in the
+    # last ulp across engines at 6-digit boundaries (hit at sf0.001).
+    vi_prev = F.round(F.col("v_prev") * 1000000).cast("long")
+    vi_next = F.round(F.col("v_next") * 1000000).cast("long")
     interp = F.round(
-        F.col("v_prev")
-        + (F.col("v_next") - F.col("v_prev"))
-        * F.datediff(F.col("day"), F.col("d_prev"))
-        / F.datediff(F.col("d_next"), F.col("d_prev")),
+        (
+            vi_prev * F.datediff(F.col("d_next"), F.col("day"))
+            + vi_next * F.datediff(F.col("day"), F.col("d_prev"))
+        )
+        / F.datediff(F.col("d_next"), F.col("d_prev"))
+        / 1000000.0,
         6,
     )
     return j.select(
