@@ -696,3 +696,68 @@ def agg_hll_partial_merge(spark, sf_dir):
         "direct_distinct_est",
         "exact_distinct",
     )
+
+
+@query(
+    "agg_median",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 6) AS med_qty,
+       round(median(l_extendedprice), 6) AS med_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_median(spark, sf_dir):
+    """Exact median per group (interpolated for even counts — both
+    engines take the midpoint mean of the two central values, the same
+    single IEEE operation, so round(6) is safely beyond any drift).
+    Spark computes it via a group-local sort — at scale the real cost is
+    the same shuffle the groupBy already pays; for one global median over
+    100 TB you'd switch to agg_approx_percentile's mergeable sketch."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_first_last_by",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS r_top,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+           AS r_first,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+           AS r_last
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN r_top = 1 THEN event_id END) AS top_value_event,
+       max(CASE WHEN r_first = 1 THEN event_id END) AS first_event,
+       max(CASE WHEN r_last = 1 THEN event_type END) AS last_type
+FROM ranked GROUP BY user_id
+""",
+)
+def agg_first_last_by(spark, sf_dir):
+    """argmin/argmax aggregates (min_by/max_by): the highest-value event,
+    the chronologically first event, and the latest event's type per
+    user — each a single map-combinable aggregate instead of the window
+    + filter detour. Orderings are made total with the unique event_id
+    tiebreaker packed into a struct (both engines compare tuples
+    lexicographically), so duplicate extremes can never produce
+    engine-dependent winners."""
+    ev = tables.events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias(
+            "top_value_event"
+        ),
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+    )
