@@ -234,8 +234,16 @@ def mm_phash_dedup(spark, sf_dir):
 
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
+            # First 128 CHARACTERS (not bytes): the oracle's
+            # substring(text,1,128) is character-based, and the two only
+            # coincide while fixtures stay ASCII-prefixed.
             out["phash"] = [
-                int(_hl.sha256(bytes(p)[:128]).hexdigest()[:4], 16)
+                int(
+                    _hl.sha256(
+                        bytes(p).decode("utf-8")[:128].encode("utf-8")
+                    ).hexdigest()[:4],
+                    16,
+                )
                 for p in pdf["payload"]
             ]
             yield out

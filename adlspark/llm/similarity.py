@@ -806,8 +806,9 @@ def llm_ann_ivf_pq(spark, sf_dir):
     table fits in a fraction of the raw footprint, which is what makes
     post-IVF candidate scans affordable.
 
-    Pipeline: ``pq_fit`` trains the 8 subspace codebooks (distributed
-    Lloyd; the driver holds only the 1024-double codebook — the model);
+    Pipeline: ``pq_fit`` trains the 8 subspace codebooks (sampled
+    driver-local Lloyd over a bounded sample, per ``pq_fit``'s own
+    docstring; the driver holds only the 1024-double codebook — the model);
     ENCODING is one narrow Arrow pass (the float vectors are never
     shuffled); SEARCH is asymmetric distance computation with the
     block-replication scheme of ``llm_sim_threshold_join``: the code

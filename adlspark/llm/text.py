@@ -477,7 +477,7 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id,
-       s / 24 AS chunk_id,
+       CAST(s // 24 AS BIGINT) AS chunk_id,
        array_to_string(list_slice(w, s + 1, least(s + 32, len(w))), ' ')
          AS chunk_text,
        least(s + 32, len(w)) - s AS n_tokens
@@ -1043,9 +1043,9 @@ WITH tok AS (
 ), feat AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
-         list_sum(list_transform(toks, x ->
+         CAST(list_sum(list_transform(toks, x ->
            (CAST('0x' || substring(md5(x), 1, 15) AS BIGINT) % 1024)
-             * 2654435761 % 2001 - 1000)) AS margin
+             * 2654435761 % 2001 - 1000)) AS BIGINT) AS margin
   FROM tok
 )
 SELECT doc_id, n_tokens, margin,

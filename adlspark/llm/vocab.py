@@ -30,7 +30,7 @@ WITH w AS (
   FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(i)
   WHERE len(word) >= 2
 )
-SELECT pair, sum(wn) AS pair_count
+SELECT pair, CAST(sum(wn) AS BIGINT) AS pair_count
 FROM p GROUP BY pair
 ORDER BY pair_count DESC, pair
 LIMIT 50

@@ -471,7 +471,7 @@ WITH b AS (
   FROM orders
 )
 SELECT bucket,
-       bucket * 50000.0 AS bucket_lo,
+       CAST(bucket * 50000.0 AS DOUBLE) AS bucket_lo,
        count(*) AS n,
        {o_dsum('o_totalprice')} AS sum_price
 FROM b GROUP BY bucket

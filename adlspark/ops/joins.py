@@ -487,8 +487,10 @@ def join_asof_nearest(spark, sf_dir):
         errors, purchases, ["user_id"], "ts", "ts", [], direction="forward"
     ).select("event_id", F.col("asof_ts").alias("next_ts"))
     j = back.join(fwd, "event_id")
-    back_gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
-    fwd_gap = F.col("next_ts").cast("double") - F.col("ts").cast("double")
+    # Integer microsecond gaps: cast('double') loses sub-µs exactness and
+    # can flip the <= tie against the oracle's date_diff('microseconds').
+    back_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    fwd_gap = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
     nearest = (
         F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
         .when(F.col("next_ts").isNull(), F.col("prev_ts"))

@@ -523,9 +523,9 @@ WITH ch AS (
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ), ver AS (
   SELECT o_custkey, o_orderdate, o_orderpriority,
-         sum(chg) OVER (PARTITION BY o_custkey
+         CAST(sum(chg) OVER (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey
-                        ROWS UNBOUNDED PRECEDING) AS version
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM ch
 ), v AS (
   SELECT o_custkey AS custkey, version,

@@ -131,7 +131,7 @@ def subq_lateral(spark, sf_dir):
 
 _NOT_IN_SQL = """
 SELECT 'with_nulls' AS variant, count(*) AS n_rows,
-       coalesce(sum(o_orderkey), 0) AS key_checksum
+       CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_checksum
 FROM {o}
 WHERE o_custkey NOT IN (
   SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
@@ -139,7 +139,7 @@ WHERE o_custkey NOT IN (
 )
 UNION ALL
 SELECT 'null_free' AS variant, count(*) AS n_rows,
-       coalesce(sum(o_orderkey), 0) AS key_checksum
+       CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_checksum
 FROM {o}
 WHERE o_custkey NOT IN (
   SELECT c_custkey FROM {c} WHERE c_acctbal >= 0 AND c_acctbal < 1000

@@ -36,95 +36,91 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 
 # Keys the external harness must judge THIS round, most-urgent first.
-# The driver verifies the first ~50 keys of queries() (CORRECTNESS_r01 and
-# _r02 each hold exactly 50 verdicts); keys absent from this list keep
+# The driver verifies the first ~50 keys of queries() (CORRECTNESS_r01/r02/
+# r03 each hold exactly 50 verdicts); keys absent from this list keep
 # their existing verdicts because their code is unchanged, and rotate to
 # the back of the queue.
 #
-# State entering this round (driver round 3; CORRECTNESS_r02 is the latest
-# file on disk — the "round 3/4" windows planned by the previous session
-# never received a driver verdict, so their keys are still debt):
-#   - r1 ∪ r2 verdicts cover 100/182 keys; 82 keys have NO verdict.
-#   - 3 keys FAILED r1 and were fixed (agg_stats, agg_collect_sorted,
-#     win_rank_dense) — green in local parity only; need a green row.
-#   - catalog_entries/catalog_persistent changed output schema after
-#     their r1 green; join_asof's shared kernel gained a direction
-#     parameter — all three need fresh verdicts.
-#   - VERDICT r2's #1 instruction: verify the §2 debt (subqueries,
-#     setops, sorts/limits, UDFs, streaming, window tail, ts_funnel,
-#     ts_gap_fill) before anything else.
-# This 50-key window = fixed trio (3) + changed-code (3) + §2 debt (25)
-# + VERDICT-named extension debt (7) + the 12 highest-value unverified
-# LLM-pipeline/function keys. The ~32 remaining unverified extension keys
-# (ts_retention, lake_*, llm sketch family, graph, kmeans, ...) are the
-# NEXT round's window; see the ROUND-4 TODO below.
+# State entering driver round 4 (CORRECTNESS_r03 landed; computed with
+# tools/verification_debt.py):
+#   - 204 registry keys; 144 have verdicts, 143 green.
+#   - 1 FAILED r03: subq_not_in_null (oracle HUGEINT widening — fixed
+#     this round with CAST ... AS BIGINT; VERDICT r3 "What's wrong" #1).
+#   - 60 keys have never been in a window; exactly 11 of them are
+#     rows-only (cannot hash-fail, only rows>0).
+# This 50-key window = the failed key + ALL 49 never-verified keys that
+# carry a DuckDB value oracle (the only class that can hash-fail), so
+# after this round every oracle-bearing key on the board has a driver
+# verdict. Code changed this round for subq_not_in_null (oracle cast),
+# join_asof_nearest (integer-µs tie-break), mm_phash_dedup (char-based
+# stub) — all three are in the window.
 #
-# ROUND-4 TODO: front-load every key that still lacks a verdict after
-# this round's CORRECTNESS file lands (compute with
-# tools/verification_debt.py if present, else the set difference of
-# registry keys vs CORRECTNESS_r0*.json unions), plus anything whose
-# code changes this round.
+# ROUND-5 TODO: the remaining debt is exactly the 11 rows-only keys
+# below — front-load them next round (plus anything that fails r04 or
+# whose code changes):
+#   llm_kmeans, llm_ann_ivf_pq, llm_bpe_learn, llm_graph_pagerank,
+#   lake_compact_small_files, lake_vacuum_orphans, agg_approx_percentile,
+#   agg_hll_partial_merge, stream_tumbling_ohlc, stream_sliding_watermark,
+#   stream_hll_distinct
 _VERIFY_WINDOW = [
-    # (a) failed r1, rewritten, locally green — need external re-verdict
-    "agg_stats",
-    "agg_collect_sorted",
-    "win_rank_dense",
-    # (b) code/schema changed after last green verdict
-    "catalog_entries",
-    "catalog_persistent",
-    "join_asof",
-    # (c) §2 keys never in any driver window: subqueries
-    "subq_scalar",
-    "subq_in",
-    "subq_exists_corr",
-    # (c) setops
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    # (c) sorts/limits
-    "sort_multi",
-    "limit_topk",
-    # (c) UDF surface
-    "udf_python",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_grouped_map",
-    "udf_map_in_pandas",
-    "udtf_python",
-    # (c) window tail + funnel
-    "win_first_last",
-    "ts_funnel",
-    # (c) streaming (rows-only by contract; batch-equivalence pytested)
-    "stream_tumbling_watermark",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_stateful_count",
-    "stream_foreach_batch_upsert",
-    # (d) extension debt named in VERDICT r2's "What's missing" #1
-    "win_nth_value",
-    "win_cume_pct",
-    "subq_lateral",
+    # (a) FAILED r03 (oracle type widening), fixed this round
     "subq_not_in_null",
-    "ts_gap_fill",
-    "stream_stream_join",
-    "stream_transform_with_state",
-    # (e) highest-value unverified LLM-pipeline / function keys
-    "llm_dedup_canonical",
-    "llm_contamination_check",
-    "llm_repetition_filter",
-    "llm_semantic_dedup",
-    "llm_incremental_dedup",
-    "llm_url_dedup",
-    "llm_prefix_dedup",
-    "llm_substring_dedup",
-    "llm_minhash_signature",
-    "llm_entropy_filter",
-    "fn_struct",
-    "fn_url",
+    # (b) code changed this round after/without a green verdict
+    "join_asof_nearest",
+    "mm_phash_dedup",
+    # (c) never-verified: joins/subqueries
+    "join_asof_forward",
+    "join_dpp_prune",
+    "join_interval_bucketed",
+    "subq_any_all",
+    # (c) never-verified: aggregate tail
+    "agg_median",
+    "agg_mode",
+    "agg_histogram",
+    "agg_skew_kurt",
+    "agg_first_last_by",
+    "agg_heavy_hitters_cms",
+    # (c) never-verified: window/sort tail
+    "win_streak",
+    "sink_csv_roundtrip",
+    # (c) never-verified: timeseries tail
+    "ts_ewma",
+    "ts_interpolate",
+    "ts_resample_ohlc",
+    "ts_retention",
+    "ts_anomaly_zscore",
+    "ts_seasonality",
+    "ts_trend_slope",
+    # (c) never-verified: lakehouse identity layer
+    "lake_merge_upsert",
+    "lake_time_travel",
+    "lake_scd2",
+    "lake_cdc_diff",
+    "lake_validate_rules",
+    "lake_ri_check",
+    "lake_gdpr_delete",
+    "lake_zorder_layout",
+    "lake_profile_columns",
+    "lake_schema_diff",
+    # (c) never-verified: LLM-pipeline oracle keys
+    "llm_winnow_fingerprint",
+    "llm_minhash_estimate",
+    "llm_dedup_bloom",
+    "llm_paragraph_dedup",
+    "llm_srp_bits",
+    "llm_doc_chunk",
+    "llm_unigram_logprob",
+    "llm_bigram_logprob",
+    "llm_stratified_sample",
+    "llm_token_histogram",
+    "llm_pack_bins",
+    "llm_quality_classifier",
+    "llm_text_normalize",
+    "llm_gopher_rules",
+    "llm_bpe_pair_count",
+    "llm_dsir_weight",
+    "llm_mixture_weights",
+    "llm_graph_triangles",
 ]
 
 

@@ -16,22 +16,35 @@ import numpy as np
 
 
 def _norm_cell(v: Any) -> Any:
+    """Type-TAGGED normalization.
+
+    The driver's value hash is typed (Arrow layout): a DuckDB HUGEINT /
+    decimal128 checksum hashes differently from Spark's int64 even when
+    the values are numerically equal (the r03 ``subq_not_in_null``
+    failure). Python tuple equality treats 1 == 1.0 == True, so an
+    untagged mirror silently passes exactly that class of bug. Tagging
+    each scalar with its kind makes the local gate at least as strict as
+    the driver for int-vs-float-vs-decimal-vs-bool drift.
+    """
     if v is None:
         return None
     if isinstance(v, (np.generic,)):
         v = v.item()
     if isinstance(v, bool):
-        return v
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         if v == 0.0:
-            return 0.0
-        return v
+            return ("f", 0.0)
+        return ("f", v)
     if isinstance(v, int):
-        return v
+        return ("i", v)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # DuckDB widening (sum(BIGINT) -> HUGEINT/decimal128). Never
+        # collapse to int/float: the driver hashes these differently, so
+        # the oracle must CAST instead (SURVEY §5.3 rule 5).
+        return ("dec", str(v.normalize()))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
