@@ -307,10 +307,15 @@ def append_entries(catalog_df: DataFrame, catalog_dir: str) -> None:
     Delta/Iceberg table would slot in here unchanged — the interface is
     (append batch, read latest-state); plain parquet append is the
     no-extra-jars v1 per SURVEY §4. Catalog batches are metadata-sized
-    (one row per staged table/batch), so each append is coalesced to a
-    single file — a 10-row batch sharded across every shuffle partition
-    just multiplies log files and read-side listing cost."""
-    catalog_df.coalesce(1).write.mode("append").parquet(catalog_dir)
+    (one row per staged table/batch), so each append lands in a single
+    file — a 10-row batch sharded across every shuffle partition just
+    multiplies log files and read-side listing cost. ``repartition(1)``
+    rather than ``coalesce(1)``: coalesce folds the whole upstream plan
+    into the one write task (serializing any staging computation — and
+    for Python-local batches it drags the Python-side row conversion
+    into that task, measured 5-8 s vs 0.7 s here), while repartition
+    keeps upstream parallel and shuffles only the metadata rows."""
+    catalog_df.repartition(1).write.mode("append").parquet(catalog_dir)
 
 
 def latest_state(spark: SparkSession, catalog_dir: str) -> DataFrame:
