@@ -1268,3 +1268,107 @@ def llm_paragraph_dedup(spark, sf_dir):
         F.round(dup_n / F.count(F.lit(1)), 6).alias("dup_fraction"),
         (dup_n / F.count(F.lit(1)) > 0.3).alias("drop_doc"),
     )
+
+
+@query(
+    "llm_dedup_editdist",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         substring(text, 1, 64) AS t64,
+         len(string_split(text, ' ')) // 8 AS len_bucket,
+         array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+           AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(a.t64, c.t64) AS BIGINT) AS edit_dist
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.len_bucket = c.len_bucket AND a.pfx = c.pfx
+ AND a.doc_id < c.doc_id
+WHERE levenshtein(a.t64, c.t64) <= 24
+""",
+)
+def llm_dedup_editdist(spark, sf_dir):
+    """Blocked fuzzy dedup by edit distance — rung 2.5 of the dedup
+    ladder: candidate pairs come from an equi-join on a cheap blocking
+    key (language, length bucket, first-2-token prefix), then the
+    expensive Levenshtein verify runs ONLY inside blocks, on a bounded
+    64-char prefix so per-pair cost is O(64²) regardless of document
+    length. Pairs at distance ≤ 24 are near-dup edits (the fixture's
+    shared-prefix docs land at 0; unrelated same-block docs at 40+).
+
+    Scale shape: the equi self-join is one hash shuffle on the blocking
+    key — candidate volume scales with true block collision density,
+    never all-pairs (the same contract as the banded MinHash join);
+    ``levenshtein`` is a JVM builtin inside codegen, no Python. At
+    100 TB the blocker widens to LSH bands; the verify kernel is
+    unchanged.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 64).alias("t64"),
+        (F.size(w) / 8).cast("int").alias("len_bucket"),
+        F.concat_ws(" ", F.slice(w, 1, 2)).alias("pfx"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.t64"), F.col("c.t64"))
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.len_bucket") == F.col("c.len_bucket"))
+            & (F.col("a.pfx") == F.col("c.pfx"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .where(dist <= 24)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_cross_source",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+)
+SELECT a.doc_id AS doc_a, a.source AS source_a,
+       b.doc_id AS doc_b, b.source AS source_b
+FROM h a JOIN h b
+  ON a.h = b.h AND a.doc_id < b.doc_id AND a.source <> b.source
+""",
+)
+def llm_dedup_cross_source(spark, sf_dir):
+    """Cross-source exact duplicates: pairs of identical texts ingested
+    from DIFFERENT sources (syndicated articles, mirrored sites) — the
+    provenance-aware variant of exact dedup that decides which source's
+    copy to keep and which crawl streams overlap. One hash shuffle on
+    md5(text); the self-join runs inside hash buckets, so candidate
+    volume is duplicate-cluster-bounded, never all-pairs. (The fixture
+    corpus is duplicate-free at rest, so at rest this returns the empty
+    relation on both engines — the hash check certifies the join
+    semantics; multi-member clusters appear as soon as any re-ingest
+    batch lands, as in ``llm_incremental_dedup``.)
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.source") != F.col("b.source")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.source").alias("source_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.source").alias("source_b"),
+    )

@@ -1234,3 +1234,256 @@ def llm_gopher_rules(spark, sf_dir):
         ok_alpha.alias("ok_alpha_ratio"),
         (ok_wc & ok_mwl & ok_stop & ok_alpha).alias("keep"),
     )
+
+
+@query(
+    "llm_perplexity_bucket",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq
+), lp AS (
+  SELECT tok.doc_id, tok.lang,
+         round(avg(ln(CAST(freq.cnt AS DOUBLE) / total.t)), 6) AS avg_logprob
+  FROM tok JOIN freq USING (w) CROSS JOIN total
+  GROUP BY tok.doc_id, tok.lang
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob DESC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM lp
+""",
+)
+def llm_perplexity_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with a language-model proxy (here the corpus unigram
+    log-likelihood — the same statistic as ``llm_unigram_logprob``) and
+    split each language into head/middle/tail TERCILES, the standard
+    quality partition used to mix or drop web data before training.
+
+    Exactness: the per-doc score is rounded to 6 digits BEFORE ranking
+    and the tercile order tie-breaks on doc_id, so both engines rank an
+    identical (rounded_score, doc_id) key — the bucket assignment cannot
+    drift on last-ulp float noise.
+
+    Scale shape: token frequencies are vocabulary-sized (Heaps-sublinear
+    in the corpus — broadcastable); the corpus total rides a 1-row
+    broadcast cross join; the tercile window shuffles one row per doc
+    hash-partitioned BY LANGUAGE, so the sort is per-lang and the widest
+    partition is the largest language, not the corpus.
+    """
+    tok = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("t"))
+    lp = (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt").cast("double") / F.col("t"))), 6
+            ).alias("avg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    n3 = F.ntile(3).over(w)
+    bucket = (
+        F.when(n3 == 1, F.lit("head"))
+        .when(n3 == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return lp.select("doc_id", "lang", "avg_logprob", bucket.alias("bucket"))
+
+
+@query(
+    "llm_soft_dedup_weight",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+), cl AS (
+  SELECT doc_id, md5(text) AS h,
+         count(*) OVER (PARTITION BY md5(text)) AS cluster_size
+  FROM corpus
+)
+SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       round(1.0 / cluster_size, 6) AS weight
+FROM cl
+""",
+)
+def llm_soft_dedup_weight(spark, sf_dir):
+    """Soft deduplication: instead of DROPPING duplicates, weight every
+    copy by 1/cluster_size so each distinct text contributes unit mass
+    to the training mix — the down-weighting used when exact removal is
+    too aggressive (boilerplate that is legitimately frequent). The
+    corpus is the documents table plus a re-ingested batch (every
+    7th doc re-appears under a shifted id), the same fixture-augmentation
+    convention as ``llm_incremental_dedup``, so real multi-member
+    clusters exist at every SF.
+
+    Scale shape: one hash-shuffle on md5(text) — identical cost to
+    ``llm_dedup_exact``; the weight is a pure projection off the window
+    count. Integer reciprocals divide deterministically in IEEE double,
+    so round-6 is drift-free.
+    """
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    w = Window.partitionBy(F.md5("text"))
+    size = F.count(F.lit(1)).over(w)
+    return corpus.select(
+        "doc_id",
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("weight"),
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + 2), ' ') AS ng
+  FROM d, unnest(generate_series(1, len(w) - 2)) t(i)
+), first_seen AS (
+  SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng
+)
+SELECT g.doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seen_before,
+       round(CAST(sum(CASE WHEN first_doc < g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS seen_frac
+FROM g JOIN first_seen USING (ng)
+GROUP BY g.doc_id
+""",
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """N-gram novelty scoring: for each document, the fraction of its
+    distinct word trigrams that already occurred in an EARLIER document
+    (ingestion order = doc_id) — the cheap memorization/redundancy
+    signal used to rank crawl batches before the expensive dedup passes
+    (high seen_frac ≈ boilerplate or near-dup of prior data).
+
+    Scale shape: the trigram table is the winnowing/substring-dedup
+    workhorse shape — explode to (doc, ngram), distinct, then one
+    hash-shuffle keyed BY NGRAM for the global first-occurrence
+    aggregate and an ngram-keyed join back; every stage is
+    map-side-combinable and skew-bounded by trigram frequency. The
+    seen fraction is a small-integer divide — deterministic in IEEE
+    double, so round-6 is drift-free.
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    g = (
+        d.select("doc_id", F.explode(idx).alias("i"), "w")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), 3)).alias("ng"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        g.join(first_seen, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            seen.cast("long").alias("n_seen_before"),
+            F.round(
+                seen.cast("double") / F.count(F.lit(1)), 6
+            ).alias("seen_frac"),
+        )
+    )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+), ranked AS (
+  SELECT w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM freq
+), ks AS (SELECT unnest([5, 10, 25]) AS k)
+SELECT k,
+       max(CASE WHEN rnk <= k THEN cum ELSE 0 END) AS covered,
+       max(total) AS total_tokens,
+       round(CAST(max(CASE WHEN rnk <= k THEN cum ELSE 0 END) AS DOUBLE)
+             / max(total), 6) AS coverage
+FROM ks CROSS JOIN ranked
+GROUP BY k
+""",
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    is covered by the top-k most frequent types, for k in {5, 10, 25}
+    (fixture vocabulary is 31 types; production uses 1e4-1e6) — the
+    statistic that sizes a tokenizer vocabulary / OOV budget before BPE
+    training.
+
+    Scale shape: the frequency table is vocabulary-sized (Heaps-
+    sublinear), so the global rank/cumsum window — nominally a single-
+    partition sort — runs over vocab rows, not corpus rows; the corpus-
+    sized work is one map-side-combinable token count. Counts are exact
+    integers; the coverage ratio is one integer divide — deterministic,
+    round-6 drift-free.
+    """
+    tok = tables.load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    ord_w = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    ranked = freq.select(
+        F.row_number().over(ord_w).alias("rnk"),
+        F.sum("cnt").over(
+            ord_w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(25))).alias("k")
+    )
+    covered = F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")).otherwise(0))
+    return (
+        ks.crossJoin(F.broadcast(ranked))
+        .groupBy("k")
+        .agg(
+            covered.alias("covered"),
+            F.max("total").alias("total_tokens"),
+            F.round(
+                covered.cast("double") / F.max("total"), 6
+            ).alias("coverage"),
+        )
+    )

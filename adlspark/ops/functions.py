@@ -485,3 +485,36 @@ def fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_unpivot",
+    oracle="""
+SELECT p_partkey, 'retailprice' AS metric,
+       CAST(p_retailprice AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+""",
+)
+def fn_unpivot(spark, sf_dir):
+    """Unpivot / melt: wide part metrics to long (key, metric, value)
+    rows — the inverse of ``agg_pivot`` and the standard reshape before
+    a generic per-metric aggregation or plotting export. Spark's native
+    ``DataFrame.unpivot`` (SQL ``UNPIVOT``) expands columns to rows in
+    one narrow projection — no shuffle, no UDF; the oracle spells the
+    same relation as UNION ALL, certifying the reshape semantics.
+    Values cast to DOUBLE on both sides (mixed int/double metric columns
+    would otherwise widen differently per engine).
+    """
+    p = tables.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -193,3 +193,45 @@ def subq_any_all(spark, sf_dir):
                         WHERE p_brand = 'Brand#13')
         """
     )
+
+
+@query(
+    "subq_corr_scalar_agg",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round((SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6)))
+                          AS DOUBLE) / count(*)
+              FROM orders o2 WHERE o2.o_custkey = o.o_custkey), 6)
+         AS cust_avg
+FROM orders o
+WHERE o_totalprice > 1.5 *
+      (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+              / count(*)
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def subq_corr_scalar_agg(spark, sf_dir):
+    """Correlated SCALAR AGGREGATE subquery — orders priced >1.5× their
+    own customer's average, with that average in the projection. The
+    analyzer capability under test is DECORRELATION: Catalyst rewrites
+    both correlated subqueries into ONE aggregate-then-join plan (group
+    orders by customer, join back on o_custkey) instead of re-running
+    the subquery per row — the difference between O(n) and O(n²) at any
+    scale. Both engines compute the average through the decimal-exact
+    sum (parity.py §5.3), so the 1.5× filter boundary cannot drift.
+    """
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               round((SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6)))
+                                  AS DOUBLE) / count(*)
+                      FROM sq_orders o2
+                      WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
+        FROM sq_orders o
+        WHERE o_totalprice > 1.5 *
+              (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6)))
+                           AS DOUBLE) / count(*)
+               FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

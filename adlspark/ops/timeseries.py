@@ -708,3 +708,47 @@ def ts_interpolate(spark, sf_dir):
         ),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         {o_dsum('value')} AS total
+  FROM events GROUP BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+), lagged AS (
+  SELECT event_type, total,
+         lag(total) OVER (PARTITION BY event_type ORDER BY d) AS prev
+  FROM daily
+)
+SELECT event_type,
+       count(prev) AS n_pairs,
+       round(corr(total, prev), 4) AS autocorr_lag1
+FROM lagged GROUP BY event_type
+""",
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily value series per event type —
+    the seasonality/persistence screen run before fitting any forecast
+    model (near 0 = memoryless, near ±1 = strong daily carryover).
+
+    Exactness: daily totals go through the decimal-exact sum
+    (parity.py), so both engines correlate IDENTICAL doubles; corr
+    itself is a non-decimalizable statistic → ROUND_STATS=4 per §5.3.
+    Scale shape: one map-side-combinable daily aggregate, a per-type
+    lag window over day-count-sized partitions, one tiny corr agg —
+    the corpus-sized work is the first aggregate only.
+    """
+    ev = tables.events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(dsum("value").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type", "total", F.lag("total").over(w).alias("prev")
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("prev").alias("n_pairs"),
+        F.round(F.corr("total", "prev"), 4).alias("autocorr_lag1"),
+    )

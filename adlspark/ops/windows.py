@@ -375,3 +375,103 @@ def win_streak(spark, sf_dir):
             "streak_start",
         )
     )
+
+
+@query(
+    "win_distinct_running",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
+         user_id
+  FROM events
+)
+SELECT DISTINCT event_type, d AS day,
+       CAST(count(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY d
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM e
+""",
+)
+def win_distinct_running(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — cumulative distinct users
+    per event_type by day. Spark's window functions reject DISTINCT
+    aggregates, so the operator IS the scalable rewrite: a user counts
+    exactly once, on their FIRST day — so per-(type, user) min(day),
+    count the first-appearances per day, and a plain running SUM over
+    the per-day new-user counts. The oracle uses DuckDB's NATIVE
+    count(DISTINCT) OVER with a RANGE frame, so the hash check certifies
+    the rewrite's equivalence (the same native-vs-rewrite contract as
+    ``subq_any_all``).
+
+    Scale shape: the naive form (collect_set over an ever-growing
+    frame) holds every user id seen so far in window state — O(users)
+    memory per partition; the rewrite's state is ONE running integer,
+    and all heavy stages (distinct, min, count) are map-side-combinable
+    hash shuffles. This is how cumulative-uniques dashboards are
+    actually computed at 100 TB.
+    """
+    ev = tables.events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        "user_id",
+    )
+    firsts = ev.groupBy("event_type", "user_id").agg(F.min("d").alias("fd"))
+    new_per_day = firsts.groupBy("event_type", F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select("event_type", "d").distinct()
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        days.join(new_per_day, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w)
+            .cast("long")
+            .alias("cum_distinct_users"),
+        )
+    )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_last_hour
+FROM events
+""",
+)
+def win_time_range(spark, sf_dir):
+    """Time-interval RANGE window — for every event, how many of the
+    same user's events fall in the trailing one hour (the rolling
+    rate-limit / burst-detection primitive). Spark's window frames
+    accept only NUMERIC range bounds, so the operator IS the standard
+    rewrite: order by integer epoch-microseconds and bound the frame at
+    -3.6e9 µs. The oracle runs DuckDB's NATIVE `RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING`, so the hash check certifies the rewrite's
+    equivalence — same native-vs-rewrite contract as
+    ``win_distinct_running`` and ``subq_any_all``.
+
+    Scale shape: one hash shuffle by user, per-user time sort — the
+    same shape as every per-entity window here; frame state is a
+    two-pointer count, not a buffer of rows.
+    """
+    ev = tables.events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+    )

@@ -55,13 +55,17 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # join_asof_nearest (integer-µs tie-break), mm_phash_dedup (char-based
 # stub) — all three are in the window.
 #
-# ROUND-5 TODO: the remaining debt is exactly the 11 rows-only keys
-# below — front-load them next round (plus anything that fails r04 or
-# whose code changes):
-#   llm_kmeans, llm_ann_ivf_pq, llm_bpe_learn, llm_graph_pagerank,
-#   lake_compact_small_files, lake_vacuum_orphans, agg_approx_percentile,
-#   agg_hll_partial_merge, stream_tumbling_ohlc, stream_sliding_watermark,
-#   stream_hll_distinct
+# ROUND-5 TODO: the remaining debt is the 11 rows-only keys below plus
+# the 9 oracle keys added this session — front-load all 20 next round
+# (plus anything that fails r04 or whose code changes):
+#   rows-only: llm_kmeans, llm_ann_ivf_pq, llm_bpe_learn,
+#     llm_graph_pagerank, lake_compact_small_files, lake_vacuum_orphans,
+#     agg_approx_percentile, agg_hll_partial_merge, stream_tumbling_ohlc,
+#     stream_sliding_watermark, stream_hll_distinct
+#   new this session: llm_perplexity_bucket, llm_soft_dedup_weight,
+#     llm_ngram_novelty, llm_vocab_coverage, llm_dedup_editdist,
+#     fn_unpivot, win_distinct_running, ts_autocorr, subq_corr_scalar_agg,
+#     win_time_range, llm_dedup_cross_source
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round
     "subq_not_in_null",

@@ -334,3 +334,49 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     p = plan_of(spark, sf_dir, "join_dpp_prune")
     assert "dynamicpruning" in p
     assert "PartitionFilters" in p
+
+
+def test_editdist_blocked_join_no_cartesian(spark, sf_dir):
+    """llm_dedup_editdist: the Levenshtein verify must run inside an
+    EQUI join on the blocking key — a cartesian/nested-loop here is the
+    all-pairs blowup the blocker exists to prevent."""
+    p = plan_of(spark, sf_dir, "llm_dedup_editdist")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_distinct_running_no_window_set_state(spark, sf_dir):
+    """win_distinct_running must be the first-seen rewrite: a running
+    integer sum, never collect_set window state (O(users) memory per
+    partition at scale)."""
+    p = plan_of(spark, sf_dir, "win_distinct_running")
+    assert "collect_set" not in p
+    # the rewrite's signature: a window sum over per-day new-user counts
+    assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_corr_scalar_agg_is_decorrelated(spark, sf_dir):
+    """subq_corr_scalar_agg: Catalyst must rewrite the correlated scalar
+    aggregate into aggregate-then-join (one pass), not a per-row
+    subquery re-execution."""
+    p = plan_of(spark, sf_dir, "subq_corr_scalar_agg")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_perplexity_bucket_lang_partitioned_window(spark, sf_dir):
+    """llm_perplexity_bucket's tercile sort must be partitioned BY LANG
+    (widest partition = largest language), and the corpus total must
+    ride a broadcast, not a shuffle."""
+    p = plan_of(spark, sf_dir, "llm_perplexity_bucket")
+    assert "hashpartitioning(lang" in p
+    assert "CartesianProduct" not in p
+
+
+def test_time_range_window_is_range_frame(spark, sf_dir):
+    """win_time_range: the trailing-hour count must be a RANGE frame
+    over integer epoch order (two-pointer state), partitioned by user."""
+    p = plan_of(spark, sf_dir, "win_time_range")
+    assert "hashpartitioning(user_id" in p
+    assert "specifiedwindowframe(RangeFrame" in p or "RANGE" in p.upper()
