@@ -761,3 +761,48 @@ def agg_first_last_by(spark, sf_dir):
         F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event"),
         F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
     )
+
+
+@query(
+    "agg_grouping_flags",
+    oracle=f"""
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       count(*) AS n_customers,
+       {o_dsum('c_acctbal')} AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_name)
+""",
+)
+def agg_grouping_flags(spark, sf_dir):
+    """CUBE with GROUPING() indicator columns — the portable way to tell
+    a stored subtotal row from a genuine NULL group key downstream
+    (``agg_cube`` pins the values; this key pins the indicators).
+    GROUPING(col) is the SQL-standard 0/1 flag and identical across
+    engines; the packed ``grouping_id()`` bit ORDER is engine-specific,
+    so the composite form is deliberately excluded (SURVEY §5.3 note at
+    the grouping-sets key). One partial+final aggregate per grouping
+    set, map-side combined — CUBE costs 4 passes of combiners here, not
+    4 scans.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.cube("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_bal"),
+        )
+        .select(
+            "r_name", "n_name", "g_region", "g_nation", "n_customers", "sum_bal"
+        )
+    )

@@ -1070,3 +1070,51 @@ def lake_vacuum_orphans(spark, sf_dir):
         )
         .select("batch", "status", "n_files", "bytes_reclaimable")
     )
+
+
+@query(
+    "lake_dynamic_partition_overwrite",
+    oracle=f"""
+SELECT o_orderstatus, count(*) AS n,
+       {o_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9 ELSE o_totalprice END")}
+         AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def lake_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the lake's partition-level upsert:
+    a partitioned orders table is staged once, then a corrected batch
+    (status-'O' orders repriced at 90%) overwrites ONLY the partitions
+    it contains, leaving every other partition's files untouched.
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` scopes the
+    overwrite to partitions present in the incoming data — the static
+    default would truncate the whole table; at 100 TB this is the
+    difference between rewriting one day and rewriting the lake. The
+    oracle recomputes the expected final state relationally, so the
+    hash certifies the on-disk result of the write protocol itself.
+    """
+    import shutil as _sh
+
+    base = work_dir(sf_dir, "dyn_overwrite")
+    path = os.path.join(base, "orders_part")
+    _sh.rmtree(path, ignore_errors=True)
+
+    o = tables.load(spark, sf_dir, "orders")
+    o.write.partitionBy("o_orderstatus").parquet(path)
+
+    fixed = (
+        o.where(F.col("o_orderstatus") == "O")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 0.9)
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -752,3 +752,46 @@ def ts_autocorr(spark, sf_dir):
         F.count("prev").alias("n_pairs"),
         F.round(F.corr("total", "prev"), 4).alias("autocorr_lag1"),
     )
+
+
+@query(
+    "ts_rolling_median",
+    oracle="""
+SELECT event_id, user_id, value,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS med7
+FROM events
+""",
+)
+def ts_rolling_median(spark, sf_dir):
+    """Trailing 7-event median of value per user — the robust rolling
+    statistic (median ignores the spike that wrecks a rolling mean).
+    Spark has no exact percentile window function, so the operator IS
+    the rewrite: sort the bounded 7-row frame (``collect_list`` +
+    ``array_sort``) and interpolate lower + (upper-lower)·0.5 — the
+    EXACT arithmetic DuckDB's native ``quantile_cont OVER`` uses
+    (position (n-1)/2, linear interpolation), certified by the hash
+    (the (a+b)/2 form differs in the last ulp and would drift).
+
+    Scale shape: frame state is the 7-row buffer — O(frame), not
+    O(history); one hash shuffle by user. The frame-bounded sorted-array
+    rewrite is how exact rolling quantiles are actually run at scale;
+    unbounded frames would switch to a sketch (``agg_approx_percentile``).
+    """
+    ev = tables.events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    lower = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    upper = F.element_at(vals, (n / 2).cast("int") + 1)
+    med = lower + (upper - lower) * F.lit(0.5)
+    return ev.select(
+        "event_id", "user_id", "value", F.round(med, 6).alias("med7")
+    )

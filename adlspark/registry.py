@@ -65,7 +65,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #   new this session: llm_perplexity_bucket, llm_soft_dedup_weight,
 #     llm_ngram_novelty, llm_vocab_coverage, llm_dedup_editdist,
 #     fn_unpivot, win_distinct_running, ts_autocorr, subq_corr_scalar_agg,
-#     win_time_range, llm_dedup_cross_source
+#     win_time_range, llm_dedup_cross_source,
+#     lake_dynamic_partition_overwrite, agg_grouping_flags,
+#     ts_rolling_median
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round
     "subq_not_in_null",
