@@ -394,3 +394,138 @@ def test_hll_merge_equals_direct_and_error_band(spark, sf_dir):
     assert r["merged_distinct_est"] == r["direct_distinct_est"]
     exact = r["exact_distinct"]
     assert abs(r["merged_distinct_est"] - exact) / max(exact, 1) < 0.05
+
+
+def test_approx_distinct_within_error_band(spark, sf_dir):
+    """agg_approx_distinct (HLL++, rsd=0.01) must land within 5% of the
+    exact per-group distinct count — a broken sketch config or merge
+    blows this band immediately; the sketch is deterministic on a fixed
+    fixture so the test cannot flake."""
+    from adlspark.registry import all_queries
+
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in all_queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in tables.load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
+
+
+def test_approx_percentile_rank_error_bounded(spark, sf_dir):
+    """agg_approx_percentile (accuracy=10000 → rank error ≤ n/10000)
+    must return values whose true rank is within a generous multiple of
+    the guarantee for every (group, quantile)."""
+    from adlspark.registry import all_queries
+
+    import bisect
+
+    got = all_queries()["agg_approx_percentile"](spark, sf_dir).collect()
+    vals = {}
+    for r in (
+        tables.load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        vals.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for v in vals.values():
+        v.sort()
+    for r in got:
+        xs = vals[r["l_returnflag"]]
+        n = len(xs)
+        tol = max(2.0, 10 * n / 10000.0)
+        for q, est in zip((0.5, 0.95, 0.99), r["p50_p95_p99"]):
+            lo = bisect.bisect_left(xs, est)
+            hi = bisect.bisect_right(xs, est)
+            target = q * (n - 1)
+            # true rank interval of the estimate must come within tol
+            # of the target rank
+            dist = max(lo - target, target - (hi - 1), 0)
+            assert dist <= tol, (r["l_returnflag"], q, est, dist, tol)
+
+
+def test_minhash_lsh_sound_and_high_jaccard_complete(spark, sf_dir):
+    """llm_dedup_minhash: every reported pair must truly have shingle
+    Jaccard ≥ 0.8 (the verify step is exact — zero false positives),
+    and no true pair at J ≥ 0.95 may be missed (at 16 hashes / 4×4
+    banding a J≥0.95 pair collides with probability ~1-(1-0.95^4)^4 ≈
+    0.9988; on the fixed fixture the outcome is deterministic). Also
+    pins run-to-run determinism."""
+    from adlspark.registry import all_queries
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in tables.load(spark, sf_dir, "documents").collect()
+    }
+
+    def shingles(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {k: shingles(t) for k, t in docs.items()}
+
+    def jac(a, b):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        return inter / union if union else 0.0
+
+    out = all_queries()["llm_dedup_minhash"](spark, sf_dir).collect()
+    cols = out[0].asDict().keys() if out else []
+    ids = sorted(docs)
+    pairs = {
+        (min(r[0], r[1]), max(r[0], r[1])): True
+        for r in [tuple(row)[:2] for row in out]
+    }
+    for a, b in pairs:
+        assert jac(a, b) >= 0.8 - 1e-9, (a, b, jac(a, b))
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if jac(a, b) >= 0.95:
+                assert (a, b) in pairs, (a, b, jac(a, b))
+    again = all_queries()["llm_dedup_minhash"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_ingest_validate_json_bucket_counts(spark, sf_dir):
+    """The validate/quarantine split is fully determined by the derived
+    batch: 200 good rows, 3 + 5 = 8 quarantined (missing required column
+    + malformed lines). Conservation: good + quarantined = lines written."""
+    from adlspark.registry import all_queries
+
+    got = {
+        r["bucket"]: r["n"]
+        for r in all_queries()["ingest_validate_json"](spark, sf_dir).collect()
+    }
+    assert got == {"good": 200, "quarantined": 8}
+
+
+def test_mm_binary_pipeline_decode_invariants(spark, sf_dir):
+    """The binary decode path must conserve the corpus: per-lang doc
+    counts equal the documents table, total payload bytes equal total
+    n_chars (payload = utf-8 of ASCII text), and the stubbed features
+    land in [0, 1] (sha256 byte / 255)."""
+    from adlspark.registry import all_queries
+
+    got = all_queries()["mm_binary_pipeline"](spark, sf_dir).collect()
+    exp = {
+        r["lang"]: (r["n"], r["total"])
+        for r in tables.load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total"))
+        .collect()
+    }
+    assert {r["lang"] for r in got} == set(exp)
+    for r in got:
+        n, total = exp[r["lang"]]
+        assert r["n_docs"] == n
+        assert r["total_bytes"] == total
+        assert 0.0 <= r["avg_f0"] <= 1.0 and 0.0 <= r["avg_f1"] <= 1.0

@@ -131,3 +131,134 @@ def test_stream_hll_distinct_equals_batch(spark, sf_dir):
     )
     expected = {r["day_start"]: (r["est"], r["n"]) for r in batch}
     assert got == expected
+
+
+def test_stream_session_window_matches_batch_sessions(spark, sf_dir):
+    """Emitted session windows must match batch sessionization (5-min
+    gap): same (user, session_start, count); only sessions within
+    watermark-reach of max event time may be held back."""
+    from pyspark.sql import Window
+
+    from adlspark.streaming.streams import stream_session_window
+
+    streamed = stream_session_window(spark, sf_dir).select(
+        "user_id", F.col("s_start").alias("ts0"), F.col("n").alias("n_stream")
+    )
+    ev = tables.events(spark, sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    batch = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap >= 5 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("ts0"), F.count(F.lit(1)).alias("n_batch"))
+        .drop("sess_id")
+    )
+    joined = streamed.join(batch, on=["user_id", "ts0"], how="left")
+    bad = joined.filter(
+        F.col("n_batch").isNull() | (F.col("n_stream") != F.col("n_batch"))
+    )
+    assert bad.count() == 0
+    # nearly-complete emission: only trailing sessions can be held back
+    assert streamed.count() >= int(batch.count() * 0.8)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Complete-mode stream-static join counts must EQUAL the batch join
+    (no holdback in complete mode)."""
+    from adlspark.streaming.streams import stream_static_join
+
+    streamed = stream_static_join(spark, sf_dir)
+    batch = (
+        tables.events(spark, sf_dir)
+        .withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
+    joined = streamed.join(batch, on="cohort", how="full")
+    bad = joined.filter(
+        F.col("n").isNull()
+        | F.col("n_batch").isNull()
+        | (F.col("n") != F.col("n_batch"))
+    )
+    assert bad.count() == 0
+
+
+def test_stream_foreach_batch_upsert_totals(spark, sf_dir):
+    """The merged micro-batch catalog must hold exactly the batch
+    per-type totals (partial counts summed across batches)."""
+    from adlspark.streaming.streams import stream_foreach_batch_upsert
+
+    streamed = stream_foreach_batch_upsert(spark, sf_dir)
+    batch = (
+        tables.events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
+    joined = streamed.join(batch, on="event_type", how="full")
+    bad = joined.filter(
+        F.col("n").isNull()
+        | F.col("n_batch").isNull()
+        | (F.col("n") != F.col("n_batch"))
+    )
+    assert bad.count() == 0
+
+
+def test_stream_stream_join_equals_batch_attribution(spark, sf_dir):
+    """Stream-stream INNER joins emit on match (state eviction only
+    bounds memory), so the attribution counts must equal the batch
+    range join exactly."""
+    from adlspark.streaming.streams import stream_stream_join
+
+    streamed = stream_stream_join(spark, sf_dir)
+    ev = tables.events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+    )
+    batch = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 15 MINUTES")
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
+    joined = streamed.join(batch, on="user_id", how="full")
+    bad = joined.filter(
+        F.col("n_attributed").isNull()
+        | F.col("n_batch").isNull()
+        | (F.col("n_attributed") != F.col("n_batch"))
+    )
+    assert bad.count() == 0
+
+
+def test_stream_transform_with_state_totals(spark, sf_dir):
+    """Per-user running counts from the stateful-v2 key (or its gated v1
+    fallback) must equal batch totals."""
+    from adlspark.streaming.streams import stream_transform_with_state
+
+    streamed = stream_transform_with_state(spark, sf_dir)
+    batch = tables.events(spark, sf_dir).groupBy("user_id").count()
+    joined = streamed.join(batch, on="user_id", how="full")
+    bad = joined.filter(
+        F.col("n_events").isNull()
+        | F.col("count").isNull()
+        | (F.col("n_events") != F.col("count"))
+    )
+    assert bad.count() == 0
