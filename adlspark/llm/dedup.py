@@ -1372,3 +1372,135 @@ def llm_dedup_cross_source(spark, sf_dir):
         F.col("b.doc_id").alias("doc_b"),
         F.col("b.source").alias("source_b"),
     )
+
+
+@query(
+    "llm_containment_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingles
+  FROM d
+), tok AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfreq AS (
+  SELECT s, count(*) AS df FROM tok GROUP BY s
+), blk AS (
+  SELECT doc_id, s FROM (
+    SELECT t.doc_id, t.s,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.s) AS rn
+    FROM tok t JOIN dfreq f USING (s)
+  ) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blk a JOIN blk b ON a.s = b.s AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         len(x.shingles) AS sz_a, len(y.shingles) AS sz_b,
+         len(list_intersect(x.shingles, y.shingles)) AS n_int
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b
+)
+SELECT CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND id_a > id_b)
+            THEN id_a ELSE id_b END AS contained_id,
+       CASE WHEN sz_a < sz_b OR (sz_a = sz_b AND id_a > id_b)
+            THEN id_b ELSE id_a END AS container_id,
+       least(sz_a, sz_b) AS sz_contained,
+       greatest(sz_a, sz_b) AS sz_container,
+       round(CAST(n_int AS DOUBLE) / least(sz_a, sz_b), 6) AS containment
+FROM scored
+WHERE CAST(n_int AS DOUBLE) / least(sz_a, sz_b) >= 0.6
+""",
+)
+def llm_containment_dedup(spark, sf_dir):
+    """Asymmetric containment dedup: flag documents whose 3-gram shingle
+    set is ≥60% contained in another document's — the subset-duplicate
+    case (quote inside article, truncated crawl of a longer page) that
+    symmetric Jaccard structurally misses (A⊂B with |B|≫|A| has high
+    containment but low Jaccard).
+
+    Candidates come from a rarest-shingle block index: each doc posts
+    only its 2 globally-rarest shingles (df ASC, shingle ASC), and pairs
+    must share a posted shingle. The bucket for shingle s holds at most
+    df(s) documents, and s is only posted by docs for which it is
+    near-unique — so bucket sizes are SELF-BOUNDING: a boilerplate
+    shingle has high df, is nobody's rarest, and generates no bucket at
+    all (same hot-key immunity as the PPJoin prefix filter in
+    ``llm_ngram_jaccard``). Verification counts shared shingles through
+    the token table restricted to candidate pairs (≤ |cand|·|doc| rows —
+    no full arrays ever cross a shuffle), and set sizes fall out of the
+    same token table for free since shingles are per-doc distinct.
+    Containment is measured against the smaller set, with the (size,
+    doc_id) rule deciding the contained side deterministically.
+
+    The token table feeds five plan subtrees (df, block index ×2,
+    verify ×2), so it is localCheckpoint-ed once — one explode pass over
+    the corpus materialized to executor-local blocks instead of five
+    re-reads of the parquet + shingle transform (the same multi-use-
+    subtree materialization ``llm_dedup_cluster`` uses per round).
+    """
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+        ).alias("shingles"),
+    )
+    tok = d.select("doc_id", F.explode("shingles").alias("s")).localCheckpoint()
+    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")
+    blk = (
+        tok.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") <= 2)
+        .select("doc_id", "s")
+    )
+    cand = (
+        blk.alias("a")
+        .join(blk.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    n_int = (
+        cand.join(
+            tok.select(F.col("doc_id").alias("id_a"), "s"), "id_a"
+        )
+        .join(tok.select(F.col("doc_id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    scored = (
+        n_int.join(
+            sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b", "n_int")
+    )
+    a_contained = (F.col("sz_a") < F.col("sz_b")) | (
+        (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") > F.col("id_b"))
+    )
+    cont = F.col("n_int").cast("double") / F.least("sz_a", "sz_b")
+    return scored.where(cont >= 0.6).select(
+        F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "contained_id"
+        ),
+        F.when(a_contained, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "container_id"
+        ),
+        F.least("sz_a", "sz_b").cast("long").alias("sz_contained"),
+        F.greatest("sz_a", "sz_b").cast("long").alias("sz_container"),
+        F.round(cont, 6).alias("containment"),
+    )

@@ -903,3 +903,129 @@ def llm_ann_ivf_pq(spark, sf_dir):
         per_block.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "llm_hard_negative_mine",
+    oracle=f"""
+WITH p AS (SELECT vec_id AS probe_id, label AS probe_label, embedding AS pe
+           FROM embeddings WHERE vec_id < 10)
+SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim, rnk FROM (
+  SELECT p.probe_id, p.probe_label, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         {o_cosine('p.pe', 'c.embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY p.probe_id
+           ORDER BY {o_cosine('p.pe', 'c.embedding')} DESC, c.vec_id
+         ) AS rnk
+  FROM p JOIN embeddings c
+    ON c.label <> p.probe_label
+) t WHERE rnk <= 5
+""",
+)
+def llm_hard_negative_mine(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the 5 most-similar vectors carrying a DIFFERENT label — the
+    near-misses that produce the largest contrastive gradients (the
+    standard batch-mining step for embedding-model training, e.g. Xiong
+    et al. 2021 ANCE).
+
+    Same distributed shape as ``llm_sim_topk``: the probe set is
+    broadcast, the candidate corpus is scanned once with the cross-label
+    predicate applied pre-ranking (so positives never enter the top-k
+    heap), cosine is the JVM-side exact expression, and ranking is on
+    the rounded similarity with vec_id tiebreak. At 100 TB the probe set
+    is a training batch (thousands of rows — still broadcastable) and
+    the corpus-side scan parallelizes per partition; the per-probe top-k
+    is a window over probe_id, shuffled by probe — bounded by
+    |probes|·k, never by corpus size.
+    """
+    e = tables.load(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("pe"),
+    )
+    pairs = e.crossJoin(F.broadcast(probes)).where(
+        F.col("label") != F.col("probe_label")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "probe_id",
+            "probe_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine(F.col("pe"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@query("llm_pca_power")  # rows-only: eigendecomposition has no SQL oracle;
+# pytest pins the spectrum against numpy's exact eigh on the same data.
+def llm_pca_power(spark, sf_dir):
+    """Distributed PCA of the embedding corpus: top-5 principal
+    eigenvalues + explained-variance ratios of the covariance matrix.
+
+    The scale architecture is the classic two-phase Gram accumulation
+    (the same shape MLlib's RowMatrix.computePrincipalComponents uses):
+
+    1. ``mapInPandas`` emits ONE partial per input partition — the tuple
+       (n, Σx, Σxxᵀ) with the d×d Gram flattened to d² doubles, computed
+       as a single BLAS ``X.T @ X`` per Arrow batch. Data never leaves
+       its partition; the map output is O(partitions · d²), independent
+       of row count.
+    2. The partials are reduced by position (posexplode + sum — a
+       map-side-combinable aggregation of ≤ partitions · (d²+d+1)
+       doubles), and only the d²+d+1 aggregated cells reach the driver —
+       model-sized state (d=64 → 33 KB), never the corpus.
+
+    The driver then forms C = E[xxᵀ] − μμᵀ and runs ``numpy.linalg.eigh``
+    on the 64×64 matrix — O(d³) once, trivially cheap. At 100 TB nothing
+    changes: phase 1 stays embarrassingly parallel, phase 2's reduction
+    tree is logarithmic, the driver still sees 33 KB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = tables.load(spark, sf_dir, "embeddings").select("embedding")
+    d = len(e.head(1)[0]["embedding"])
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros(d * d)
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += (X.T @ X).ravel()
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "cell": [np.concatenate(([float(n)], s, g)).tolist()]}
+            )
+
+    parts = e.mapInPandas(partials, "n long, cell array<double>")
+    agg = (
+        parts.select(F.posexplode("cell").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()  # d²+d+1 cells: model-sized, not data-sized
+    )
+    cells = np.zeros(d * d + d + 1)
+    for r in agg:
+        cells[r["pos"]] = r["v"]
+    n_total = cells[0]
+    mu = cells[1 : d + 1] / n_total
+    C = cells[d + 1 :].reshape(d, d) / n_total - np.outer(mu, mu)
+    evals = np.linalg.eigvalsh(C)[::-1]
+    trace = float(evals.sum())
+    rows = [
+        (int(i + 1), float(round(evals[i], 6)), float(round(evals[i] / trace, 6)))
+        for i in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )

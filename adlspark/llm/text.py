@@ -1487,3 +1487,144 @@ def llm_vocab_coverage(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+@query(
+    "llm_temperature_sample",
+    oracle="""
+WITH n AS (
+  SELECT lang, count(*) AS lang_n FROM documents GROUP BY lang
+), m AS (
+  SELECT min(lang_n) AS n_min FROM n
+), b AS (
+  SELECT d.doc_id, d.lang, n.lang_n, m.n_min,
+         CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+           % 10000 AS bucket
+  FROM documents d JOIN n USING (lang) CROSS JOIN m
+)
+SELECT doc_id, lang
+FROM b
+WHERE bucket * bucket * lang_n < 100000000 * n_min
+""",
+)
+def llm_temperature_sample(spark, sf_dir):
+    """Temperature-scaled source sampling (α = 0.5): downsample each
+    language at rate √(n_min/n_s), the multilingual mixture-flattening rule
+    from XLM-R / mT5 (p_s ∝ n_s^α) restricted to downsampling-only so the
+    smallest source is kept whole and nothing is duplicated.
+
+    Membership is the same engine-independent md5-bucket primitive as
+    ``llm_train_split``, but the irrational threshold 10000·√(n_min/n_s)
+    is compared in INTEGER form — bucket²·n_s < 10⁸·n_min — so the
+    accept/reject boundary is exact on both engines (a float sqrt
+    comparison could flip a boundary bucket by one ulp). Scale: one
+    narrow count per language (broadcast back), plus a map-side filter on
+    a pure function of doc_id — the corpus never shuffles, identical
+    membership under any partitioning or engine.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_n"))
+    n_min = counts.agg(F.min("lang_n").alias("n_min"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .where(bucket * bucket * F.col("lang_n") < F.lit(100000000) * F.col("n_min"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "llm_cooccurrence_pmi",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, count(*) AS df FROM tok GROUP BY w
+), vocab AS (
+  SELECT w, df FROM (
+    SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rnk FROM freq
+  ) WHERE rnk <= 50
+), vt AS (
+  SELECT t.doc_id, t.w, v.df FROM tok t JOIN vocab v USING (w)
+), pairs AS (
+  SELECT a.w AS token_a, b.w AS token_b,
+         any_value(a.df) AS df_a, any_value(b.df) AS df_b,
+         count(*) AS n_co
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+), total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+SELECT token_a, token_b, n_co,
+       round(ln(CAST(n_co * n_docs AS DOUBLE) / CAST(df_a * df_b AS DOUBLE)), 6)
+         AS pmi
+FROM pairs CROSS JOIN total
+WHERE n_co >= 5
+""",
+)
+def llm_cooccurrence_pmi(spark, sf_dir):
+    """Document-level pointwise mutual information between vocabulary
+    terms: PMI(a,b) = ln(P(a,b)/(P(a)P(b))) over doc co-occurrence — the
+    association statistic behind phrase mining and word-vector SPPMI
+    factorization (Levy & Goldberg 2014).
+
+    The quadratic is bounded by construction: pairs are generated only
+    within the top-V vocabulary (V = 50 by document frequency,
+    deterministic tiebreak), so a doc contributes at most C(V,2) pairs
+    regardless of its length — the knob that keeps the self-join linear
+    in corpus size at 100 TB (V is a constant; the doc_id join key is
+    the shuffle key and co-occurrence counting is map-side combinable).
+    The ln ratio is over exact integers on both engines; round(,6) sits
+    ≫ the ≤1-ulp libm drift.
+    """
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.orderBy(F.desc("df"), F.col("w"))
+    vocab = (
+        freq.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 50)
+        .select("w", "df")
+    )
+    vt = tok.join(F.broadcast(vocab), "w")
+    a = vt.select(
+        "doc_id", F.col("w").alias("token_a"), F.col("df").alias("df_a")
+    )
+    b = vt.select(
+        "doc_id", F.col("w").alias("token_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.any_value(F.col("df_a")).alias("df_a"),
+            F.any_value(F.col("df_b")).alias("df_b"),
+            F.count(F.lit(1)).alias("n_co"),
+        )
+    )
+    n_docs = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .where(F.col("n_co") >= 5)
+        .select(
+            "token_a",
+            "token_b",
+            "n_co",
+            F.round(
+                F.log(
+                    (F.col("n_co") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -503,3 +503,65 @@ def join_asof_nearest(spark, sf_dir):
         F.col("ts").alias("error_ts"),
         nearest.alias("nearest_purchase_ts"),
     )
+
+
+@query(
+    "join_star_schema",
+    oracle=f"""
+SELECT n_name,
+       {o_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def join_star_schema(spark, sf_dir):
+    """TPC-H Q5-shaped star join: local-supplier revenue by nation.
+
+    The scale story is the join ORDER and STRATEGIES, not the SQL: the
+    two fact tables (lineitem, orders) meet in one shuffled sort-merge
+    join on orderkey; the small dimensions (supplier, nation, region)
+    join broadcast-hash explicitly, while the customer edge is left to
+    AQE — customer is dimension-sized here but fact-sized in a real
+    TPC-H deployment, so hard-coding a broadcast there would be the
+    100×-scale bug; AQE picks broadcast at this sf and SMJ at scale. The region filter is pushed below the
+    join (partition/row-group pruning at the scan), and the local-supplier
+    condition c_nationkey = s_nationkey rides the supplier broadcast as
+    an extra equi conjunct rather than a post-filter. Revenue uses the
+    decimal-exact dsum discipline; the per-item product
+    price·(1−discount) is one IEEE expression on both engines.
+    """
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dim = F.broadcast(
+        s.join(n, s.s_nationkey == n.n_nationkey).join(
+            r, F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            dim,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

@@ -795,3 +795,224 @@ def ts_rolling_median(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", "value", F.round(med, 6).alias("med7")
     )
+
+
+@query(
+    "ts_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                      ELSE 'e' END, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_buy_paths,
+       CAST(len(regexp_extract_all(s, 'vc*e')) AS BIGINT) AS n_err_paths
+FROM seq
+""",
+)
+def ts_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite: count view→click*→purchase (and →error)
+    paths per user by regex over the user's ordered event-letter string.
+
+    Spark has no MATCH_RECOGNIZE; the scalable rewrite is (1) one hash
+    shuffle grouping each user's events, (2) an ordered reduction to a
+    letter string (array_sort of (ts, event_id, letter) structs — struct
+    order is the total order, so the aggregation is deterministic under
+    any partitioning), (3) JVM regexp_extract_all over the bounded
+    per-user string. Pattern 'vc*p' is unambiguous (each alternative is a
+    single distinct letter), so Java-regex and RE2 agree on the same
+    non-overlapping greedy matches — cross-engine-stable, unlike patterns
+    with overlapping alternatives. At 100 TB the same shape runs per
+    (user, day) to bound string length; state is O(user history), the
+    same bound sessionization needs.
+    """
+    ev = tables.events(spark, sf_dir)
+    letter = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", letter.alias("ch")).alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("t")), lambda x: x["ch"]),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("vc*p"), 0))
+        .cast("long")
+        .alias("n_buy_paths"),
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("vc*e"), 0))
+        .cast("long")
+        .alias("n_err_paths"),
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         sum(CAST(value AS {O_DEC})) AS xdec
+  FROM events GROUP BY 1, 2
+), dev AS (
+  SELECT user_id, day,
+         CAST(sum(xdec) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+         - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS DOUBLE)
+           * (CAST(sum(xdec) OVER (PARTITION BY user_id) AS DOUBLE)
+              / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE)) AS d,
+         count(*) OVER (PARTITION BY user_id) AS n_days
+  FROM daily
+), ranked AS (
+  SELECT user_id, day, round(abs(d), 6) AS abs_dev, n_days,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY round(abs(d), 6) DESC, day) AS rn
+  FROM dev
+)
+SELECT user_id, day AS cp_day, abs_dev AS max_abs_cusum,
+       CAST(n_days AS BIGINT) AS n_days
+FROM ranked WHERE rn = 1
+""",
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per user: the day where the running
+    sum of deviations from the user's mean daily value peaks in absolute
+    terms (Page 1954's cumulative-sum statistic; the standard single
+    change-point estimate argmax_t |S_t - t·x̄|).
+
+    Cross-engine exactness: daily sums and the running prefix are
+    DECIMAL(38,6) (order-independent); the deviation is then derived with
+    the identical IEEE expression `double(S_t) - double(t)·mean` on both
+    engines, so the argmax ranking (rounded |dev| desc, day asc) is
+    deterministic. Scale shape: one shuffle to (user, day) aggregates,
+    one window pass per user — state O(1) per row, history streamed in
+    day order; no self-join, no driver state.
+    """
+    ev = tables.events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("xdec"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("user_id")
+    mean = F.sum("xdec").over(w_all).cast("double") / F.count(
+        F.lit(1)
+    ).over(w_all).cast("double")
+    dev = (
+        F.sum("xdec").over(w_run).cast("double")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("day")).cast(
+            "double"
+        )
+        * mean
+    )
+    scored = daily.select(
+        "user_id",
+        "day",
+        F.round(F.abs(dev), 6).alias("abs_dev"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("abs_dev"), F.col("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("day").alias("cp_day"),
+            F.col("abs_dev").alias("max_abs_cusum"),
+            "n_days",
+        )
+    )
+
+
+@query(
+    "ts_rolling_corr",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS x,
+         count(*) FILTER (WHERE event_type = 'purchase') AS y
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT user_id, day, x, y,
+         count(*)    OVER w AS n,
+         sum(x)      OVER w AS sx,
+         sum(y)      OVER w AS sy,
+         sum(x * x)  OVER w AS sxx,
+         sum(y * y)  OVER w AS syy,
+         sum(x * y)  OVER w AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(n AS BIGINT) AS n_frame,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+            END AS roll_corr
+FROM f
+""",
+)
+def ts_rolling_corr(spark, sf_dir):
+    """Trailing-7-day rolling Pearson correlation between a user's total
+    daily activity and their daily purchase count (does activity convert?).
+
+    Spark has no corr() over a window frame; the scalable rewrite keeps
+    the six *integer* sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+    over the bounded frame and derives r in closed form. Because both
+    series are counts, every frame sum is exact in BIGINT on both engines
+    — none of the float-window-summation-order drift that plagues
+    sliding sums of doubles (DuckDB's segment-tree window evaluation vs
+    Spark's frame re-scan associate differently; integers make the
+    question moot). Degenerate frames (constant series) are NULL via the
+    same integer variance test on both sides. Scale: one shuffle to
+    (user, day), one O(frame) window pass; state per row is six longs.
+    """
+    ev = tables.events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            4,
+        ),
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        n.cast("long").alias("n_frame"),
+        corr.alias("roll_corr"),
+    )
