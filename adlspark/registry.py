@@ -55,19 +55,23 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # join_asof_nearest (integer-µs tie-break), mm_phash_dedup (char-based
 # stub) — all three are in the window.
 #
-# ROUND-5 TODO: the remaining debt is the 11 rows-only keys below plus
-# the 9 oracle keys added this session — front-load all 20 next round
-# (plus anything that fails r04 or whose code changes):
+# ROUND-5 TODO: the remaining debt is the 12 rows-only keys below plus
+# the 23 oracle keys added in the r3-tail and r4 sessions — front-load
+# all 35 next round (plus anything that fails r04 or whose code changes):
 #   rows-only: llm_kmeans, llm_ann_ivf_pq, llm_bpe_learn,
 #     llm_graph_pagerank, lake_compact_small_files, lake_vacuum_orphans,
 #     agg_approx_percentile, agg_hll_partial_merge, stream_tumbling_ohlc,
-#     stream_sliding_watermark, stream_hll_distinct
-#   new this session: llm_perplexity_bucket, llm_soft_dedup_weight,
+#     stream_sliding_watermark, stream_hll_distinct, llm_pca_power
+#   r3-tail session: llm_perplexity_bucket, llm_soft_dedup_weight,
 #     llm_ngram_novelty, llm_vocab_coverage, llm_dedup_editdist,
 #     fn_unpivot, win_distinct_running, ts_autocorr, subq_corr_scalar_agg,
 #     win_time_range, llm_dedup_cross_source,
 #     lake_dynamic_partition_overwrite, agg_grouping_flags,
 #     ts_rolling_median
+#   r4 session: ts_pattern_match, ts_cusum_changepoint, ts_rolling_corr,
+#     join_star_schema, llm_hard_negative_mine, llm_temperature_sample,
+#     llm_cooccurrence_pmi, llm_containment_dedup (llm_pca_power is in
+#     the rows-only list)
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round
     "subq_not_in_null",

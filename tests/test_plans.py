@@ -380,3 +380,28 @@ def test_time_range_window_is_range_frame(spark, sf_dir):
     p = plan_of(spark, sf_dir, "win_time_range")
     assert "hashpartitioning(user_id" in p
     assert "specifiedwindowframe(RangeFrame" in p or "RANGE" in p.upper()
+
+
+def test_star_schema_one_fact_shuffle_broadcast_dims(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_star_schema")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the dim bundle (supplier x nation x region) joins broadcast-hash
+    assert "BroadcastHashJoin" in p
+    # the region filter is pushed to the scan, not applied post-join
+    assert "PushedFilters" in p and "r_name" in p
+    # the date range reaches the orders scan
+    assert "o_orderdate" in "".join(
+        l for l in p.splitlines() if "PushedFilters" in l
+    )
+
+
+def test_containment_dedup_no_cartesian_no_arrays_in_verify(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "llm_containment_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pattern_match_single_user_shuffle(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ts_pattern_match")
+    assert "CartesianProduct" not in p
+    # one hash exchange keyed by user_id feeds the ordered reduction
+    assert "hashpartitioning(user_id" in p

@@ -529,3 +529,59 @@ def test_mm_binary_pipeline_decode_invariants(spark, sf_dir):
         assert r["n_docs"] == n
         assert r["total_bytes"] == total
         assert 0.0 <= r["avg_f0"] <= 1.0 and 0.0 <= r["avg_f1"] <= 1.0
+
+
+def test_pca_power_matches_numpy_eigh(spark, sf_dir):
+    """llm_pca_power's distributed Gram accumulation must reproduce the
+    spectrum numpy computes directly on the collected data (rows-only
+    driver key — this is its falsifiable bar)."""
+    import numpy as np
+
+    from adlspark import registry
+
+    out = {
+        r["component"]: (r["eigenvalue"], r["explained_ratio"])
+        for r in registry.all_queries()["llm_pca_power"](spark, sf_dir).collect()
+    }
+    X = np.stack(
+        [
+            np.array(r["embedding"], dtype=np.float64)
+            for r in tables.load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(C))[::-1]
+    trace = evals.sum()
+    for i in range(5):
+        got_ev, got_ratio = out[i + 1]
+        assert abs(got_ev - evals[i]) < 1e-6
+        assert abs(got_ratio - evals[i] / trace) < 1e-6
+
+
+def test_containment_dedup_sound_and_flags_planted_prefix_dups(spark, sf_dir):
+    """Every reported containment must equal the exact shingle-set
+    containment recomputed from scratch (soundness of the token-level
+    verify), and the contained side must always be the smaller set."""
+    from pyspark.sql import functions as F
+
+    from adlspark import registry
+
+    rows = registry.all_queries()["llm_containment_dedup"](spark, sf_dir).collect()
+    assert rows, "expected at least one containment pair in the fixture"
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
+            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+        ).alias("sh"),
+    )
+    shingles = {r["doc_id"]: set(r["sh"]) for r in d.collect()}
+    for r in rows:
+        a = shingles[r["contained_id"]]
+        b = shingles[r["container_id"]]
+        assert len(a) <= len(b)
+        exact = len(a & b) / len(a)
+        assert abs(exact - r["containment"]) < 1e-6
+        assert exact >= 0.6
