@@ -241,12 +241,16 @@ def llm_dedup_minhash(spark, sf_dir):
     """
     n_hashes, bands = 16, 4
     rows_per_band = n_hashes // bands
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
-        ).alias("shingles"),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+            ).alias("shingles"),
+        )
     )
     sh = d.select("doc_id", F.explode("shingles").alias("s"))
     sig = sh.groupBy("doc_id").agg(
@@ -428,13 +432,17 @@ def llm_ngram_jaccard(spark, sf_dir):
     prefix shingle — zero false negatives, and the per-candidate
     array_intersect verify recovers the exact Jaccard the oracle checks.
     """
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.expr(
-            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
-        ).alias("toks"),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+            ).alias("toks"),
+        )
     )
     return prefix_filter_pairs(d, tau=0.30)
 
@@ -642,14 +650,18 @@ def llm_winnow_fingerprint(spark, sf_dir):
     shingles) keep their single partial window (pos 0), documented rule
     on both sides. Plan shape: narrow map + one windowed min over a
     per-doc sort + one aggregate — linear, doc-partitioned, skew-free."""
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3)))"
-            )
-        ).alias("pos", "s"),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                    " i -> concat_ws(' ', slice(_toks, i+1, 3)))"
+                )
+            ).alias("pos", "s"),
+        )
     )
     n_sh = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     sel = (
@@ -721,14 +733,18 @@ def llm_minhash_signature(spark, sf_dir):
     buckets these same signatures. One explode + one 8-way min aggregate
     (map-side combinable, shuffle carries 8 longs per doc) — the linear
     candidate-generation path at corpus scale."""
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
-            )
-        ).alias("s"),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                    " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+                )
+            ).alias("s"),
+        )
     )
     def h(i):
         return F.min(
@@ -1039,12 +1055,12 @@ def llm_substring_dedup(spark, sf_dir):
     the final equi-join carries only hashes with ≥2 distinct docs, a
     vanishing fraction of window volume on real corpora."""
     d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    wins = d.select(
+    wins = d.withColumn("_toks", F.split("text", " ")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 0)),"
-                " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+                "transform(sequence(1, greatest(size(_toks) - 7, 0)),"
+                " i -> md5(concat_ws(' ', slice(_toks, i, 8))))"
             )
         ).alias("wh"),
     )
@@ -1444,12 +1460,16 @@ def llm_containment_dedup(spark, sf_dir):
     re-reads of the parquet + shingle transform (the same multi-use-
     subtree materialization ``llm_dedup_cluster`` uses per round).
     """
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-            " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
-        ).alias("shingles"),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+            ).alias("shingles"),
+        )
     )
     tok = d.select("doc_id", F.explode("shingles").alias("s")).localCheckpoint()
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))

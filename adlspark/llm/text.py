@@ -747,14 +747,14 @@ def llm_contamination_check(spark, sf_dir):
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    sh = d.select(
+    sh = d.withColumn("_toks", F.split("text", " ")).select(
         "doc_id",
         "lang",
         split.alias("split"),
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))"
+                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
             )
         ).alias("s"),
     )
@@ -809,14 +809,18 @@ def llm_repetition_filter(spark, sf_dir):
     are doc-scoped so the operator is linear and skew-free at any corpus
     size; the ratio is one exact int division rounded identically in
     both engines."""
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(split(text,' '))-2, 0)),"
-                " i -> concat_ws(' ', slice(split(text,' '), i+1, 2)))"
-            )
-        ).alias("bigram"),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(size(_toks)-2, 0)),"
+                    " i -> concat_ws(' ', slice(_toks, i+1, 2)))"
+                )
+            ).alias("bigram"),
+        )
     )
     counts = d.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
     per = counts.groupBy("doc_id").agg(
@@ -937,16 +941,17 @@ def llm_bigram_logprob(spark, sf_dir):
     corpus-bounded), two token-keyed joins back, one doc-keyed average.
     For real corpora the head-count table is broadcastable and the
     bigram join shuffles on a well-distributed key."""
-    d = tables.load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    d = tables.load(spark, sf_dir, "documents").withColumn(
+        "_toks", F.split("text", " ")
+    )
     bg = (
-        d.where(F.size(toks) >= 2)
+        d.where(F.size("_toks") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(text,' ')) - 2),"
-                    " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1]))"
+                    "transform(sequence(0, size(_toks) - 2),"
+                    " i -> concat_ws(' ', _toks[i], _toks[i+1]))"
                 )
             ).alias("bigram"),
         )
