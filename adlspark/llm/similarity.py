@@ -1029,3 +1029,114 @@ def llm_pca_power(spark, sf_dir):
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
     )
+
+
+@query(
+    "llm_knn_graph",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding FROM embeddings
+)
+SELECT vec_id, neighbor_id, sim, rnk FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         {o_cosine('a.embedding', 'b.embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {o_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
+         ) AS rnk
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+) t WHERE rnk <= 5
+""",
+)
+def llm_knn_graph(spark, sf_dir):
+    """Exact 5-NN graph over ALL vectors (every vector a probe) — the
+    input for graph-based dedup/cluster/curation steps (kNN-graph
+    clustering, SemDeDup-style neighborhoods, UMAP/hNSW builds).
+
+    Unlike ``llm_sim_topk`` (a handful of broadcast probes), the probe
+    set here IS the corpus, so it reuses ``llm_sim_threshold_join``'s
+    block-pair matmul: B ≈ √(2·parallelism) blocks, broadcast of the
+    B(B+1)/2 block-pair table, one BLAS matmul per pair group. The new
+    element is the two-level top-k: each group emits only its LOCAL
+    top-k per vector under the exact final order (round-4 sim DESC,
+    neighbor_id ASC — partial top-k under the same total order is
+    lossless), so the merge shuffle carries N·B·k rows, never N² —
+    followed by one vec_id-keyed window for the global top-k. Each
+    executor still holds only 2·N/B vectors; nothing is collected."""
+    import math
+    import os
+
+    import numpy as np
+
+    K = 5
+    env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
+    n_blocks = (
+        int(env_blocks)
+        if env_blocks
+        else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
+    )
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eb = e.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = eb.join(F.broadcast(bp), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
+    )
+    right = eb.join(F.broadcast(bp), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")
+    )
+
+    def local_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"vec_id": [], "neighbor_id": [], "sim": []}
+        ).astype({"vec_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        same_block = bool((pdf["bi"] == pdf["bj"]).iloc[0])
+        sides = [pdf[pdf["side"] == s] for s in (0, 1)]
+        if len(sides[0]) == 0 or len(sides[1]) == 0:
+            return empty
+        mats, idss = [], []
+        for part in sides:
+            ids = np.asarray(part["vec_id"], dtype=np.int64)
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in part["embedding"]]
+            )
+            mats.append(m / np.linalg.norm(m, axis=1, keepdims=True))
+            idss.append(ids)
+        (lm, rm), (lid, rid) = mats, idss
+        sims = np.round(lm @ rm.T, 4)
+
+        def topk_rows(src_ids, dst_ids, sm):
+            # mask self-pairs with -inf so they never rank
+            mask = src_ids[:, None] == dst_ids[None, :]
+            sm = np.where(mask, -np.inf, sm)
+            k = min(K, sm.shape[1])
+            # lexicographic (sim DESC, id ASC): last key is primary
+            order = np.lexsort(
+                (np.broadcast_to(dst_ids, sm.shape), -sm), axis=1
+            )[:, :k]
+            rows = np.repeat(src_ids, k)
+            cols = dst_ids[order.ravel()]
+            vals = np.take_along_axis(sm, order, axis=1).ravel()
+            keep = vals > -np.inf
+            return pd.DataFrame(
+                {"vec_id": rows[keep], "neighbor_id": cols[keep], "sim": vals[keep]}
+            )
+        out = [topk_rows(lid, rid, sims)]
+        if not same_block:
+            out.append(topk_rows(rid, lid, sims.T))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    partial = (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(local_topk, "vec_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= K)
+    )

@@ -235,34 +235,15 @@ def llm_mixture_weights(spark, sf_dir):
     )
 
 
-@query("llm_bpe_learn")  # rows-only: iterative algorithm (no single-SQL oracle)
-def llm_bpe_learn(spark, sf_dir):
-    """BPE tokenizer training: learn the first 6 merges over the corpus.
+def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
+    """Sennrich et al. (2016) BPE outer loop over a word-column DataFrame.
 
-    Full Sennrich et al. (2016) outer loop on top of the
-    ``llm_bpe_pair_count`` inner step: the corpus collapses to its
-    word-frequency table ONCE (the only corpus-wide shuffle), words are
-    re-segmented into space-joined symbols, then each round (a) counts
-    corpus-weighted adjacent symbol pairs — explode + map-combinable
-    aggregate over the vocab-sized table, (b) collects the single argmax
-    row to the driver (ties broken by pair text, so the learned merge
-    list is deterministic), and (c) rewrites the vocab with an
-    Arrow-batched pandas UDF applying the standard greedy left-to-right
-    merge. ``localCheckpoint`` truncates lineage each round, exactly as
-    in ``llm_dedup_cluster``.
-
-    Scale shape: rounds operate on the vocabulary (millions of rows at
-    100 TB, not billions); the per-round driver traffic is ONE row. The
-    returned DataFrame is the learned model — merge table rows, naturally
-    driver-sized, like kmeans centroids.
-    """
+    Returns the learned merge list [(rank, left, right, merged, count)].
+    Shared by ``llm_bpe_learn`` (full corpus) and ``llm_bpe_encode``
+    (sample-trained model applied corpus-wide). See llm_bpe_learn's
+    docstring for the scale analysis."""
     from pyspark.sql.functions import pandas_udf
 
-    words = (
-        tables.load(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
-    )
     wc = words.groupBy("word").agg(F.sum(F.lit(1)).alias("wn"))
     sym = wc.select(
         "wn",
@@ -272,7 +253,7 @@ def llm_bpe_learn(spark, sf_dir):
     ).localCheckpoint()
 
     merges = []
-    for rank in range(1, 7):
+    for rank in range(1, rounds + 1):
         pairs = (
             sym.where(F.size(F.split("sym", " ")) >= 2)
             .select(
@@ -325,7 +306,114 @@ def llm_bpe_learn(spark, sf_dir):
             "wn", _merge_udf(left, right)("sym").alias("sym")
         ).localCheckpoint()
 
+    return merges
+
+
+@query("llm_bpe_learn")  # rows-only: iterative algorithm (no single-SQL oracle)
+def llm_bpe_learn(spark, sf_dir):
+    """BPE tokenizer training: learn the first 6 merges over the corpus.
+
+    Full Sennrich et al. (2016) outer loop on top of the
+    ``llm_bpe_pair_count`` inner step: the corpus collapses to its
+    word-frequency table ONCE (the only corpus-wide shuffle), words are
+    re-segmented into space-joined symbols, then each round (a) counts
+    corpus-weighted adjacent symbol pairs — explode + map-combinable
+    aggregate over the vocab-sized table, (b) collects the single argmax
+    row to the driver (ties broken by pair text, so the learned merge
+    list is deterministic), and (c) rewrites the vocab with an
+    Arrow-batched pandas UDF applying the standard greedy left-to-right
+    merge. ``localCheckpoint`` truncates lineage each round, exactly as
+    in ``llm_dedup_cluster``.
+
+    Scale shape: rounds operate on the vocabulary (millions of rows at
+    100 TB, not billions); the per-round driver traffic is ONE row. The
+    returned DataFrame is the learned model — merge table rows, naturally
+    driver-sized, like kmeans centroids.
+    """
+    words = (
+        tables.load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    merges = _bpe_learn_merges(spark, words, rounds=6)
     return spark.createDataFrame(
         merges,
         "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+@query("llm_bpe_encode")  # rows-only: iterative merge application (no SQL oracle)
+def llm_bpe_encode(spark, sf_dir):
+    """BPE corpus tokenization: train 8 merges on a SAMPLE (doc_id <
+    200 — the train-tokenizer-on-a-subset discipline real pipelines use;
+    GPT-2's BPE saw a fraction of WebText), then encode EVERY document
+    with the learned merge table and report per-doc token statistics —
+    the step that sits between text curation and sequence packing
+    (``llm_pack_bins``) in a training-data pipeline.
+
+    The model is driver-sized (8 merge rows) and closes over the encode
+    UDF like broadcast centroids; encoding is one Arrow-batched pandas
+    UDF pass over the corpus — no shuffle at all, embarrassingly
+    parallel, with a per-batch word→tokens memo exploiting Zipf repeat
+    rates. Fertility (tokens/word) is the standard tokenizer-quality
+    metric; n_tokens feeds packing/budgeting downstream.
+
+    Test bar (rows-only): tests pin encode parity against an
+    independent pure-Python BPE reference on fixture docs, the
+    zero-merge == character-count identity, and determinism.
+    """
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.functions import pandas_udf
+
+    sample_words = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    merge_list = [
+        (m[1], m[2]) for m in _bpe_learn_merges(spark, sample_words, rounds=8)
+    ]
+
+    @pandas_udf("struct<n_words: long, n_tokens: long, n_chars: long>")
+    def encode_stats(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def tokens_of(word: str) -> int:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            toks = list(word)
+            for lo, hi in merge_list:
+                i, out = 0, []
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == lo and toks[i + 1] == hi:
+                        out.append(lo + hi)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            memo[word] = len(toks)
+            return memo[word]
+
+        rows = []
+        for t in texts:
+            words = [w for w in t.split(" ") if w]
+            rows.append(
+                (
+                    len(words),
+                    sum(tokens_of(w) for w in words),
+                    sum(len(w) for w in words),
+                )
+            )
+        return pd.DataFrame(rows, columns=["n_words", "n_tokens", "n_chars"])
+
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select("doc_id", encode_stats("text").alias("s")).select(
+        "doc_id",
+        F.col("s.n_words").alias("n_words"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.col("s.n_chars").alias("n_chars"),
+        F.round(F.col("s.n_tokens") / F.col("s.n_words"), 4).alias("fertility"),
     )

@@ -806,3 +806,86 @@ def agg_grouping_flags(spark, sf_dir):
             "r_name", "n_name", "g_region", "g_nation", "n_customers", "sum_bal"
         )
     )
+
+
+def _o_corr(x: str, y: str) -> str:
+    """Oracle-SQL Pearson r from decimal-exact sufficient statistics.
+
+    Native corr() accumulates doubles in engine-specific merge order;
+    the closed form over exact decimal sums is order-independent, so
+    both engines evaluate the identical IEEE expression (round 4 per
+    parity.ROUND_STATS)."""
+    n = "CAST(count(*) AS DOUBLE)"
+    sx, sy = o_dsum(x), o_dsum(y)
+    sxx, syy = o_dsum(f"({x}) * ({x})"), o_dsum(f"({y}) * ({y})")
+    sxy = o_dsum(f"({x}) * ({y})")
+    return (
+        f"round(({n} * {sxy} - {sx} * {sy})"
+        f" / sqrt(({n} * {sxx} - {sx} * {sx})"
+        f" * ({n} * {syy} - {sy} * {sy})), 4)"
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) AS n,
+       {_o_corr('l_quantity', 'l_extendedprice')} AS r_qty_price,
+       {_o_corr('l_quantity', 'l_discount')} AS r_qty_disc,
+       {_o_corr('l_extendedprice', 'l_discount')} AS r_price_disc,
+       {_o_corr('l_extendedprice', 'l_tax')} AS r_price_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount, tax) per return flag — the
+    feature-correlation profile step of any dataset audit.
+
+    All six pairwise correlations come out of ONE pass: a single
+    map-side-combinable aggregate of decimal-exact sufficient statistics
+    (per-column sums, squares, and cross products — 15 numbers per
+    group), then the closed-form r on the driver-sized result. No
+    per-pair scan, no shuffle beyond the one groupBy; at 100 TB the
+    aggregate state is 15 decimals x #groups regardless of row count.
+    Adding a 5th measure costs 5 more sums, not another pass."""
+
+    def corr_of(sx, sy, sxx, syy, sxy):
+        n = F.col("n_d")
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            4,
+        )
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    cols = {
+        "q": F.col("l_quantity"),
+        "p": F.col("l_extendedprice"),
+        "d": F.col("l_discount"),
+        "t": F.col("l_tax"),
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a, ca in cols.items():
+        aggs.append(dsum(ca).alias(f"s_{a}"))
+        aggs.append(dsum(ca * ca).alias(f"s_{a}{a}"))
+    for a, b in (("q", "p"), ("q", "d"), ("p", "d"), ("p", "t")):
+        aggs.append(dsum(cols[a] * cols[b]).alias(f"s_{a}{b}"))
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(*aggs)
+        .withColumn("n_d", F.col("n").cast("double"))
+    )
+    return stats.select(
+        "l_returnflag",
+        "n",
+        corr_of("s_q", "s_p", "s_qq", "s_pp", "s_qp").alias("r_qty_price"),
+        corr_of("s_q", "s_d", "s_qq", "s_dd", "s_qd").alias("r_qty_disc"),
+        corr_of("s_p", "s_d", "s_pp", "s_dd", "s_pd").alias("r_price_disc"),
+        corr_of("s_p", "s_t", "s_pp", "s_tt", "s_pt").alias("r_price_tax"),
+    )

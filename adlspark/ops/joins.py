@@ -565,3 +565,83 @@ def join_star_schema(spark, sf_dir):
         .groupBy("n_name")
         .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle=f"""
+SELECT date_trunc('month', o.o_orderdate) AS order_month,
+       count(*) AS n_items,
+       {o_dsum('l.l_extendedprice')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def join_bloom_filtered(spark, sf_dir):
+    """Bloom-filter semi-join reduction: the selective dim predicate
+    (urgent orders, ~20%) is turned into a 64 Kbit / 4-hash Bloom filter
+    that prunes fact rows BEFORE the join shuffle — the runtime-filter
+    pattern engines apply when the join key is not a partition column
+    (complementing ``join_dpp_prune``, which handles the partitioned
+    case). False positives are removed by the exact join that follows,
+    so the result is identical to the plain join — which is exactly what
+    the oracle checks.
+
+    Spark-first shape: the filter is a DataFrame aggregate — hash each
+    dim key 4 ways (xxhash64, JVM-side), OR the bits into a 1024-word
+    bitmap (map-side combinable, merges across partitions for free),
+    broadcast the single-row bitmap, and test membership with pure
+    bitwise expressions (shiftright/&) inside whole-stage codegen. No
+    driver-side filter object, no Python, no extra shuffle: at 100 TB
+    the fact scan emits ~20% + ε of its rows into the join exchange
+    instead of 100%, and the bitmap costs 8 KB per executor."""
+    BITS, WORDS, K = 65536, 1024, 4
+
+    def positions(col):
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(BITS)) for i in range(K)]
+
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+    pos = urgent.select(
+        F.explode(F.array(*positions(F.col("o_orderkey")))).alias("pos")
+    )
+    words = pos.groupBy((F.col("pos") / F.lit(64)).cast("int").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("bits")
+    )
+    bitmap = words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(WORDS - 1)),
+            lambda i: F.coalesce(F.element_at("m", i), F.lit(0).cast("long")),
+        ).alias("bm")
+    )
+
+    def member(key: str):
+        test = F.lit(True)
+        for i in range(K):
+            p = f"pmod(xxhash64({key}, {i}), {BITS})"
+            test = test & (
+                F.expr(
+                    f"(shiftright(element_at(bm, CAST({p} / 64 AS INT) + 1),"
+                    f" CAST({p} % 64 AS INT)) & 1) = 1"
+                )
+            )
+        return test
+
+    pruned = li.crossJoin(F.broadcast(bitmap)).where(member("l_orderkey"))
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

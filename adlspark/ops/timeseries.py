@@ -1016,3 +1016,138 @@ def ts_rolling_corr(spark, sf_dir):
         n.cast("long").alias("n_frame"),
         corr.alias("roll_corr"),
     )
+
+
+@query(
+    "ts_outlier_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(0.6745 * (d.value - d.med) / m.mad, 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0
+  AND abs(round(0.6745 * (d.value - d.med) / m.mad, 4)) > 3.5
+""",
+)
+def ts_outlier_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    estimator that, unlike ``ts_anomaly_zscore``'s mean/stddev, is not
+    itself dragged by the outliers it is hunting (50% breakdown point vs
+    0%). Flags events whose modified z-score 0.6745·(x−med)/MAD exceeds
+    3.5 (Iglewicz & Hoaglin 1993's recommended cut).
+
+    Cross-engine: exact interpolated medians (the agg_median discipline),
+    then a single identical IEEE expression rounded to 4 — no
+    order-dependent accumulation anywhere.
+
+    Scale shape: two grouped exact medians (sort-based, group-local) and
+    two BROADCAST joins back — the per-type median table is #event_types
+    rows, so the event stream is scanned but never shuffled. At 100 TB
+    swap the exact medians for agg_approx_percentile's mergeable GK
+    sketch (one combinable pass each) and keep the same two broadcast
+    joins; the flag expression is unchanged."""
+    ev = tables.events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    rz = F.round(
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .where(F.abs(F.col("robust_z")) > 3.5)
+    )
+
+
+@query(
+    "ts_attribution",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS)
+           OVER w AS touch_id,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+           OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+       date_diff('microsecond', touch_ts, ts) AS gap_us
+FROM ordered
+WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+  AND date_diff('microsecond', touch_ts, ts) <= 7::BIGINT * 86400 * 1000000
+""",
+)
+def ts_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view strictly before it (ROWS ... 1
+    PRECEDING — a touch sharing the purchase's exact timestamp counts
+    only if its event_id orders earlier, the same total order on both
+    engines), within a 7-day lookback. The gap stays in integer
+    microseconds end-to-end (unix_micros arithmetic), so the window
+    boundary is exact — no float epoch drift.
+
+    Scale shape: ONE user-keyed shuffle and one ordered window pass with
+    O(1) carried state (the last touch seen) — the classic
+    sessionization shape, linear in each user's history and immune to
+    how many users exist. A first-touch variant is the same plan with
+    first_value; multi-touch weighting would switch the window to a
+    collected struct but keep the single shuffle."""
+    ev = tables.events(spark, sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+    return (
+        marked.where(
+            (F.col("event_type") == "purchase") & F.col("touch_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "touch_id",
+            "touch_type",
+            gap.alias("gap_us"),
+        )
+        .where(F.col("gap_us") <= F.lit(7 * 86400 * 1000000).cast("long"))
+    )

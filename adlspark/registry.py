@@ -72,6 +72,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     join_star_schema, llm_hard_negative_mine, llm_temperature_sample,
 #     llm_cooccurrence_pmi, llm_containment_dedup (llm_pca_power is in
 #     the rows-only list)
+#   r4 late-session: agg_corr_matrix, ts_outlier_mad, ts_attribution,
+#     join_bloom_filtered, llm_knn_graph (oracle); llm_bpe_encode
+#     (rows-only, reference-parity pytest bar)
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round
     "subq_not_in_null",

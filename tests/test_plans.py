@@ -405,3 +405,46 @@ def test_pattern_match_single_user_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p
     # one hash exchange keyed by user_id feeds the ordered reduction
     assert "hashpartitioning(user_id" in p
+
+
+def test_corr_matrix_single_aggregate_pass(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_corr_matrix")
+    # all six correlations from ONE partial+final aggregate: exactly one
+    # exchange, two HashAggregate nodes, no self-join of lineitem
+    assert p.count(") Exchange") == 1
+    assert p.count(") HashAggregate") >= 2
+    assert "Join" not in p
+
+
+def test_outlier_mad_broadcast_medians(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ts_outlier_mad")
+    # the per-type median tables join back broadcast — the event stream
+    # itself is never shuffled by event_type
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_attribution_single_user_window(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ts_attribution")
+    # one user-keyed exchange feeding the running-last window; no join
+    assert "hashpartitioning(user_id" in p
+    assert "Join" not in p
+
+
+def test_bloom_filtered_join_prunes_before_exchange(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_bloom_filtered", mode="simple")
+    # the only nested-loop is the single-row bitmap broadcast; the
+    # membership test (xxhash64 bit probes) must sit UNDER the join
+    # exchange, i.e. appear in the plan before lineitem reaches the join
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "xxhash64(l_orderkey" in p
+
+
+def test_knn_graph_is_distributed_two_level_topk(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "llm_knn_graph")
+    # block-pair kernel: Arrow-grouped pandas, hash-partitioned by block
+    # pair, no cartesian anywhere; global merge is a window, not a join
+    assert "FlatMapGroupsInPandas" in p
+    assert "hashpartitioning(bi" in p
+    assert "CartesianProduct" not in p

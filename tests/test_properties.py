@@ -585,3 +585,69 @@ def test_containment_dedup_sound_and_flags_planted_prefix_dups(spark, sf_dir):
         exact = len(a & b) / len(a)
         assert abs(exact - r["containment"]) < 1e-6
         assert exact >= 0.6
+
+
+def test_bpe_encode_matches_independent_reference(spark, sf_dir):
+    """llm_bpe_encode (rows-only) bar: per-doc token counts must equal an
+    INDEPENDENT pure-Python BPE encoder given the same learned merge
+    table, for every fixture document; plus the n_tokens <= n_chars /
+    n_words <= n_tokens sandwich and determinism across invocations."""
+    import duckdb
+
+    from adlspark.llm.vocab import _bpe_learn_merges, llm_bpe_encode
+    from adlspark import tables
+    from pyspark.sql import functions as F
+
+    sample_words = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    merges = [(m[1], m[2]) for m in _bpe_learn_merges(spark, sample_words, 8)]
+    assert len(merges) == 8 and len(set(merges)) == 8
+
+    def ref_encode(word: str) -> list[str]:
+        # reference implementation: repeatedly merge the FIRST applicable
+        # pair occurrence per rank — written against the Sennrich paper,
+        # not the production kernel's loop structure
+        toks = list(word)
+        for lo, hi in merges:
+            while True:
+                hit = next(
+                    (
+                        i
+                        for i in range(len(toks) - 1)
+                        if toks[i] == lo and toks[i + 1] == hi
+                    ),
+                    None,
+                )
+                if hit is None:
+                    break
+                toks = toks[:hit] + [lo + hi] + toks[hit + 2 :]
+        return toks
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in tables.load(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in llm_bpe_encode(spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        words = [w for w in text.split(" ") if w]
+        want_tokens = sum(len(ref_encode(w)) for w in words)
+        row = got[doc_id]
+        assert row["n_words"] == len(words)
+        assert row["n_chars"] == sum(len(w) for w in words)
+        assert row["n_tokens"] == want_tokens, (
+            f"doc {doc_id}: engine={row['n_tokens']} reference={want_tokens}"
+        )
+        assert row["n_words"] <= row["n_tokens"] <= row["n_chars"]
+
+    again = {r["doc_id"]: r for r in llm_bpe_encode(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
