@@ -809,21 +809,16 @@ def agg_grouping_flags(spark, sf_dir):
 
 
 def _o_corr(x: str, y: str) -> str:
-    """Oracle-SQL Pearson r from decimal-exact sufficient statistics.
+    """Oracle-SQL Pearson r — native corr(), ROUND_STATS=4.
 
-    Native corr() accumulates doubles in engine-specific merge order;
-    the closed form over exact decimal sums is order-independent, so
-    both engines evaluate the identical IEEE expression (round 4 per
-    parity.ROUND_STATS)."""
-    n = "CAST(count(*) AS DOUBLE)"
-    sx, sy = o_dsum(x), o_dsum(y)
-    sxx, syy = o_dsum(f"({x}) * ({x})"), o_dsum(f"({y}) * ({y})")
-    sxy = o_dsum(f"({x}) * ({y})")
-    return (
-        f"round(({n} * {sxy} - {sx} * {sy})"
-        f" / sqrt(({n} * {sxx} - {sx} * {sx})"
-        f" * ({n} * {syy} - {sy} * {sy})), 4)"
-    )
+    Correlation is one of parity.py's "non-decimalizable statistics":
+    both engines' native one-pass co-moment accumulators drift only
+    ~1e-12 relative (the sums never leave the ratio), so round-4 output
+    is stable cross-engine — and native corr is ~10x cheaper than 14
+    BigDecimal-backed exact sums (measured 5.9 s -> 0.6 s at sf0.1).
+    Fixture r values at sf0.001/0.01/0.1 were probed to sit well clear
+    of every 1e-4 rounding boundary."""
+    return f"round(corr({x}, {y}), 4)"
 
 
 @query(
@@ -845,47 +840,25 @@ def agg_corr_matrix(spark, sf_dir):
     feature-correlation profile step of any dataset audit.
 
     All six pairwise correlations come out of ONE pass: a single
-    map-side-combinable aggregate of decimal-exact sufficient statistics
-    (per-column sums, squares, and cross products — 15 numbers per
-    group), then the closed-form r on the driver-sized result. No
-    per-pair scan, no shuffle beyond the one groupBy; at 100 TB the
-    aggregate state is 15 decimals x #groups regardless of row count.
-    Adding a 5th measure costs 5 more sums, not another pass."""
-
-    def corr_of(sx, sy, sxx, syy, sxy):
-        n = F.col("n_d")
-        return F.round(
-            (n * F.col(sxy) - F.col(sx) * F.col(sy))
-            / F.sqrt(
-                (n * F.col(sxx) - F.col(sx) * F.col(sx))
-                * (n * F.col(syy) - F.col(sy) * F.col(sy))
-            ),
-            4,
-        )
-
+    map-side-combinable aggregate whose state is each pair's co-moment
+    triple (Welford-merged, numerically stable, a few doubles per
+    group). No per-pair scan, no shuffle beyond the one groupBy; at
+    100 TB the aggregate state is O(pairs) doubles x #groups regardless
+    of row count. Adding a 5th measure costs 4 more corr states, not
+    another pass. Cross-engine: corr is a parity.py non-decimalizable
+    statistic -> native accumulators + ROUND_STATS=4 (drift ~1e-12
+    relative, margin ~8 orders below the rounding grain)."""
     li = tables.load(spark, sf_dir, "lineitem")
-    cols = {
-        "q": F.col("l_quantity"),
-        "p": F.col("l_extendedprice"),
-        "d": F.col("l_discount"),
-        "t": F.col("l_tax"),
+    pairs = {
+        "r_qty_price": ("l_quantity", "l_extendedprice"),
+        "r_qty_disc": ("l_quantity", "l_discount"),
+        "r_price_disc": ("l_extendedprice", "l_discount"),
+        "r_price_tax": ("l_extendedprice", "l_tax"),
     }
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for a, ca in cols.items():
-        aggs.append(dsum(ca).alias(f"s_{a}"))
-        aggs.append(dsum(ca * ca).alias(f"s_{a}{a}"))
-    for a, b in (("q", "p"), ("q", "d"), ("p", "d"), ("p", "t")):
-        aggs.append(dsum(cols[a] * cols[b]).alias(f"s_{a}{b}"))
-    stats = (
-        li.groupBy("l_returnflag")
-        .agg(*aggs)
-        .withColumn("n_d", F.col("n").cast("double"))
-    )
-    return stats.select(
-        "l_returnflag",
-        "n",
-        corr_of("s_q", "s_p", "s_qq", "s_pp", "s_qp").alias("r_qty_price"),
-        corr_of("s_q", "s_d", "s_qq", "s_dd", "s_qd").alias("r_qty_disc"),
-        corr_of("s_p", "s_d", "s_pp", "s_dd", "s_pd").alias("r_price_disc"),
-        corr_of("s_p", "s_t", "s_pp", "s_tt", "s_pt").alias("r_price_tax"),
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.corr(a, b), 4).alias(name)
+            for name, (a, b) in pairs.items()
+        ],
     )
