@@ -500,14 +500,18 @@ def llm_dedup_cluster(spark, sf_dir):
     )
     g, rep_pairs = prefix_filter_pairs(d, tau=0.95, expand=False)
     pairs = rep_pairs.select("id1", "id2")
+    # Lazy checkpoints: the convergence aggregate below is the action
+    # that materializes each round's labels, so every round costs ONE
+    # Spark job (checkpoint-then-agg was two; halved the fixed per-job
+    # scheduling overhead that dominates the iteration at bench scale).
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).unionByName(
         pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = g.select(
         F.col("gid").alias("node"), F.col("gid").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Iterate to convergence; the bound is a safety valve only (min-label
     # propagation needs O(component diameter) rounds — near-dup clusters
     # are near-cliques, so 1-3 in practice). Exiting at the cap with
@@ -529,7 +533,7 @@ def llm_dedup_cluster(spark, sf_dir):
             labels.unionByName(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         total = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("t")

@@ -1140,3 +1140,108 @@ def llm_knn_graph(spark, sf_dir):
         partial.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= K)
     )
+
+
+@query("llm_mmr_diverse_sample")  # rows-only: greedy float argmax chain
+def llm_mmr_diverse_sample(spark, sf_dir):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    subset selection: greedily pick k=8 vectors maximizing
+    λ·relevance − (1−λ)·max-sim-to-already-picked (λ=0.7, relevance =
+    cosine to the corpus centroid) — the standard recipe for choosing a
+    small representative-but-diverse sample (eval seeds, annotation
+    batches, prompt exemplars) from an embedding corpus.
+
+    Scale shape: the centroid is one combinable aggregate; vectors are
+    unit-normalized ONCE into a checkpointed column, so every cosine
+    thereafter is a pure array dot (zip_with + aggregate — one compact
+    expression node, not an unrolled per-dimension tree; the unrolled
+    form cost 20 s in Catalyst analysis alone). Each of the k rounds
+    ships the ≤k picked vectors as ONE array literal (model-sized
+    state, like kmeans centroids), scores all candidates in one
+    distributed pass, and collects exactly one argmax row via
+    orderBy+limit(1) — TakeOrdered, no full sort. Driver traffic is k
+    rows total; candidate data never moves.
+
+    Rows-only: the greedy chain of float argmaxes has no SQL form; the
+    pytest bar re-runs the selection in numpy and requires the exact
+    same picked set and order, plus determinism across invocations
+    (ties broken by vec_id on both sides).
+    """
+    import numpy as np
+
+    K, LAM = 8, 0.7
+    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # centroid: posexplode -> per-dimension avg — map-side-combinable,
+    # driver receives dim rows (the model), never the vectors
+    cent_rows = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    cent_v = np.asarray(
+        [r["m"] for r in sorted(cent_rows, key=lambda r: r["pos"])],
+        dtype=np.float64,
+    )
+    cent_v /= np.linalg.norm(cent_v)
+
+    def dot_lit(col, vec):
+        return F.aggregate(
+            F.zip_with(col, F.lit([float(x) for x in vec]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        e.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / nrm
+            ).alias("emb_n"),
+        )
+        .withColumn("rel", dot_lit(F.col("emb_n"), cent_v))
+        .localCheckpoint(eager=False)
+    )
+
+    picked: list[tuple[int, float]] = []
+    picked_vecs: list[np.ndarray] = []
+    remaining = scored
+    for _ in range(K):
+        if picked_vecs:
+            lit_mat = F.array(
+                *[F.lit([float(x) for x in pv]) for pv in picked_vecs]
+            )
+            max_sim = F.array_max(
+                F.transform(
+                    lit_mat,
+                    lambda p: F.aggregate(
+                        F.zip_with(F.col("emb_n"), p, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            )
+            score = F.lit(LAM) * F.col("rel") - F.lit(1 - LAM) * max_sim
+        else:
+            score = F.col("rel")
+        top = (
+            remaining.select("vec_id", "emb_n", score.alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .head()
+        )
+        picked.append((int(top["vec_id"]), float(top["score"])))
+        picked_vecs.append(np.asarray(top["emb_n"], dtype=np.float64))
+        remaining = remaining.where(F.col("vec_id") != top["vec_id"])
+
+    return spark.createDataFrame(
+        [(r + 1, vid, round(s, 6)) for r, (vid, s) in enumerate(picked)],
+        "pick_rank int, vec_id long, score double",
+    )

@@ -1633,3 +1633,79 @@ def llm_cooccurrence_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+WITH d AS (
+  SELECT source, lang, doc_id, n_chars,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+         md5(text) AS h
+  FROM documents
+), per AS (
+  SELECT source,
+         count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         count(DISTINCT h) AS n_unique,
+         min(doc_id) AS first_doc
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_langs, total_words, total_chars,
+       round(CAST(total_words AS DOUBLE) / n_docs, 4) AS words_per_doc,
+       round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) AS exact_dup_rate,
+       first_doc
+FROM per
+""",
+)
+def llm_dataset_card(spark, sf_dir):
+    """Per-source dataset card: the corpus profile a training-data team
+    publishes with every release (doc/word/char volumes, language
+    spread, exact-duplicate rate, provenance anchor) — the roll-up that
+    sits on top of the curation pipeline's per-doc signals.
+
+    Everything is exact integer aggregation (counts, sums, distinct
+    md5) with two display ratios computed as single IEEE divides at
+    round 4 — no float accumulation anywhere.
+
+    Scale shape: ONE source-keyed shuffle for all eight statistics; the
+    dup-rate's count(DISTINCT md5) is the only expensive member and
+    Spark plans it as a two-stage partial-distinct expand — still
+    map-side combined, no second scan. Output is #sources rows:
+    metadata scale. (At 100 TB you'd likely swap the exact distinct for
+    approx_count_distinct — the ``agg_approx_distinct`` path — and keep
+    the rest bit-identical.)"""
+    d = tables.load(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "n_words"
+        ),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("h").alias("n_unique"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_words",
+        "total_chars",
+        F.round(F.col("total_words").cast("double") / F.col("n_docs"), 4).alias(
+            "words_per_doc"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 4
+        ).alias("exact_dup_rate"),
+        "first_doc",
+    )

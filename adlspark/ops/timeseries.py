@@ -1151,3 +1151,73 @@ def ts_attribution(spark, sf_dir):
         )
         .where(F.col("gap_us") <= F.lit(7 * 86400 * 1000000).cast("long"))
     )
+
+
+@query(
+    "ts_burst_detect",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day
+), base AS (
+  SELECT event_type, day, n,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS sum7,
+         count(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS days7
+  FROM daily
+)
+SELECT event_type, day, n, sum7, days7,
+       round(CAST(n * days7 AS DOUBLE) / sum7, 4) AS burst_ratio
+FROM base
+WHERE days7 = 7 AND 8 * n * days7 >= 9 * sum7
+""",
+)
+def ts_burst_detect(spark, sf_dir):
+    """Burst detection: days where an event type's volume exceeds its
+    trailing-week mean by the burst factor (9/8 here — calibrated so the
+    near-uniform synthetic fixture still exhibits bursts at every SF;
+    real deployments set 2-3×) — the rate-spike screen (deploy incidents,
+    crawler storms, viral content) that complements ``ts_anomaly_zscore``
+    (value outliers) and ``ts_cusum_changepoint`` (level shifts).
+
+    The threshold is evaluated in INTEGER arithmetic (8·n·days7 ≥
+    9·sum7 — cross-multiplied, no division), so the burst set is bit-exact on
+    both engines; the reported ratio is display-only at round 4. Only
+    full 7-day baselines qualify (days7 = 7), excluding series warm-up.
+
+    Scale shape: the corpus collapses to (event_type, day) counts in one
+    map-side-combinable aggregate — everything after operates on
+    #types × #days rows, metadata scale. One shuffle for the aggregate;
+    the ordered window rides a per-type partition with a two-pointer
+    7-row frame, O(1) state."""
+    ev = tables.events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    base = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("days7"),
+    )
+    return base.where(
+        (F.col("days7") == 7)
+        & (8 * F.col("n") * F.col("days7") >= 9 * F.col("sum7"))
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        "sum7",
+        "days7",
+        F.round((F.col("n") * F.col("days7")).cast("double") / F.col("sum7"), 4)
+        .alias("burst_ratio"),
+    )

@@ -448,3 +448,26 @@ def test_knn_graph_is_distributed_two_level_topk(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p
     assert "hashpartitioning(bi" in p
     assert "CartesianProduct" not in p
+
+
+def test_mutual_info_broadcast_only(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_mutual_info")
+    # dim join broadcast; MI combination joins only category-sized sides
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_burst_detect_metadata_scale_window(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ts_burst_detect")
+    # corpus collapses to (type, day) counts first; window rides the
+    # type partition of that metadata-scale table
+    assert p.count(") HashAggregate") >= 2  # partial+final daily counts
+    assert "hashpartitioning(event_type" in p
+    assert "Join" not in p
+
+
+def test_dataset_card_single_source_shuffle(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "llm_dataset_card")
+    assert "hashpartitioning(source" in p
+    assert "Join" not in p

@@ -651,3 +651,49 @@ def test_bpe_encode_matches_independent_reference(spark, sf_dir):
     assert {k: tuple(v) for k, v in got.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_mmr_sample_matches_numpy_reference(spark, sf_dir):
+    """llm_mmr_diverse_sample (rows-only) bar: the engine's greedy pick
+    sequence must equal an independent numpy re-implementation of MMR
+    (same λ, same centroid relevance, same vec_id tie-break), and the
+    selection must be deterministic across invocations."""
+    import numpy as np
+
+    from adlspark import tables
+    from adlspark.llm.similarity import llm_mmr_diverse_sample
+
+    rows = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mat.mean(axis=0)
+    cent /= np.linalg.norm(cent)
+    rel = mat_n @ cent
+
+    K, LAM = 8, 0.7
+    picked_idx: list[int] = []
+    for _ in range(K):
+        if picked_idx:
+            ms = (mat_n @ mat_n[picked_idx].T).max(axis=1)
+            score = LAM * rel - (1 - LAM) * ms
+        else:
+            score = rel.copy()
+        score[picked_idx] = -np.inf
+        # argmax with vec_id tie-break
+        best = min(
+            ((-score[i], ids[i], i) for i in range(len(ids))
+             if i not in picked_idx)
+        )[2]
+        picked_idx.append(best)
+    want = [int(ids[i]) for i in picked_idx]
+
+    got_rows = llm_mmr_diverse_sample(spark, sf_dir).collect()
+    got = [r["vec_id"] for r in sorted(got_rows, key=lambda r: r["pick_rank"])]
+    assert got == want, f"engine {got} != reference {want}"
+
+    again_rows = llm_mmr_diverse_sample(spark, sf_dir).collect()
+    again = [r["vec_id"] for r in sorted(again_rows, key=lambda r: r["pick_rank"])]
+    assert again == got
