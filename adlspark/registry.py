@@ -74,8 +74,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     the rows-only list)
 #   r4 late-session: agg_corr_matrix, ts_outlier_mad, ts_attribution,
 #     join_bloom_filtered, llm_knn_graph, agg_mutual_info,
-#     ts_burst_detect, llm_dataset_card (oracle); llm_bpe_encode,
-#     llm_mmr_diverse_sample (rows-only, reference-parity pytest bars)
+#     ts_burst_detect, llm_dataset_card, stream_checkpoint_recovery
+#     (oracle); llm_bpe_encode, llm_mmr_diverse_sample (rows-only,
+#     reference-parity pytest bars)
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round
     "subq_not_in_null",

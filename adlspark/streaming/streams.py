@@ -380,3 +380,79 @@ def stream_hll_distinct(spark, sf_dir):
     name = "s_hll_distinct"
     _run(agg.writeStream.format("memory").outputMode("complete"), name)
     return spark.table(name)
+
+
+@query(
+    "stream_checkpoint_recovery",
+    oracle="""
+SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+""",
+)
+def stream_checkpoint_recovery(spark, sf_dir):
+    """Exactly-once across a restart — the property that makes streaming
+    pipelines trustworthy. The event stream is delivered in two arrivals
+    separated by a FULL query shutdown: phase 1 processes half the files
+    into a parquet file sink, the query stops, the other half lands,
+    and a NEW query resumes from the same checkpoint. On restart the
+    source re-lists the directory and sees ALL files — old and new —
+    but the checkpointed offset log skips every already-committed path
+    and the sink's _spark_metadata commit log makes output atomic, so
+    the sink holds each event exactly once. (The guarantee is per-path:
+    a replay under a NEW path is new input by contract — upstream
+    delivery must be path-stable, which file movers and log compactors
+    are. The pytest counterfactual proves the mechanism is load-bearing
+    by re-running phase 2 with a FRESH checkpoint: counts double.)
+
+    That guarantee is what lets this key carry a full DuckDB value
+    oracle — unique among the stream_* family: per-type counts AND
+    event_id checksums over the sink must hash-match a plain batch
+    aggregate over the ORIGINAL events table. Any loss at the restart
+    boundary or any duplicate from the redelivery flips the hash.
+
+    Scale shape: the recovery contract is O(1) in data size — offsets
+    and commit logs are file-count-sized metadata; this is exactly how
+    a production pipeline survives executor loss, deploys, and
+    backfills without reprocessing corpus-scale input.
+    """
+    from adlspark import tables
+
+    base = work_dir(sf_dir, "ckpt_recovery")
+    # fresh dirs per invocation: recovery must start from OUR phase-1
+    # checkpoint, not a previous run's completed one
+    run = uuid.uuid4().hex[:8]
+    in_dir = f"{base}/in_{run}"
+    sink = f"{base}/sink_{run}"
+    ckpt = f"{base}/ckpt_{run}"
+
+    ev = tables.events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_query():
+        s = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_query()  # phase 1: half the input, then a clean shutdown
+
+    half2.write.mode("append").parquet(in_dir)  # phase 2 arrival
+
+    run_query()  # phase 2: NEW query object, SAME checkpoint
+
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("id_sum"),
+    )

@@ -262,3 +262,53 @@ def test_stream_transform_with_state_totals(spark, sf_dir):
         | (F.col("n_events") != F.col("count"))
     )
     assert bad.count() == 0
+
+
+def test_checkpoint_recovery_exactly_once_and_counterfactual(
+    spark, sf_dir, tmp_path
+):
+    """stream_checkpoint_recovery's guarantee, plus the counterfactual:
+    a restart WITHOUT the original checkpoint re-lists and reprocesses
+    the phase-1 files (full count from scratch), so the exactly-once
+    result of the shared-checkpoint path is attributable to the offset
+    log, not to the source magically remembering old files."""
+    from pyspark.sql import functions as F
+
+    from adlspark import tables
+    from adlspark.streaming.streams import stream_checkpoint_recovery
+
+    total = tables.events(spark, sf_dir).count()
+
+    got = stream_checkpoint_recovery(spark, sf_dir)
+    assert got.agg(F.sum("n")).head()[0] == total
+
+    # counterfactual: same two-phase input, but phase 2 uses a FRESH
+    # checkpoint and sink -> every file (old and new) reprocesses
+    ev = tables.events(spark, sf_dir).select("event_id", "event_type")
+    in_dir = str(tmp_path / "in")
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def run(ckpt, sink):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(in_dir)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"), str(tmp_path / "sink1"))
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    run(str(tmp_path / "ckpt2"), str(tmp_path / "sink2"))  # fresh ckpt
+
+    fresh = spark.read.parquet(str(tmp_path / "sink2")).count()
+    assert fresh == total, (
+        "a fresh checkpoint must reprocess ALL files — the offset log, "
+        f"not the source, provides exactly-once (got {fresh}, want {total})"
+    )
+    resumed = spark.read.parquet(str(tmp_path / "sink1")).count()
+    assert resumed == total - ev.where(F.col("event_id") % 2 == 1).count()
