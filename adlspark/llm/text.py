@@ -1709,3 +1709,82 @@ def llm_dataset_card(spark, sf_dir):
         ).alias("exact_dup_rate"),
         "first_doc",
     )
+
+
+@query(
+    "llm_rouge_overlap",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))
+           AS uni,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(list_filter(string_split(text, ' '),
+                                                       w -> w <> '')) - 1, 0)),
+           i -> concat_ws(' ',
+                list_filter(string_split(text, ' '), w -> w <> '')[i],
+                list_filter(string_split(text, ' '), w -> w <> '')[i + 1])))
+           AS bi
+  FROM documents
+)
+SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+       CAST(len(list_intersect(c.uni, r.uni)) AS BIGINT) AS n_uni_match,
+       CAST(len(r.uni) AS BIGINT) AS n_uni_ref,
+       round(CAST(len(list_intersect(c.uni, r.uni)) AS DOUBLE)
+             / len(r.uni), 4) AS rouge1_recall,
+       round(CAST(len(list_intersect(c.bi, r.bi)) AS DOUBLE)
+             / greatest(len(r.bi), 1), 4) AS rouge2_recall
+FROM t c JOIN t r ON c.doc_id = r.doc_id + 1 AND c.doc_id % 2 = 1
+""",
+)
+def llm_rouge_overlap(spark, sf_dir):
+    """ROUGE-1/ROUGE-2 recall (distinct-n-gram variant) between paired
+    documents (each odd doc as candidate vs its even predecessor as
+    reference) — the eval-metric computation a data team runs
+    distributed over millions of (generation, reference) pairs; the
+    pairing rule here is a fixture stand-in for a real pair table.
+
+    Exact integer n-gram set intersections; the two recalls are single
+    IEEE divides at round 4 — no float accumulation.
+
+    Scale shape: n-gram sets are computed in one narrow map per side
+    (JVM array expressions — no Python), the pair join is a shuffle on
+    the pair key with both sides pre-projected to their n-gram arrays,
+    and each pair's intersection is array work local to its row. With a
+    real pair table the same plan broadcast-joins if one side is small."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(toks).alias("uni"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(filter(split(text, ' '),"
+                " w -> w <> '')) - 1, 0)), i -> concat_ws(' ',"
+                " filter(split(text, ' '), w -> w <> '')[i - 1],"
+                " filter(split(text, ' '), w -> w <> '')[i]))"
+            )
+        ).alias("bi"),
+    )
+    c = d.alias("c")
+    r = d.alias("r")
+    uni_match = F.size(F.array_intersect("c.uni", "r.uni"))
+    bi_match = F.size(F.array_intersect("c.bi", "r.bi"))
+    return (
+        c.join(
+            r,
+            (F.col("c.doc_id") == F.col("r.doc_id") + 1)
+            & (F.col("c.doc_id") % 2 == 1),
+        )
+        .select(
+            F.col("c.doc_id").alias("cand_id"),
+            F.col("r.doc_id").alias("ref_id"),
+            uni_match.cast("long").alias("n_uni_match"),
+            F.size("r.uni").cast("long").alias("n_uni_ref"),
+            F.round(uni_match.cast("double") / F.size("r.uni"), 4).alias(
+                "rouge1_recall"
+            ),
+            F.round(
+                bi_match.cast("double") / F.greatest(F.size("r.bi"), F.lit(1)), 4
+            ).alias("rouge2_recall"),
+        )
+    )

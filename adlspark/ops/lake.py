@@ -1118,3 +1118,81 @@ def lake_dynamic_partition_overwrite(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+@query(
+    "lake_snapshot_rollback",
+    oracle="""
+SELECT 'pre_rollback' AS state, 'nation' AS table_name, 1 AS seq,
+       (SELECT count(*) FROM nation) AS row_count
+UNION ALL SELECT 'pre_rollback', 'part', 2,
+       (SELECT CAST(count(*) * 0 AS BIGINT) FROM part)
+UNION ALL SELECT 'pre_rollback', 'region', 0, (SELECT count(*) FROM region)
+UNION ALL SELECT 'pre_rollback', 'supplier', 2,
+       (SELECT CAST(count(*) // 2 AS BIGINT) FROM supplier)
+UNION ALL SELECT 'rolled_back', 'nation', 1, (SELECT count(*) FROM nation)
+UNION ALL SELECT 'rolled_back', 'region', 0, (SELECT count(*) FROM region)
+UNION ALL SELECT 'rolled_back', 'supplier', 3,
+       (SELECT count(*) FROM supplier)
+""",
+)
+def lake_snapshot_rollback(spark, sf_dir):
+    """Snapshot rollback the lakehouse way: a bad batch (seq 2 ingests a
+    truncated supplier and an empty part) is undone by APPENDING a
+    compensating snapshot (seq 3) — supplier's last-good entry is
+    re-asserted and part, which first appeared in the bad batch, is
+    tombstoned — never by deleting history. The output shows both the
+    corrupted pre-rollback state and the restored current state; the
+    full log (including the bad batch) remains readable underneath,
+    which is exactly how Delta RESTORE / Iceberg rollback-to-snapshot
+    behave (new snapshot pointing at old files, history intact).
+
+    Scale shape: rollback writes one metadata-scale batch — cost is
+    O(tables touched), zero data movement; both state reads are the
+    same pushed-down seq-filter + last-writer window as
+    ``lake_time_travel``. The tombstone is a `deleted` flag honored at
+    read time, the append-only analogue of a delete marker.
+    """
+    import shutil as _sh
+
+    from adlspark import catalog as cat
+
+    log_dir = os.path.join(work_dir(sf_dir, "snapshot_rollback"), "catalog_log")
+    _sh.rmtree(log_dir, ignore_errors=True)
+
+    n = {
+        t: tables.load(spark, sf_dir, t).count()
+        for t in ("region", "nation", "supplier", "part")
+    }
+    batches = [
+        (0, [("region", n["region"], False), ("nation", n["nation"], False)]),
+        (1, [("nation", n["nation"], False), ("supplier", n["supplier"], False)]),
+        # the BAD batch: supplier truncated to half, part landed empty
+        (2, [("supplier", n["supplier"] // 2, False), ("part", 0, False)]),
+        # compensating snapshot: restore supplier, tombstone part
+        (3, [("supplier", n["supplier"], False), ("part", 0, True)]),
+    ]
+    for seq, rows in batches:
+        df = spark.createDataFrame(
+            [
+                (t, seq, rc, f"2026-01-0{seq + 1} 00:00:00", dele)
+                for t, rc, dele in rows
+            ],
+            "table_name string, seq int, row_count long, "
+            "ingested_at string, deleted boolean",
+        ).withColumn("ingested_at", F.to_timestamp("ingested_at"))
+        cat.append_entries(df, log_dir)
+
+    pre = (
+        cat.state_as_of(spark, log_dir, 2)
+        .where(~F.col("deleted"))
+        .withColumn("state", F.lit("pre_rollback"))
+    )
+    cur = (
+        cat.latest_state(spark, log_dir)
+        .where(~F.col("deleted"))
+        .withColumn("state", F.lit("rolled_back"))
+    )
+    return pre.unionByName(cur).select(
+        "state", "table_name", "seq", "row_count"
+    )

@@ -403,3 +403,63 @@ def join_dpp_prune(spark, sf_dir):
         .groupBy("event_date", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "ingest_csv_malformed",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey % 7 <> 3
+""",
+)
+def ingest_csv_malformed(spark, sf_dir):
+    """CSV ingestion under corruption: the supplier table lands as CSV
+    with a deterministic subset of lines mangled (wrong column count,
+    text where an integer belongs — suppkey % 7 == 3), is parsed in
+    PERMISSIVE mode with a corrupt-record column, and the CLEAN rows are
+    returned. The oracle is the uncorrupted subset of the parquet
+    original, so the hash check proves the quarantine boundary is exact:
+    no good row lost, no mangled row leaked (the validate-or-quarantine
+    contract of the reference's ingestion path, applied to CSV).
+
+    Scale shape: schema-on-read parse is a narrow map over file splits;
+    the corrupt-record routing adds one projected column and a filter —
+    no shuffle, no driver involvement beyond this fixture's file
+    generation (driver-side here only because the fixture must be
+    WRITTEN; production files arrive from upstream). Doubles survive the
+    text round-trip because Python repr emits shortest-round-trip forms
+    that Java's parser maps back to the identical IEEE value.
+    """
+    raw_dir = work_dir(sf_dir, "ingest_csv_malformed")
+    raw_path = os.path.join(raw_dir, "supplier.csv")
+    rows = tables.load(spark, sf_dir, "supplier").orderBy("s_suppkey").collect()
+    with open(raw_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+        for r in rows:
+            if r.s_suppkey % 7 == 3:
+                # wrong arity + non-numeric key: unparseable under the schema
+                f.write(f"oops_{r.s_suppkey},truncated\n")
+            else:
+                w.writerow(
+                    [r.s_suppkey, r.s_name, r.s_nationkey, repr(r.s_acctbal)]
+                )
+    schema = StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_name", StringType()),
+            StructField("s_nationkey", IntegerType()),
+            StructField("s_acctbal", DoubleType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(raw_path)
+    )
+    return parsed.where(F.col("_bad").isNull()).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

@@ -471,3 +471,18 @@ def test_dataset_card_single_source_shuffle(spark, sf_dir):
     p = plan_of(spark, sf_dir, "llm_dataset_card")
     assert "hashpartitioning(source" in p
     assert "Join" not in p
+
+
+def test_csv_malformed_routing_is_narrow(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ingest_csv_malformed")
+    # permissive parse + corrupt-record filter: scan + filter + project,
+    # no shuffle, no join
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_rouge_pair_join_prejoins_ngram_arrays(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "llm_rouge_overlap")
+    # one equi join on the pair key; intersections are row-local
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "array_intersect" in p
