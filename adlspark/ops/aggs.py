@@ -945,3 +945,75 @@ def agg_mutual_info(spark, sf_dir):
             F.round(F.col("mi_nats") / F.least("h_seg", "h_nat"), 6).alias("nmi"),
         )
     )
+
+
+@query(
+    "agg_cohort_overlap",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sz AS (
+  SELECT event_type, count(*) AS n FROM a GROUP BY event_type
+)
+SELECT x.event_type AS type1, y.event_type AS type2,
+       count(*) AS n_both,
+       s1.n AS n_type1, s2.n AS n_type2,
+       round(CAST(count(*) AS DOUBLE)
+             / (s1.n + s2.n - count(*)), 4) AS jaccard
+FROM a x
+JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+JOIN sz s1 ON s1.event_type = x.event_type
+JOIN sz s2 ON s2.event_type = y.event_type
+GROUP BY x.event_type, y.event_type, s1.n, s2.n
+""",
+)
+def agg_cohort_overlap(spark, sf_dir):
+    """Pairwise audience overlap: for every pair of event types, how
+    many users did both, and the Jaccard of the two audiences — the
+    cohort-intersection workload behind funnel design and feature-
+    adoption dashboards (and, on a corpus, source/domain audience
+    overlap).
+
+    Scale shape: the event stream first collapses to DISTINCT
+    (type, user) — one map-side-combinable dedup bounded by
+    |types|×|users|, the only corpus-sized work. The pair join is a
+    user-keyed self-join of that collapsed table: each user contributes
+    C(k,2) rows for the k types they touched (k ≤ 5 here), so pair
+    volume is audience-sized, never event-sized. Audience sizes join
+    back broadcast. An N-way overlap generalizes via the same collapse
+    + per-user type-set aggregation."""
+    ev = tables.events(spark, sf_dir)
+    a = ev.select("event_type", "user_id").distinct()
+    sz = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x = a.alias("x")
+    y = a.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type1"),
+            F.col("y.event_type").alias("type2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    s1 = sz.select(F.col("event_type").alias("type1"), F.col("n").alias("n_type1"))
+    s2 = sz.select(F.col("event_type").alias("type2"), F.col("n").alias("n_type2"))
+    return (
+        pairs.join(F.broadcast(s1), "type1")
+        .join(F.broadcast(s2), "type2")
+        .select(
+            "type1",
+            "type2",
+            "n_both",
+            "n_type1",
+            "n_type2",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_type1") + F.col("n_type2") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

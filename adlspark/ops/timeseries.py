@@ -1221,3 +1221,67 @@ def ts_burst_detect(spark, sf_dir):
         F.round((F.col("n") * F.col("days7")).cast("double") / F.col("sum7"), 4)
         .alias("burst_ratio"),
     )
+
+
+@query(
+    "ts_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+), days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u
+    ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+  GROUP BY d.day
+), dau AS (
+  SELECT day, count(*) AS dau FROM ud GROUP BY day
+)
+SELECT d.day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau ON wau.day = d.day
+""",
+)
+def ts_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    triple every product and every corpus-freshness dashboard runs.
+
+    Scale shape: events collapse ONCE to distinct (user, day) — the only
+    corpus-sized pass, map-side combined. The sliding distinct (WAU)
+    uses the COVERING-EXPLODE rewrite instead of a windowed
+    count(DISTINCT): each (user, day) row covers days d..d+6, so a
+    7-way explode + exact distinct per covered day reproduces the
+    trailing-window distinct with plain combinable aggregates — no
+    per-day re-scan, no quadratic window state, and the explode factor
+    is the window length, not the data. Days outside the observed range
+    are clipped via the semi-join against real days (both engines)."""
+    ev = tables.events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = (
+        covered.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )

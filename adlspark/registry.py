@@ -75,8 +75,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #   r4 late-session: agg_corr_matrix, ts_outlier_mad, ts_attribution,
 #     join_bloom_filtered, llm_knn_graph, agg_mutual_info,
 #     ts_burst_detect, llm_dataset_card, stream_checkpoint_recovery,
-#     ingest_csv_malformed, lake_snapshot_rollback, llm_rouge_overlap
-#     (oracle); llm_bpe_encode, llm_mmr_diverse_sample (rows-only,
+#     ingest_csv_malformed, lake_snapshot_rollback, llm_rouge_overlap,
+#     agg_cohort_overlap, ts_active_users (oracle); llm_bpe_encode, llm_mmr_diverse_sample (rows-only,
 #     reference-parity pytest bars)
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round

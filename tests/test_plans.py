@@ -486,3 +486,19 @@ def test_rouge_pair_join_prejoins_ngram_arrays(spark, sf_dir):
     # one equi join on the pair key; intersections are row-local
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "array_intersect" in p
+
+
+def test_cohort_overlap_collapses_before_pair_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_cohort_overlap")
+    # distinct (type,user) collapse feeds the user-keyed self-join;
+    # audience sizes come back broadcast
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_active_users_covering_explode_no_window_distinct(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ts_active_users")
+    # the WAU path must be the explode rewrite, not a windowed
+    # count(DISTINCT) (which Spark can't do) nor a per-day rescan
+    assert "Generate explode" in p or "Generate" in p
+    assert "CartesianProduct" not in p
