@@ -1752,18 +1752,24 @@ def llm_rouge_overlap(spark, sf_dir):
     the pair key with both sides pre-projected to their n-gram arrays,
     and each pair's intersection is array work local to its row. With a
     real pair table the same plan broadcast-joins if one side is small."""
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    d = tables.load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(toks).alias("uni"),
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(size(filter(split(text, ' '),"
-                " w -> w <> '')) - 1, 0)), i -> concat_ws(' ',"
-                " filter(split(text, ' '), w -> w <> '')[i - 1],"
-                " filter(split(text, ' '), w -> w <> '')[i]))"
-            )
-        ).alias("bi"),
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        # hoist tokenization: one filter(split()) per doc, not one per
+        # n-gram reference (the O(len^2) trap fixed repo-wide earlier)
+        .select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda w: w != "").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct("_toks").alias("uni"),
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(_toks) - 1, 0)),"
+                    " i -> concat_ws(' ', _toks[i - 1], _toks[i]))"
+                )
+            ).alias("bi"),
+        )
     )
     c = d.alias("c")
     r = d.alias("r")
