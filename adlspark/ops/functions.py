@@ -518,3 +518,57 @@ def fn_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       round(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]),
+                         (a, b) -> a + b), 6) AS dot_self,
+       CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+       list_contains(list_transform(v, x -> x > 0.5), true) AS any_gt_half,
+       NOT list_contains(list_transform(v, x -> x >= -1.0), false)
+         AS all_ge_neg1,
+       round(list_reduce(v, (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6)
+         AS max_elem
+FROM e
+""",
+)
+def fn_higher_order(spark, sf_dir):
+    """Higher-order array function surface: fold (aggregate), zip_with,
+    exists, forall, filter — the lambda-expression family that keeps
+    array math JVM-side instead of dropping to Python (``fn_array``
+    covers transform/sort/contains; this key pins the folding half).
+
+    The dot-product fold runs the identical left-to-right IEEE add
+    sequence in both engines (Spark aggregate from 0.0, DuckDB
+    list_reduce from the first element — equal because 0.0 + x == x),
+    so even the unrounded fold agrees; round(6) is belt-and-braces.
+    All lambdas compile into whole-stage codegen — zero Python, zero
+    shuffle, a pure narrow map over the vector column."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.round(dot, 6).alias("dot_self"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(v, lambda x: x > 0.5).alias("any_gt_half"),
+        F.forall(v, lambda x: x >= -1.0).alias("all_ge_neg1"),
+        F.round(
+            F.aggregate(
+                v,
+                F.element_at(v, 1),
+                lambda acc, x: F.when(x > acc, x).otherwise(acc),
+            ),
+            6,
+        ).alias("max_elem"),
+    )
