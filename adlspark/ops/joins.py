@@ -645,3 +645,59 @@ def join_bloom_filtered(spark, sf_dir):
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup')
+SELECT purchase_id, user_id, purchase_ts,
+       CASE WHEN gap_us <= 3::BIGINT * 86400 * 1000000 THEN raw_signup_ts
+            END AS signup_ts,
+       CASE WHEN gap_us <= 3::BIGINT * 86400 * 1000000 THEN gap_us
+            END AS gap_us
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         s.ts AS raw_signup_ts,
+         date_diff('microsecond', s.ts, p.ts) AS gap_us
+  FROM p ASOF LEFT JOIN s
+    ON p.user_id = s.user_id AND p.ts >= s.ts
+)
+""",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a tolerance window (pandas merge_asof's
+    ``tolerance``): each purchase takes the user's most recent signup
+    at-or-before it ONLY if it is within 3 days; staler matches are
+    nulled but the left row survives — the semantics risk/feature
+    pipelines need when a stale dimension value is worse than none.
+
+    The gap test is integer microseconds end-to-end (unix_micros — the
+    join_asof_nearest discipline), so the tolerance boundary is exact
+    on both engines. Same single-shuffle union-tag kernel as
+    ``join_asof``; tolerance adds one null-out projection, no extra
+    join and no extra shuffle."""
+    from adlspark.ops.asof import asof_join
+
+    TOL_US = 3 * 86400 * 1000000
+    ev = tables.events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=[],
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))
+    in_tol = F.col("asof_ts").isNotNull() & (gap <= F.lit(TOL_US))
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_tol, F.col("asof_ts")).alias("signup_ts"),
+        F.when(in_tol, gap).alias("gap_us"),
+    )

@@ -1285,3 +1285,64 @@ def ts_active_users(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ts_forecast_naive",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         {{o_dsum}} AS total
+  FROM events GROUP BY event_type, day
+), j AS (
+  SELECT a.event_type, a.day, a.total AS actual, f.total AS forecast,
+         abs(a.total - f.total) AS abs_err
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.day = a.day - INTERVAL 7 DAY
+)
+SELECT event_type,
+       count(*) AS n_days,
+       round(CAST(sum(CAST(abs_err AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*), 6) AS mae,
+       round(CAST(sum(CAST(abs_err AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(actual AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS wape
+FROM j GROUP BY event_type
+""".format(o_dsum=o_dsum("value")),
+)
+def ts_forecast_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    value total with the value from 7 days earlier, then score MAE and
+    WAPE per type — the baseline every forecasting pipeline must beat,
+    and the backtest harness shape (join actuals to lagged forecasts,
+    aggregate the error) that any fancier model plugs into unchanged.
+
+    Cross-engine: daily totals and error sums use decimal-exact
+    summation; MAE/WAPE are single IEEE divides at round 6.
+
+    Scale shape: the corpus collapses once to (type, day) decimal
+    totals; the forecast join is a self-join of that metadata-scale
+    table on (type, day-7) — co-partitioned by the same aggregate
+    shuffle, AQE turns it broadcast. Swapping in lag() over a type
+    window gives the same result with zero join; the join form is kept
+    because real backtests join MODEL OUTPUT tables, not self-lags."""
+    ev = tables.events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("total"))
+    a = daily.alias("a")
+    f_ = daily.alias("f")
+    j = a.join(
+        f_,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day") == F.date_sub(F.col("a.day"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.total").alias("actual"),
+        F.abs(F.col("a.total") - F.col("f.total")).alias("abs_err"),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(dsum("abs_err") / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(dsum("abs_err") / dsum("actual"), 6).alias("wape"),
+    )

@@ -76,7 +76,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     join_bloom_filtered, llm_knn_graph, agg_mutual_info,
 #     ts_burst_detect, llm_dataset_card, stream_checkpoint_recovery,
 #     ingest_csv_malformed, lake_snapshot_rollback, llm_rouge_overlap,
-#     agg_cohort_overlap, ts_active_users, fn_higher_order (oracle); llm_bpe_encode, llm_mmr_diverse_sample (rows-only,
+#     agg_cohort_overlap, ts_active_users, fn_higher_order,
+#     ts_forecast_naive, join_asof_tolerance (oracle); llm_bpe_encode, llm_mmr_diverse_sample (rows-only,
 #     reference-parity pytest bars)
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round
