@@ -55,30 +55,35 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # join_asof_nearest (integer-µs tie-break), mm_phash_dedup (char-based
 # stub) — all three are in the window.
 #
-# ROUND-5 TODO: the remaining debt is the 12 rows-only keys below plus
-# the 23 oracle keys added in the r3-tail and r4 sessions — front-load
-# all 35 next round (plus anything that fails r04 or whose code changes):
-#   rows-only: llm_kmeans, llm_ann_ivf_pq, llm_bpe_learn,
+# ROUND-5 TODO (recomputed at end of the round-4 continuation session,
+# 2026-08-14, via tools/verification_debt.py): 246 keys, 144 with
+# verdicts; the r04 window below covers 50 (every one locally
+# driver-sim green this session, including the r03-failed
+# subq_not_in_null). Remaining debt after r04 lands = 52 keys:
+#   - 38 oracle keys — the r3-tail and r4-session additions that did
+#     not fit this window
+#     (llm_perplexity_bucket, llm_soft_dedup_weight, llm_ngram_novelty,
+#     llm_vocab_coverage, llm_rouge_overlap, ts_pattern_match,
+#     ts_cusum_changepoint, ts_rolling_corr, ts_outlier_mad,
+#     ts_attribution, ts_burst_detect, ts_active_users,
+#     ts_forecast_naive, join_star_schema, join_bloom_filtered,
+#     join_asof_tolerance, agg_corr_matrix/mutual_info/cohort_overlap,
+#     agg_grouping_flags, fn_unpivot, fn_higher_order,
+#     win_distinct_running, win_time_range, subq_corr_scalar_agg,
+#     ingest_csv_malformed, lake_dynamic_partition_overwrite,
+#     lake_snapshot_rollback, stream_checkpoint_recovery,
+#     llm_dedup_editdist/cross_source/containment, ts_autocorr,
+#     ts_rolling_median, llm_hard_negative_mine, llm_temperature_sample,
+#     llm_cooccurrence_pmi, llm_knn_graph, llm_dataset_card)
+#   - 14 rows-only keys (cannot hash-fail; each carries a falsifiable
+#     pytest bar): llm_kmeans, llm_ann_ivf_pq, llm_pca_power,
+#     llm_mmr_diverse_sample, llm_bpe_learn, llm_bpe_encode,
 #     llm_graph_pagerank, lake_compact_small_files, lake_vacuum_orphans,
 #     agg_approx_percentile, agg_hll_partial_merge, stream_tumbling_ohlc,
-#     stream_sliding_watermark, stream_hll_distinct, llm_pca_power
-#   r3-tail session: llm_perplexity_bucket, llm_soft_dedup_weight,
-#     llm_ngram_novelty, llm_vocab_coverage, llm_dedup_editdist,
-#     fn_unpivot, win_distinct_running, ts_autocorr, subq_corr_scalar_agg,
-#     win_time_range, llm_dedup_cross_source,
-#     lake_dynamic_partition_overwrite, agg_grouping_flags,
-#     ts_rolling_median
-#   r4 session: ts_pattern_match, ts_cusum_changepoint, ts_rolling_corr,
-#     join_star_schema, llm_hard_negative_mine, llm_temperature_sample,
-#     llm_cooccurrence_pmi, llm_containment_dedup (llm_pca_power is in
-#     the rows-only list)
-#   r4 late-session: agg_corr_matrix, ts_outlier_mad, ts_attribution,
-#     join_bloom_filtered, llm_knn_graph, agg_mutual_info,
-#     ts_burst_detect, llm_dataset_card, stream_checkpoint_recovery,
-#     ingest_csv_malformed, lake_snapshot_rollback, llm_rouge_overlap,
-#     agg_cohort_overlap, ts_active_users, fn_higher_order,
-#     ts_forecast_naive, join_asof_tolerance (oracle); llm_bpe_encode, llm_mmr_diverse_sample (rows-only,
-#     reference-parity pytest bars)
+#     stream_sliding_watermark, stream_hll_distinct
+# Round-5 plan: front-load the 38 oracle keys + any r04 failure +
+# any changed-code key, then as many rows-only keys as fit; the ~2
+# spillover rows-only keys close out in round 6.
 _VERIFY_WINDOW = [
     # (a) FAILED r03 (oracle type widening), fixed this round
     "subq_not_in_null",
