@@ -148,38 +148,71 @@ FROM nodes GROUP BY doc_id
 )
 def llm_graph_triangles(spark, sf_dir):
     """Per-node triangle counts on the >=0.95 Jaccard similarity graph —
-    the local-clustering primitive that separates true duplicate CLUSTERS
-    (triangle-dense near-cliques, safe to collapse to one canonical doc)
-    from chain artifacts (A~B~C where A and C are genuinely different:
-    zero triangles, collapsing would over-delete).
+    the local-clustering primitive that separates true duplicate
+    CLUSTERS (triangle-dense near-cliques, safe to collapse) from chain
+    artifacts (A~B~C with A,C genuinely different: zero triangles).
 
-    Scale shape — degree-ordered node iterator (the MapReduce triangle
-    scheme of Suri & Vassilvitskii): every undirected edge is oriented
-    from its lower-(degree, id) endpoint to the higher, so wedges are
-    enumerated only at each triangle's LOWEST-degree vertex. A hub of
-    degree k contributes no wedges unless both neighbors out-rank it,
-    bounding wedge volume by O(E^1.5) regardless of skew — the plain
-    id-ordered join (the oracle's form, same triangle set) would square
-    the hub's adjacency instead. Wedge closure is one equi-join against
-    the id-normalized edge list; per-node counts are one explode + hash
-    aggregate. Edges come from the shared prefix-filter kernel, so the
-    graph build itself never goes all-pairs either.
+    Scale shape — QUOTIENT-GRAPH counting. Docs with identical token
+    sets form identity groups; within a group every pair is an edge
+    (J=1.0) and a cross-group member pair exists iff the representative
+    pair does (identical sets -> identical Jaccard). The expanded graph
+    is therefore EXACTLY the clique blow-up of the representative
+    graph, and per-member triangle counts have a closed form from
+    rep-level quantities — for a member of group A (size a):
+
+        T = C(a-1,2)                       -- both others inside A
+          + (a-1) * sum_{B~A} b            -- one in A, one in adjacent B
+          + sum_{B~A} C(b,2)               -- both in the same adjacent B
+          + sum_{rep triangles {A,B,C}} b*c  -- two distinct adjacent groups
+
+    so the iteration (degree-ordered wedge enumeration, the Suri &
+    Vassilvitskii MapReduce scheme) runs ONLY on the representative
+    graph. This matters enormously on dup-dense corpora: the first
+    (expanded) implementation enumerated wedges inside blown-up
+    cliques — Theta(k^3) per k-clique — and filled 80 GB of shuffle on
+    the 10x-skew stress set before dying; the quotient form's stress
+    cost tracks the REP graph, which dedup density shrinks rather than
+    grows. Empty-token groups carry no edges (0/0 Jaccard is NaN) and
+    are excluded up front, matching the pair kernel's expansion rule.
     """
     from adlspark.llm.dedup import prefix_filter_pairs
 
     d = tables.load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    und = prefix_filter_pairs(d, tau=0.95).select("id1", "id2")
-    deg = (
-        und.select(F.col("id1").alias("node"))
-        .unionByName(und.select(F.col("id2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    g, rep_pairs = prefix_filter_pairs(d, tau=0.95, expand=False)
+    grp = (
+        g.where(F.size("toks") > 0)
+        .select("gid", "members", F.size("members").cast("long").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = grp.select(F.col("gid").alias("node"), "a")
+    rp = rep_pairs.select("id1", "id2")
+    und = rp.unionByName(
+        rp.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+
+    # adjacency sums per rep: S1 = sum of neighbor sizes, S2 = sum C(b,2)
+    adj = (
+        und.join(
+            sizes.select(F.col("node").alias("id2"), F.col("a").alias("b")),
+            "id2",
+        )
+        .groupBy("id1")
+        .agg(
+            F.sum("b").alias("s1"),
+            F.sum((F.col("b") * (F.col("b") - 1)) / 2).cast("long").alias("s2"),
+        )
+        .select(F.col("id1").alias("node"), "s1", "s2")
+    )
+
+    # rep-graph triangles via degree-ordered wedges (tiny after quotient)
+    deg = und.groupBy(F.col("id1").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
     )
     d1 = deg.select(F.col("node").alias("id1"), F.col("deg").alias("deg1"))
     d2 = deg.select(F.col("node").alias("id2"), F.col("deg").alias("deg2"))
-    ranked = und.join(d1, "id1").join(d2, "id2")
+    ranked = rp.join(d1, "id1").join(d2, "id2")
     lower_first = (F.col("deg1") < F.col("deg2")) | (
         (F.col("deg1") == F.col("deg2")) & (F.col("id1") < F.col("id2"))
     )
@@ -197,17 +230,49 @@ def llm_graph_triangles(spark, sf_dir):
         F.col("e1.dst").alias("v"),
         F.col("e2.dst").alias("w"),
     )
-    closure = und.select(
-        F.col("id1").alias("cv"), F.col("id2").alias("cw")
-    )
+    closure = rp.select(F.col("id1").alias("cv"), F.col("id2").alias("cw"))
     tri = wedges.join(
         closure,
         (F.least("v", "w") == F.col("cv"))
         & (F.greatest("v", "w") == F.col("cw")),
     ).select("u", "v", "w")
-    nodes = tri.select(
-        F.explode(F.array("u", "v", "w")).alias("doc_id")
+
+    # weighted per-rep triangle mass: triangle {u,v,w} adds b*c to u etc.
+    tri_sized = (
+        tri.join(sizes.select(F.col("node").alias("u"), F.col("a").alias("au")), "u")
+        .join(sizes.select(F.col("node").alias("v"), F.col("a").alias("av")), "v")
+        .join(sizes.select(F.col("node").alias("w"), F.col("a").alias("aw")), "w")
     )
-    return nodes.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    tw = (
+        tri_sized.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("node"), (F.col("av") * F.col("aw")).alias("m")),
+                    F.struct(F.col("v").alias("node"), (F.col("au") * F.col("aw")).alias("m")),
+                    F.struct(F.col("w").alias("node"), (F.col("au") * F.col("av")).alias("m")),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.m")
+        .groupBy("node")
+        .agg(F.sum("m").alias("tw"))
+    )
+
+    per_rep = (
+        grp.select(F.col("gid").alias("node"), "members", "a")
+        .join(adj, "node", "left")
+        .join(tw, "node", "left")
+        .select(
+            "members",
+            (
+                ((F.col("a") - 1) * (F.col("a") - 2) / 2).cast("long")
+                + (F.col("a") - 1) * F.coalesce(F.col("s1"), F.lit(0))
+                + F.coalesce(F.col("s2"), F.lit(0))
+                + F.coalesce(F.col("tw"), F.lit(0))
+            ).alias("n_triangles"),
+        )
+        .where(F.col("n_triangles") > 0)
+    )
+    return per_rep.select(
+        F.explode("members").alias("doc_id"), "n_triangles"
     )
