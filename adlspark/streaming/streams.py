@@ -30,19 +30,25 @@ def events_stream(spark, sf_dir):
     ``readStream`` needs an explicit schema, and the fixture's on-disk
     ``ts`` type has varied across driver rounds (ns-epoch long vs native
     µs timestamp), so the schema comes from one driver-side parquet
-    footer read of the same file — metadata only, no data scan — and the
-    normalization mirrors ``adlspark.tables.events``.
+    footer read of the same path — metadata only, no data scan — and the
+    normalization mirrors ``adlspark.tables.events``. Layout handling:
+    Spark's file source monitors DIRECTORIES, so a single-file fixture
+    is read as a glob over sf_dir while a Spark-written directory of
+    part files (the production layout — and the 10x stress set's) is
+    monitored directly; both shapes stream identically.
     """
-    batch_schema = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .schema
-    )
-    s = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os as _os
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    if _os.path.isdir(path):
+        s = spark.readStream.schema(batch_schema).parquet(path)
+    else:
+        s = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict(s.dtypes).get("ts")
     if ts_type == "bigint":
         return s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
