@@ -202,23 +202,46 @@ JOIN e e2
 """,
 )
 def join_theta_range(spark, sf_dir):
-    """Range self-join: same-user event pairs within 10 minutes. The
-    user_id equi conjunct keeps this a shuffled equi join with a range
-    residual — never a nested-loop cartesian."""
-    e = tables.events(spark, sf_dir).select("event_id", "user_id", "ts")
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    return e1.join(
-        e2,
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.event_id") > F.col("e1.event_id"))
-        & (F.col("e2.ts") >= F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select(
-        F.col("e1.event_id").alias("id1"),
-        F.col("e2.event_id").alias("id2"),
-        F.col("e1.user_id").alias("user_id"),
+    """Range self-join: same-user event pairs within 10 minutes, via the
+    BANDED range join. A bare user_id equi conjunct is not enough at
+    scale: a sort-merge join evaluates the range residual across each
+    equal-key block, so one hot user with k events costs Theta(k^2)
+    comparisons in a single task — measured 95 s (92x the sf0.1 time)
+    on the 10x-skew stress set where one user owns 200k events. Banding
+    adds a coarse time bucket (one window width, 10 min) to the join
+    key: the left side duplicates each event into its own and the next
+    bucket, the right side keeps its single bucket, and any qualifying
+    pair (t2 in [t1, t1+10m]) lands in EXACTLY one of the two
+    assignments — identical output, no post-dedup, and the per-block
+    work drops from per-user to per-(user, 10 minutes). The range
+    residual still applies inside each bucket pair."""
+    BUCKET_US = 600 * 1000000  # one window width: 10 minutes
+    e = tables.events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long").alias("bkt"),
     )
+    left = e.select(
+        F.col("event_id").alias("id1"),
+        "user_id",
+        F.col("ts").alias("ts1"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jb"),
+    )
+    right = e.select(
+        F.col("event_id").alias("id2"),
+        F.col("user_id").alias("user_id2"),
+        F.col("ts").alias("ts2"),
+        F.col("bkt").alias("jb2"),
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("user_id2"))
+        & (F.col("jb") == F.col("jb2"))
+        & (F.col("id2") > F.col("id1"))
+        & (F.col("ts2") >= F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("id1", "id2", "user_id")
 
 
 @query(

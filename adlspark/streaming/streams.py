@@ -275,21 +275,48 @@ def stream_stream_join(spark, sf_dir):
     watermark passes — bounded state at any scale, the property that
     makes stream-stream joins feasible on an unbounded source. Append
     mode (the only mode stream-stream inner joins support); output is
-    the per-user attribution count."""
+    the per-user attribution count.
+
+    The join key is BANDED (user_id, 15-min bucket) — the same trick as
+    the batch ``join_theta_range``: views duplicate into their own and
+    the next bucket, purchases keep one, and a qualifying pair
+    (purchase in [view, view+15m]) matches in exactly one assignment.
+    Without it, one hot user's state rows all share a single join key
+    and every probe scans the user's whole buffered history — the
+    10x-skew sweep measured 180 s; banding cuts the per-probe candidate
+    set to two 15-minute buckets."""
+    BUCKET_US = 900 * 1000000  # one join-window width: 15 minutes
     ev = events_stream(spark, sf_dir)
     views = (
         ev.where(F.col("event_type") == "view")
-        .select("user_id", F.col("ts").alias("view_ts"))
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.explode(
+                F.array(
+                    (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long"),
+                    (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long")
+                    + 1,
+                )
+            ).alias("jb"),
+        )
         .withWatermark("view_ts", "30 minutes")
     )
     purchases = (
         ev.where(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long").alias(
+                "jb2"
+            ),
+        )
         .withWatermark("purchase_ts", "30 minutes")
     )
     attributed = views.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("jb") == F.col("jb2"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 15 MINUTES")),
     )
