@@ -697,3 +697,68 @@ def test_mmr_sample_matches_numpy_reference(spark, sf_dir):
     again_rows = llm_mmr_diverse_sample(spark, sf_dir).collect()
     again = [r["vec_id"] for r in sorted(again_rows, key=lambda r: r["pick_rank"])]
     assert again == got
+
+
+def test_banded_range_join_equals_brute_force_on_boundaries(spark):
+    """The banded (user, bucket) rewrite of join_theta_range claims every
+    qualifying pair matches in EXACTLY one bucket assignment. Pin it
+    against a brute-force pair scan on a fixture engineered around the
+    hazards: events exactly ON bucket boundaries, gaps of exactly the
+    window width, same-timestamp events, and pairs one microsecond
+    inside/outside the window."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    BUCKET_US = 600 * 1000000
+    base = 1_700_000_000_000_000  # µs epoch
+    rows = []
+    eid = 0
+    # user 1: events sitting exactly on and around bucket boundaries
+    for off in [
+        0, 1, BUCKET_US - 1, BUCKET_US, BUCKET_US + 1,
+        2 * BUCKET_US, 2 * BUCKET_US + 1,
+        3 * BUCKET_US - 1, 3 * BUCKET_US,
+    ]:
+        eid += 1
+        rows.append((eid, 1, base + off))
+    # user 2: same-timestamp events and exact-window gaps
+    for off in [0, 0, BUCKET_US, BUCKET_US, 2 * BUCKET_US + 1]:
+        eid += 1
+        rows.append((eid, 2, base + off))
+    df = spark.createDataFrame(
+        [(e, u, t) for e, u, t in rows], "event_id long, user_id long, us long"
+    ).select("event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    # engine path: identical plan to join_theta_range's banded kernel
+    e = df.select(
+        "event_id", "user_id", "ts",
+        (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long").alias("bkt"),
+    )
+    left = e.select(
+        F.col("event_id").alias("id1"), "user_id", F.col("ts").alias("ts1"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jb"),
+    )
+    right = e.select(
+        F.col("event_id").alias("id2"), F.col("user_id").alias("user_id2"),
+        F.col("ts").alias("ts2"), F.col("bkt").alias("jb2"),
+    )
+    got = sorted(
+        (r["id1"], r["id2"])
+        for r in left.join(
+            right,
+            (F.col("user_id") == F.col("user_id2"))
+            & (F.col("jb") == F.col("jb2"))
+            & (F.col("id2") > F.col("id1"))
+            & (F.col("ts2") >= F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    )
+
+    want = sorted(
+        (a_id, b_id)
+        for (a_id, a_u, a_t), (b_id, b_u, b_t) in itertools.permutations(rows, 2)
+        if a_u == b_u and b_id > a_id and 0 <= b_t - a_t <= BUCKET_US
+    )
+    assert got == want, f"banded={got}\nbrute={want}"
+    assert len(got) == len(set(got)), "duplicate pair emitted by banding"
