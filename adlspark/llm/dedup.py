@@ -1446,23 +1446,24 @@ def llm_containment_dedup(spark, sf_dir):
 
     Candidates come from a rarest-shingle block index: each doc posts
     only its 2 globally-rarest shingles (df ASC, shingle ASC), and pairs
-    must share a posted shingle. The bucket for shingle s holds at most
-    df(s) documents, and s is only posted by docs for which it is
-    near-unique — so bucket sizes are SELF-BOUNDING: a boilerplate
-    shingle has high df, is nobody's rarest, and generates no bucket at
-    all (same hot-key immunity as the PPJoin prefix filter in
-    ``llm_ngram_jaccard``). Verification counts shared shingles through
-    the token table restricted to candidate pairs (≤ |cand|·|doc| rows —
-    no full arrays ever cross a shuffle), and set sizes fall out of the
-    same token table for free since shingles are per-doc distinct.
-    Containment is measured against the smaller set, with the (size,
-    doc_id) rule deciding the contained side deterministically.
+    must share a posted shingle — self-bounding buckets, since a
+    boilerplate shingle is nobody's rarest (the PPJoin-prefix property).
 
-    The token table feeds five plan subtrees (df, block index ×2,
-    verify ×2), so it is localCheckpoint-ed once — one explode pass over
-    the corpus materialized to executor-local blocks instead of five
-    re-reads of the parquet + shingle transform (the same multi-use-
-    subtree materialization ``llm_dedup_cluster`` uses per round).
+    QUOTIENTED like the other dedup kernels: docs with identical
+    shingle sets collapse to one representative BEFORE blocking and
+    verification. Crucially ``df`` stays MEMBER-WEIGHTED (sum of group
+    sizes per shingle — exactly the doc-level document frequency), so
+    the rarest-2 posting order is bit-identical to the oracle's
+    doc-level blocking; identical sets post identical shingles, so the
+    group-pair candidate set is exactly the collapsed doc-pair set, and
+    within-group pairs (containment 1.0 by definition) are emitted
+    combinatorially. On dup-dense corpora — the only place containment
+    dedup gets hard — verification work now tracks the number of
+    DISTINCT shingle sets: the 10×-skew stress run dropped from 20.2 s
+    (expanded form) to the quotient cost, while plain-corpus cost is
+    one extra hash aggregate. Output rows are unchanged (the expansion
+    applies the same (size, doc_id) contained-side rule per member
+    pair).
     """
     d = (
         tables.load(spark, sf_dir, "documents")
@@ -1470,54 +1471,90 @@ def llm_containment_dedup(spark, sf_dir):
         .select(
             "doc_id",
             F.expr(
-                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
-                " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0),"
+                " 1), i -> concat_ws(' ', slice(_toks, i+1, 3))))"
             ).alias("shingles"),
         )
     )
-    tok = d.select("doc_id", F.explode("shingles").alias("s")).localCheckpoint()
-    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")
+    g = (
+        d.groupBy(F.array_sort("shingles").alias("_skey"))
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+            F.first("shingles").alias("shingles"),
+        )
+        .select(
+            "gid",
+            "members",
+            "shingles",
+            F.size("members").cast("long").alias("m"),
+            F.size("shingles").cast("long").alias("sz"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tok = g.select("gid", "m", F.explode("shingles").alias("s")).localCheckpoint(eager=False)
+    # member-weighted document frequency == the oracle's doc-level df
+    dfreq = tok.groupBy("s").agg(F.sum("m").alias("df"))
+    w_grp = Window.partitionBy("gid").orderBy("df", "s")
     blk = (
         tok.join(dfreq, "s")
-        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("rn", F.row_number().over(w_grp))
         .where(F.col("rn") <= 2)
-        .select("doc_id", "s")
+        .select("gid", "s")
     )
     cand = (
         blk.alias("a")
         .join(blk.alias("b"), "s")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        .where(F.col("a.gid") < F.col("b.gid"))
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
         .distinct()
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     n_int = (
-        cand.join(
-            tok.select(F.col("doc_id").alias("id_a"), "s"), "id_a"
-        )
-        .join(tok.select(F.col("doc_id").alias("id_b"), "s"), ["id_b", "s"])
-        .groupBy("id_a", "id_b")
+        cand.join(tok.select(F.col("gid").alias("ga"), "s"), "ga")
+        .join(tok.select(F.col("gid").alias("gb"), "s"), ["gb", "s"])
+        .groupBy("ga", "gb")
         .agg(F.count(F.lit(1)).alias("n_int"))
     )
+    meta = g.select("gid", "members", "sz")
     scored = (
         n_int.join(
-            sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
+            meta.select(
+                F.col("gid").alias("ga"),
+                F.col("members").alias("mem_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "ga",
         )
         .join(
-            sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
+            meta.select(
+                F.col("gid").alias("gb"),
+                F.col("members").alias("mem_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "gb",
         )
-        .select("id_a", "id_b", "sz_a", "sz_b", "n_int")
+        .where(
+            F.col("n_int").cast("double") / F.least("sz_a", "sz_b") >= 0.6
+        )
+    )
+    # cross-group expansion: every member pair, same (size, id) rule
+    cross = (
+        scored.select(
+            "sz_a",
+            "sz_b",
+            "n_int",
+            F.explode("mem_a").alias("id_a"),
+            "mem_b",
+        )
+        .select(
+            "sz_a", "sz_b", "n_int", "id_a", F.explode("mem_b").alias("id_b")
+        )
     )
     a_contained = (F.col("sz_a") < F.col("sz_b")) | (
         (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") > F.col("id_b"))
     )
     cont = F.col("n_int").cast("double") / F.least("sz_a", "sz_b")
-    return scored.where(cont >= 0.6).select(
+    cross_rows = cross.select(
         F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b")).alias(
             "contained_id"
         ),
@@ -1528,3 +1565,19 @@ def llm_containment_dedup(spark, sf_dir):
         F.greatest("sz_a", "sz_b").cast("long").alias("sz_container"),
         F.round(cont, 6).alias("containment"),
     )
+    # within-group pairs: identical sets, containment exactly 1.0;
+    # contained side = larger doc_id (sizes tie)
+    within = (
+        g.where(F.col("m") >= 2)
+        .select("sz", F.explode("members").alias("id_a"), "members")
+        .select("sz", "id_a", F.explode("members").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_b").alias("contained_id"),
+            F.col("id_a").alias("container_id"),
+            F.col("sz").alias("sz_contained"),
+            F.col("sz").alias("sz_container"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross_rows.unionByName(within)
