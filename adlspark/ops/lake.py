@@ -1196,3 +1196,98 @@ def lake_snapshot_rollback(spark, sf_dir):
     return pre.unionByName(cur).select(
         "state", "table_name", "seq", "row_count"
     )
+
+
+@query(
+    "lake_write_audit_publish",
+    oracle="""
+WITH good AS (
+  SELECT * FROM orders WHERE o_totalprice > 0 AND o_custkey IS NOT NULL
+), audit AS (
+  SELECT 'row_count_positive' AS rule,
+         (SELECT count(*) FROM good) > 0 AS passed
+  UNION ALL
+  SELECT 'no_negative_price', NOT EXISTS (
+    SELECT 1 FROM good WHERE o_totalprice <= 0)
+  UNION ALL
+  SELECT 'keys_unique', (SELECT count(*) FROM good) =
+                        (SELECT count(DISTINCT o_orderkey) FROM good)
+)
+SELECT a.rule, a.passed,
+       (SELECT count(*) FROM good) AS published_rows,
+       CAST((SELECT sum(o_orderkey) FROM good) AS BIGINT) AS published_key_sum,
+       (SELECT bool_and(passed) FROM audit) AS published
+FROM audit a
+""",
+)
+def lake_write_audit_publish(spark, sf_dir):
+    """Write-Audit-Publish — the production lakehouse write pattern
+    (Netflix WAP / Iceberg branch workflow): new data lands in an
+    UNPUBLISHED staging location, an expectation suite audits the staged
+    files, and only if every rule passes does an atomic, metadata-only
+    catalog swap make the data visible to readers. Readers never see a
+    half-written or failing batch; a failed audit leaves the staging dir
+    for debugging and publishes nothing.
+
+    Spark-first composition of existing pieces: the stage write is a
+    plain parquet write, the audit is `lake_validate_rules`-style
+    conditional sums in ONE pass over the STAGED files (re-read — the
+    audit must check what was actually written, not the pre-write
+    DataFrame), and the publish step appends one catalog batch
+    (`catalog.append_entries`) whose presence IS the visibility flip —
+    the same O(1)-metadata commit a real table format performs. Output:
+    the audit verdicts plus the published state (row count + key
+    checksum over the staged files), hash-checked end-to-end, so a
+    silent row loss or dup in the stage→audit→publish path flips the
+    oracle.
+    """
+    import shutil as _sh
+    import uuid
+
+    from adlspark import catalog as cat
+
+    base = work_dir(sf_dir, "wap")
+    run = uuid.uuid4().hex[:8]
+    stage = f"{base}/stage_{run}"
+    log_dir = f"{base}/catalog_{run}"
+    _sh.rmtree(stage, ignore_errors=True)
+
+    o = tables.load(spark, sf_dir, "orders")
+    good = o.where((F.col("o_totalprice") > 0) & F.col("o_custkey").isNotNull())
+    good.write.mode("overwrite").parquet(stage)
+
+    staged = spark.read.parquet(stage)
+    audit_row = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_bad_price"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).head()
+    rules = [
+        ("row_count_positive", audit_row["n"] > 0),
+        ("no_negative_price", audit_row["n_bad_price"] == 0),
+        ("keys_unique", audit_row["n"] == audit_row["n_keys"]),
+    ]
+    publish = all(p for _, p in rules)
+
+    if publish:
+        entry = spark.createDataFrame(
+            [("orders_staged", 0, audit_row["n"], "2026-01-01 00:00:00")],
+            "table_name string, seq int, row_count long, ingested_at string",
+        ).withColumn("ingested_at", F.to_timestamp("ingested_at"))
+        cat.append_entries(entry, log_dir)
+
+    return spark.createDataFrame(
+        [
+            (
+                rule,
+                bool(p),
+                int(audit_row["n"]),
+                int(audit_row["key_sum"]),
+                bool(publish),
+            )
+            for rule, p in rules
+        ],
+        "rule string, passed boolean, published_rows long, "
+        "published_key_sum long, published boolean",
+    )

@@ -502,3 +502,21 @@ def test_active_users_covering_explode_no_window_distinct(spark, sf_dir):
     # count(DISTINCT) (which Spark can't do) nor a per-day rescan
     assert "Generate explode" in p or "Generate" in p
     assert "CartesianProduct" not in p
+
+
+def test_velocity_features_single_shuffle_three_frames(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ts_velocity_features")
+    # all three horizons share one user-keyed exchange + one sort
+    assert p.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in p
+    assert "Join" not in p
+
+
+def test_wap_audit_reads_staged_files_not_plan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "lake_write_audit_publish")
+    # the returned verdict table is driver-built from the audit of the
+    # STAGED files; the query itself must be a LocalTableScan (the
+    # stage/audit/publish side effects ran eagerly)
+    assert (
+        "LocalTableScan" in p or "LocalRelation" in p or "ExistingRDD" in p
+    )
