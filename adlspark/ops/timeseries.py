@@ -1405,3 +1405,83 @@ def ts_velocity_features(spark, sf_dir):
         horizon(86400 * 1000000).alias("n_24h"),
         horizon(7 * 86400 * 1000000).alias("n_7d"),
     )
+
+
+@query(
+    "ts_event_paths",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         count(*) AS path_len
+  FROM s GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions,
+       CAST(max(path_len) AS BIGINT) AS path_len
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+""",
+)
+def ts_event_paths(spark, sf_dir):
+    """Top user journeys: the 10 most common event-type PATHS through a
+    session (5-min gap sessionization, events ordered by (ts, event_id)
+    — a total order, so the path string is deterministic on both
+    engines) — the sequence-mining staple behind funnel discovery and
+    UX analysis, here as pure declarative aggregation.
+
+    Scale shape: ONE user-keyed shuffle carries the sessionization
+    windows AND the ordered path collect (same partition key); the path
+    table is sessions-sized, and the final top-10 is a
+    TakeOrderedAndProject over the path aggregate — no global sort. A
+    hot user adds one partition's linear window scan (the ts_session
+    stress shape). Paths are grouped-by-value, so popular journeys
+    combine map-side."""
+    ev = tables.events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            >= F.lit(300 * 1000000)
+        ),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("new_s", new_s).withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("path_len").alias("path_len"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

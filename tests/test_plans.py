@@ -520,3 +520,10 @@ def test_wap_audit_reads_staged_files_not_plan(spark, sf_dir):
     assert (
         "LocalTableScan" in p or "LocalRelation" in p or "ExistingRDD" in p
     )
+
+
+def test_event_paths_single_user_shuffle_topk(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ts_event_paths")
+    assert "hashpartitioning(user_id" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
