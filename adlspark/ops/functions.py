@@ -572,3 +572,47 @@ def fn_higher_order(spark, sf_dir):
             6,
         ).alias("max_elem"),
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / nullif(l_discount, 0.0), 4) AS price_per_disc,
+       try_cast(l_returnflag AS BIGINT) AS flag_as_int,
+       try_cast(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS BIGINT) AS qty_as_int,
+       coalesce(round(l_tax / nullif(l_discount, 0.0), 4), -1.0)
+         AS tax_ratio_defaulted
+FROM lineitem
+WHERE l_orderkey % 97 = 0
+""",
+)
+def fn_try_arith(spark, sf_dir):
+    """Error-safe arithmetic surface: division that yields NULL instead
+    of raising on zero denominators, try_cast that yields NULL for
+    unparseable strings (a flag letter vs a numeric string), and
+    COALESCE defaulting — the ANSI-mode-safe idioms a production
+    pipeline uses so one bad row can't kill a 100 TB job. All narrow
+    JVM expressions in whole-stage codegen; the row filter keeps the
+    fixture output reviewable.
+
+    Cross-engine note: Spark try_divide(x, 0) and DuckDB x / nullif(d,
+    0) both produce NULL; integral casts of exact doubles agree; ratio
+    outputs round at 4."""
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 97 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0.0))), 4).alias(
+            "price_per_disc"
+        ),
+        F.col("l_returnflag").try_cast("bigint").alias("flag_as_int"),
+        F.col("l_quantity").cast("int").cast("string").try_cast("bigint")
+        .alias("qty_as_int"),
+        F.coalesce(
+            F.round(F.try_divide("l_tax", F.nullif("l_discount", F.lit(0.0))), 4),
+            F.lit(-1.0),
+        ).alias("tax_ratio_defaulted"),
+    )
