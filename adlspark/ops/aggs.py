@@ -1017,3 +1017,140 @@ def agg_cohort_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+WITH a AS (
+  SELECT value FROM events
+  WHERE event_type = 'click' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+), b AS (
+  SELECT value FROM events
+  WHERE event_type = 'click' AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+), pooled AS (
+  SELECT value, sum(in_a) AS ca, sum(in_b) AS cb FROM (
+    SELECT value, 1 AS in_a, 0 AS in_b FROM a
+    UNION ALL SELECT value, 0, 1 FROM b
+  ) GROUP BY value
+), cum AS (
+  SELECT value,
+         sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM pooled
+), tot AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
+SELECT CAST(na AS BIGINT) AS n_before, CAST(nb AS BIGINT) AS n_after,
+       CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d_scaled,
+       round(CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE)
+             / (na * nb), 6) AS ks_d
+FROM cum CROSS JOIN tot
+GROUP BY na, nb
+""",
+)
+def agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distribution-drift statistic: did
+    the click-value distribution change between the first and second
+    half of the month? — the nonparametric drift test ML monitoring
+    runs per feature per day. D = max |ECDF₁ − ECDF₂| is computed in
+    INTEGER arithmetic (max |cum₁·n₂ − cum₂·n₁|, divided once at the
+    end), so the statistic is bit-exact on both engines.
+
+    Scale shape: pool the two samples with indicator columns, ONE
+    combinable aggregate to per-value counts (distinct-value-sized, the
+    only corpus pass), one ordered cumulative window over the distinct
+    values, one max. At 100 TB per-feature drift runs this same plan
+    per feature via grouping keys; for unbounded-cardinality features
+    you'd bin first (the ts_drift_psi path) and keep everything else."""
+    ev = tables.events(spark, sf_dir).where(F.col("event_type") == "click")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    tagged = ev.select(
+        "value",
+        (F.col("ts") < cut).cast("long").alias("in_a"),
+        (F.col("ts") >= cut).cast("long").alias("in_b"),
+    )
+    pooled = tagged.groupBy("value").agg(
+        F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pooled.select(
+        "value",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = tagged.agg(
+        F.sum("in_a").alias("na"), F.sum("in_b").alias("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+            ).alias("d_scaled")
+        )
+        .select(
+            F.col("na").alias("n_before"),
+            F.col("nb").alias("n_after"),
+            "d_scaled",
+            F.round(
+                F.col("d_scaled").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("ks_d"),
+        )
+    )
+
+
+@query(
+    "agg_chi2_independence",
+    oracle="""
+WITH j AS (
+  SELECT event_type, CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow
+  FROM events
+), cells AS (
+  SELECT event_type, dow, CAST(count(*) AS DOUBLE) AS o FROM j GROUP BY 1, 2
+), rx AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS r FROM j GROUP BY 1),
+cx AS (SELECT dow, CAST(count(*) AS DOUBLE) AS c FROM j GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j)
+SELECT round(sum((o - r * c / n) * (o - r * c / n) / (r * c / n)), 4)
+         AS chi2,
+       CAST((SELECT count(*) FROM rx) - 1 AS BIGINT)
+         * CAST((SELECT count(*) FROM cx) - 1 AS BIGINT) AS dof
+FROM cells JOIN rx USING (event_type) JOIN cx USING (dow) CROSS JOIN tot
+""",
+)
+def agg_chi2_independence(spark, sf_dir):
+    """Chi-squared test of independence between event type and day of
+    week — the categorical drift/association test beside
+    ``agg_mutual_info`` (chi² gives the significance view, MI the
+    information view). Observed and marginal counts are exact integers;
+    the statistic sums |types|×7 identical IEEE cells (round 4, drift
+    ~1e-12). NOTE both engines' dayofweek: Spark 1=Sunday, DuckDB
+    0=Sunday — the oracle keys cells by DuckDB's own dow and Spark
+    shifts to match (FIXTURES.md rule 5).
+
+    Scale shape: one fact pass to cell counts (category-sized),
+    marginals broadcast back, metadata-scale combination."""
+    ev = tables.events(spark, sf_dir)
+    j = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    )
+    cells = j.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rx = j.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("r"))
+    cx = j.groupBy("dow").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = j.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    chi2 = F.round(
+        F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4
+    )
+    n_r = rx.count()
+    n_c = cx.count()
+    return (
+        cells.join(F.broadcast(rx), "event_type")
+        .join(F.broadcast(cx), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(chi2.alias("chi2"))
+        .select(
+            "chi2", F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof")
+        )
+    )

@@ -1485,3 +1485,72 @@ def ts_event_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@query(
+    "ts_drift_psi",
+    oracle="""
+WITH a AS (
+  SELECT value FROM events
+  WHERE event_type = 'view' AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+), b AS (
+  SELECT value FROM events
+  WHERE event_type = 'view' AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+), binned AS (
+  SELECT CAST(least(floor(value / 10.0), 9) AS BIGINT) AS bin,
+         sum(in_a) AS ca, sum(in_b) AS cb
+  FROM (
+    SELECT value, 1 AS in_a, 0 AS in_b FROM a
+    UNION ALL SELECT value, 0, 1 FROM b
+  ) GROUP BY bin
+), tot AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
+SELECT bin,
+       CAST(ca AS BIGINT) AS n_before, CAST(cb AS BIGINT) AS n_after,
+       round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+             * ln((CAST(cb AS DOUBLE) / nb) / (CAST(ca AS DOUBLE) / na)), 6)
+         AS psi_term
+FROM binned CROSS JOIN tot
+WHERE ca > 0 AND cb > 0
+""",
+)
+def ts_drift_psi(spark, sf_dir):
+    """Population Stability Index terms per bin: the feature-drift
+    monitor credit-risk and ML-platform teams run on every feature
+    (PSI = Σ (p_after − p_before)·ln(p_after/p_before) over fixed
+    bins; > 0.2 flags a shifted population). Output is per-bin terms so
+    the dashboard can show WHERE the distribution moved — summing them
+    is one more aggregate. Bin proportions come from exact integer
+    counts; each term is one identical IEEE expression at round 6.
+    Empty-on-either-side bins are excluded (the standard convention —
+    production systems smooth instead; that's a constant in the same
+    expression).
+
+    Scale shape: fixed decile-style bins → one combinable aggregate to
+    bin counts (10 rows), totals broadcast, metadata-scale term math.
+    Per-feature fan-out at 100 TB adds the feature name to the grouping
+    key — same single pass."""
+    ev = tables.events(spark, sf_dir).where(F.col("event_type") == "view")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    tagged = ev.select(
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        (F.col("ts") < cut).cast("long").alias("in_a"),
+        (F.col("ts") >= cut).cast("long").alias("in_b"),
+    )
+    binned = tagged.groupBy("bin").agg(
+        F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
+    )
+    tot = tagged.agg(F.sum("in_a").alias("na"), F.sum("in_b").alias("nb"))
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .where((F.col("ca") > 0) & (F.col("cb") > 0))
+        .select(
+            "bin",
+            F.col("ca").alias("n_before"),
+            F.col("cb").alias("n_after"),
+            F.round((pb - pa) * F.log(pb / pa), 6).alias("psi_term"),
+        )
+    )

@@ -527,3 +527,19 @@ def test_event_paths_single_user_shuffle_topk(spark, sf_dir):
     assert "hashpartitioning(user_id" in p
     assert "TakeOrderedAndProject" in p
     assert "Join" not in p
+
+
+def test_ks_test_single_pooled_pass(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_ks_test")
+    # one corpus pass to per-value counts; totals broadcast; ordered
+    # cumulative window runs over the distinct-value table
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count(") Window") == 1
+
+
+def test_chi2_and_psi_category_sized_combination(spark, sf_dir):
+    for key in ("agg_chi2_independence", "ts_drift_psi"):
+        p = plan_of(spark, sf_dir, key)
+        assert "CartesianProduct" not in p, key
+        assert "SortMergeJoin" not in p, key
