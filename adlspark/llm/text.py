@@ -1764,10 +1764,16 @@ def llm_rouge_overlap(spark, sf_dir):
             "doc_id",
             F.array_distinct("_toks").alias("uni"),
             F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(_toks) - 1, 0)),"
-                    " i -> concat_ws(' ', _toks[i - 1], _toks[i]))"
-                )
+                # guard: sequence(1, 0) is DESCENDING [1,0] in Spark (not
+                # empty like DuckDB generate_series), and _toks[1] then
+                # faults under ANSI — short docs get an explicit empty set
+                F.when(
+                    F.size("_toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(_toks) - 1),"
+                        " i -> concat_ws(' ', _toks[i - 1], _toks[i]))"
+                    ),
+                ).otherwise(F.expr("CAST(array() AS array<string>)"))
             ).alias("bi"),
         )
     )

@@ -1143,14 +1143,14 @@ def agg_chi2_independence(spark, sf_dir):
     chi2 = F.round(
         F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4
     )
-    n_r = rx.count()
-    n_c = cx.count()
+    # dof from the SAME cell table, lazily — no eager .count() jobs at
+    # plan-build time (two extra full scans per invocation otherwise)
+    dof = (
+        (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+    ).cast("long")
     return (
         cells.join(F.broadcast(rx), "event_type")
         .join(F.broadcast(cx), "dow")
         .crossJoin(F.broadcast(tot))
-        .agg(chi2.alias("chi2"))
-        .select(
-            "chi2", F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof")
-        )
+        .agg(chi2.alias("chi2"), dof.alias("dof"))
     )

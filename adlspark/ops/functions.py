@@ -580,7 +580,8 @@ def fn_higher_order(spark, sf_dir):
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice / nullif(l_discount, 0.0), 4) AS price_per_disc,
        try_cast(l_returnflag AS BIGINT) AS flag_as_int,
-       try_cast(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS BIGINT) AS qty_as_int,
+       try_cast(CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR) AS BIGINT)
+         AS qty_as_int,
        coalesce(round(l_tax / nullif(l_discount, 0.0), 4), -1.0)
          AS tax_ratio_defaulted
 FROM lineitem
@@ -605,14 +606,13 @@ def fn_try_arith(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0.0))), 4).alias(
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias(
             "price_per_disc"
         ),
         F.col("l_returnflag").try_cast("bigint").alias("flag_as_int"),
         F.col("l_quantity").cast("int").cast("string").try_cast("bigint")
         .alias("qty_as_int"),
         F.coalesce(
-            F.round(F.try_divide("l_tax", F.nullif("l_discount", F.lit(0.0))), 4),
-            F.lit(-1.0),
+            F.round(F.try_divide("l_tax", "l_discount"), 4), F.lit(-1.0)
         ).alias("tax_ratio_defaulted"),
     )

@@ -1247,10 +1247,11 @@ def lake_write_audit_publish(spark, sf_dir):
     from adlspark import catalog as cat
 
     base = work_dir(sf_dir, "wap")
+    # prior invocations each staged a full orders copy — wipe them first
+    _sh.rmtree(base, ignore_errors=True)
     run = uuid.uuid4().hex[:8]
     stage = f"{base}/stage_{run}"
     log_dir = f"{base}/catalog_{run}"
-    _sh.rmtree(stage, ignore_errors=True)
 
     o = tables.load(spark, sf_dir, "orders")
     good = o.where((F.col("o_totalprice") > 0) & F.col("o_custkey").isNotNull())

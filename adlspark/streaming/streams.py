@@ -59,7 +59,9 @@ def events_stream(spark, sf_dir):
 
 def _run(df_writer, name: str):
     q = df_writer.queryName(name).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"streaming query {name} did not finish in 600s")
 
 
 @query("stream_tumbling_watermark")
@@ -451,8 +453,10 @@ def stream_checkpoint_recovery(spark, sf_dir):
     from adlspark import tables
 
     base = work_dir(sf_dir, "ckpt_recovery")
-    # fresh dirs per invocation: recovery must start from OUR phase-1
-    # checkpoint, not a previous run's completed one
+    # wipe prior invocations' staging/checkpoints (they accumulate a full
+    # events copy per run), then use a fresh run id: recovery must start
+    # from OUR phase-1 checkpoint, not a previous run's completed one
+    shutil.rmtree(base, ignore_errors=True)
     run = uuid.uuid4().hex[:8]
     in_dir = f"{base}/in_{run}"
     sink = f"{base}/sink_{run}"
@@ -476,7 +480,12 @@ def stream_checkpoint_recovery(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # a silent timeout here would append phase-2 files while query 1
+        # still runs and start a second query on the SAME checkpoint —
+        # exactly the corruption this key exists to rule out
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("recovery phase did not finish in 600s")
 
     run_query()  # phase 1: half the input, then a clean shutdown
 

@@ -36,8 +36,11 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        # Spark-written fixtures are DIRECTORIES of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     from adlspark.testing import compare
