@@ -235,3 +235,41 @@ def subq_corr_scalar_agg(spark, sf_dir):
                FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@query(
+    "subq_in_multi",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND o_orderstatus = 'F' AND c_acctbal > 9000
+)
+""",
+)
+def subq_in_multi(spark, sf_dir):
+    """Multi-column (tuple) IN subquery: orders matched on the composite
+    (customer, status) membership — the SQL-standard row-value
+    constructor surface that single-column IN/EXISTS rewrites miss.
+    Expressed through spark.sql so Catalyst's RewritePredicateSubquery
+    plans it as ONE left-semi join on both columns (never a per-row
+    subquery, never two separate semi joins whose conjunction would be
+    wrong); the inner side is dim-sized and broadcasts.
+    """
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "subq_in_multi_orders"
+    )
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "subq_in_multi_customer"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM subq_in_multi_orders
+        WHERE (o_custkey, o_orderstatus) IN (
+          SELECT c_custkey, 'F' FROM subq_in_multi_customer
+          WHERE c_acctbal > 9000
+        )
+        """
+    )

@@ -59,7 +59,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # verdicts; the r04 window below covers 50 (every one locally
 # driver-sim green this session, including the r03-failed
 # subq_not_in_null). Remaining debt after r04 lands = 52 keys:
-#   - 47 oracle keys — the r3-tail and r4-session additions that did
+#   - 48 oracle keys — the r3-tail and r4-session additions that did
 #     not fit this window, plus llm_dsir_weight and llm_mixture_weights
 #     (deferred to admit the changed banded-join keys)
 #     (llm_perplexity_bucket, llm_soft_dedup_weight, llm_ngram_novelty,
@@ -74,6 +74,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     lake_snapshot_rollback, stream_checkpoint_recovery,
 #     lake_write_audit_publish, ts_velocity_features, ts_event_paths,
 #     fn_try_arith, agg_ks_test, agg_chi2_independence, ts_drift_psi,
+#     subq_in_multi,
 #     llm_dedup_editdist/cross_source/containment, ts_autocorr,
 #     ts_rolling_median, llm_hard_negative_mine, llm_temperature_sample,
 #     llm_cooccurrence_pmi, llm_knn_graph, llm_dataset_card)
@@ -83,7 +84,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     llm_graph_pagerank, lake_compact_small_files, lake_vacuum_orphans,
 #     agg_approx_percentile, agg_hll_partial_merge, stream_tumbling_ohlc,
 #     stream_sliding_watermark, stream_hll_distinct
-# Round-5 plan: front-load the 47 oracle keys + any r04 failure +
+# Round-5 plan: front-load the 48 oracle keys + any r04 failure +
 # any changed-code key, then as many rows-only keys as fit; the ~2
 # spillover rows-only keys close out in round 6.
 _VERIFY_WINDOW = [

@@ -543,3 +543,11 @@ def test_chi2_and_psi_category_sized_combination(spark, sf_dir):
         p = plan_of(spark, sf_dir, key)
         assert "CartesianProduct" not in p, key
         assert "SortMergeJoin" not in p, key
+
+
+def test_tuple_in_subquery_is_one_semi_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "subq_in_multi")
+    # Catalyst must rewrite the tuple IN to ONE left-semi join on both
+    # columns — never a per-row subquery or a cartesian
+    assert "LeftSemi" in p or "Semi" in p
+    assert "CartesianProduct" not in p
