@@ -428,11 +428,16 @@ WITH e AS (
 ), s AS (
   SELECT user_id,
          CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6)))
+         -- x is an integer epoch: DECIMAL(19,0)/(19,6) products stay
+         -- within precision 38 on BOTH engines, so every sum is exact;
+         -- the old (38,6)x(38,6) products overflowed precision and each
+         -- engine rounded them differently (ulp drift that flipped a
+         -- round-6 digit for one sf0.1 user)
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
               AS DOUBLE) AS sxx,
          {o_dsum('y')} AS sy,
-         CAST(sum(CAST(x AS DECIMAL(38,6)) * CAST(y AS DECIMAL(38,6)))
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,6)))
               AS DOUBLE) AS sxy
   FROM e GROUP BY user_id HAVING count(*) >= 2
 )
@@ -457,7 +462,10 @@ def ts_trend_slope(spark, sf_dir):
     canonical sufficient-statistics reduction that holds at any scale.
     """
     ev = tables.events(spark, sf_dir)
-    x = F.unix_timestamp(F.col("ts")).cast(DEC)
+    # integer-epoch x as DECIMAL(19,0): its products with itself and with
+    # DECIMAL(19,6) y fit precision 38 EXACTLY on both engines — the
+    # (38,6)x(38,6) form overflowed and rounded engine-specifically
+    x = F.unix_timestamp(F.col("ts")).cast("decimal(19,0)")
     y = F.col("value")
     s = (
         ev.groupBy("user_id")
@@ -466,7 +474,7 @@ def ts_trend_slope(spark, sf_dir):
             F.sum(x).cast("double").alias("sx"),
             F.sum(x * x).cast("double").alias("sxx"),
             dsum(y).alias("sy"),
-            F.sum(x * y.cast(DEC)).cast("double").alias("sxy"),
+            F.sum(x * y.cast("decimal(19,6)")).cast("double").alias("sxy"),
         )
         .where(F.col("n") >= 2)
     )
