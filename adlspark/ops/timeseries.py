@@ -1039,10 +1039,12 @@ WITH med AS (
   SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
 )
 SELECT d.event_id, d.event_type, d.value,
-       round(0.6745 * (d.value - d.med) / m.mad, 4) AS robust_z
+       CAST(round(CAST(0.6745 * (d.value - d.med) / m.mad
+                       AS DECIMAL(18,12)), 4) AS DOUBLE) AS robust_z
 FROM dev d JOIN mad m USING (event_type)
 WHERE m.mad > 0
-  AND abs(round(0.6745 * (d.value - d.med) / m.mad, 4)) > 3.5
+  AND abs(CAST(round(CAST(0.6745 * (d.value - d.med) / m.mad
+                          AS DECIMAL(18,12)), 4) AS DOUBLE)) > 3.5
 """,
 )
 def ts_outlier_mad(spark, sf_dir):
@@ -1072,9 +1074,15 @@ def ts_outlier_mad(spark, sf_dir):
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    # DECIMAL(18,12) guard cast before the round: the z ratio can land
+    # exactly on a 4-digit tie (3.85225 at sf0.1) where the engines'
+    # double rounding modes diverge; both round decimals half-up
     rz = F.round(
-        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4
-    )
+        (F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")).cast(
+            "decimal(18,12)"
+        ),
+        4,
+    ).cast("double")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .where(F.col("mad") > 0)

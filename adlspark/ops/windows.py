@@ -289,8 +289,10 @@ def win_nth_value(spark, sf_dir):
     "win_cume_pct",
     oracle="""
 SELECT c_custkey, c_nationkey,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       CAST(round(CAST(percent_rank() OVER w AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS pct_rank,
+       CAST(round(CAST(cume_dist() OVER w AS DECIMAL(18,12)), 6)
+            AS DOUBLE) AS cume,
        CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey
@@ -300,8 +302,12 @@ WINDOW w AS (PARTITION BY c_nationkey
 def win_cume_pct(spark, sf_dir):
     """percent_rank + cume_dist over a deterministic total order
     (floor-bucketed balance, custkey tiebreak — same rounding-mode-free
-    bucketing as win_rank_dense). Both are rank/count ratios of small
-    integers, so round-6 parity is exact."""
+    bucketing as win_rank_dense). The ratios are rounded through a
+    DECIMAL(18,12) guard cast on BOTH engines: k/n with a 2·5-smooth n
+    lands EXACTLY on round-6 ties (e.g. 82/1280 = 0.0640625 at sf0.1),
+    where Spark's double round (HALF_UP on the binary value) and
+    DuckDB's differ — both engines round DECIMALS half-up identically,
+    so the guard cast makes the tie deterministic."""
     c = tables.load(spark, sf_dir, "customer").withColumn(
         "bal_bucket", F.floor(F.col("c_acctbal") / 100).cast("long")
     )
@@ -309,8 +315,12 @@ def win_cume_pct(spark, sf_dir):
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w).cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("pct_rank"),
+        F.round(F.cume_dist().over(w).cast("decimal(18,12)"), 6)
+        .cast("double")
+        .alias("cume"),
         "bal_bucket",
     )
 

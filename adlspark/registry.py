@@ -59,7 +59,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # verdicts; the r04 window below covers 50 (every one locally
 # driver-sim green this session, including the r03-failed
 # subq_not_in_null). Remaining debt after r04 lands = 52 keys:
-#   - 48 oracle keys — the r3-tail and r4-session additions that did
+#   - 49 oracle keys — the r3-tail and r4-session additions that did
 #     not fit this window, plus llm_dsir_weight and llm_mixture_weights
 #     (deferred to admit the changed banded-join keys)
 #     (llm_perplexity_bucket, llm_soft_dedup_weight, llm_ngram_novelty,
@@ -84,7 +84,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     llm_graph_pagerank, lake_compact_small_files, lake_vacuum_orphans,
 #     agg_approx_percentile, agg_hll_partial_merge, stream_tumbling_ohlc,
 #     stream_sliding_watermark, stream_hll_distinct
-# Round-5 plan: front-load the 48 oracle keys + any r04 failure +
+# Round-5 plan: front-load the 49 oracle keys + any r04 failure +
 # any changed-code key, then as many rows-only keys as fit; the ~2
 # spillover rows-only keys close out in round 6.
 _VERIFY_WINDOW = [
@@ -95,6 +95,7 @@ _VERIFY_WINDOW = [
     "mm_phash_dedup",
     "join_theta_range",
     "stream_stream_join",
+    "win_cume_pct",
     # (c) never-verified: joins/subqueries
     "join_asof_forward",
     "join_dpp_prune",
@@ -144,11 +145,11 @@ _VERIFY_WINDOW = [
     "llm_quality_classifier",
     "llm_text_normalize",
     "llm_gopher_rules",
-    "llm_bpe_pair_count",
-    # llm_dsir_weight / llm_mixture_weights deferred to round 5 to make
-    # room for the two banded-join keys whose code changed this session
-    # (window must stay at the driver's ~50-key budget); both are
-    # code-stable and pytest-green.
+    # llm_bpe_pair_count / llm_dsir_weight / llm_mixture_weights
+    # deferred to round 5 to make room for the changed-code keys (the
+    # banded joins and the decimal-guard-rounded win_cume_pct); the
+    # window must stay at the driver's ~50-key budget, and all three
+    # deferred keys are code-stable and pytest-green.
     "llm_graph_triangles",
 ]
 
