@@ -14,7 +14,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
-from adlspark.llm.vector import cosine, dot, norm, o_cosine, o_dot
+from adlspark.llm.vector import (
+    cosine,
+    dot,
+    norm,
+    np_round_half_away,
+    o_cosine,
+    o_dot,
+)
 from adlspark.registry import query
 
 
@@ -155,7 +162,7 @@ def llm_sim_threshold_join(spark, sf_dir):
         id_lo = np.minimum(lid[li], rid[ri])
         id_hi = np.maximum(lid[li], rid[ri])
         return pd.DataFrame(
-            {"id1": id_lo, "id2": id_hi, "sim": np.round(sims[li, ri], 4)}
+            {"id1": id_lo, "id2": id_hi, "sim": np_round_half_away(sims[li, ri], 4)}
         )
 
     return (
@@ -887,7 +894,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
                     {
                         "probe_id": pids[pi],
                         "neighbor_id": nids[order],
-                        "adc_dist": np.round(dist[pi][order], 6),
+                        "adc_dist": np_round_half_away(dist[pi][order], 6),
                     }
                 )
             )
@@ -1068,9 +1075,12 @@ def llm_knn_graph(spark, sf_dir):
     oracle sums dot/(norm·norm) left-to-right — different summation
     orders. Measured across ALL 124,750 fixture pairs at sf0.001 AND
     sf0.01: cross-method divergence ≤ 1.7e-16 vs a minimum round-4
-    boundary distance of 2.0e-6 — a 10-order margin, same precedent as
-    llm_sim_threshold_join's fixture-clearance argument; rank ties at
-    equal rounded sims break on vec_id identically in both engines."""
+    boundary distance of 2.0e-6 — a 10-order margin. The rounding TIE
+    policy is structural, not fixture-dependent: the kernel rounds with
+    ``np_round_half_away`` (vector.py), which reproduces DuckDB
+    round(DOUBLE,4)'s std::round ties-away-from-zero exactly, so an
+    exactly-half value can no longer flip a rank between engines; rank
+    ties at equal rounded sims break on vec_id identically in both."""
     import math
     import os
 
@@ -1115,7 +1125,7 @@ def llm_knn_graph(spark, sf_dir):
             mats.append(m / np.linalg.norm(m, axis=1, keepdims=True))
             idss.append(ids)
         (lm, rm), (lid, rid) = mats, idss
-        sims = np.round(lm @ rm.T, 4)
+        sims = np_round_half_away(lm @ rm.T, 4)
 
         def topk_rows(src_ids, dst_ids, sm):
             # mask self-pairs with -inf so they never rank

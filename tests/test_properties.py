@@ -704,8 +704,9 @@ def test_banded_range_join_equals_brute_force_on_boundaries(spark):
     qualifying pair matches in EXACTLY one bucket assignment. Pin it
     against a brute-force pair scan on a fixture engineered around the
     hazards: events exactly ON bucket boundaries, gaps of exactly the
-    window width, same-timestamp events, and pairs one microsecond
-    inside/outside the window."""
+    window width, same-timestamp events, pairs one microsecond
+    inside/outside the window, and negative-epoch (pre-1970) events where
+    ``div``'s truncation-toward-zero makes bucket 0 two windows wide."""
     import itertools
 
     from pyspark.sql import functions as F
@@ -726,6 +727,15 @@ def test_banded_range_join_equals_brute_force_on_boundaries(spark):
     for off in [0, 0, BUCKET_US, BUCKET_US, 2 * BUCKET_US + 1]:
         eid += 1
         rows.append((eid, 2, base + off))
+    # user 3: pre-1970 timestamps straddling epoch 0 — with trunc-toward-
+    # zero division bucket 0 spans (-W, W); qualifying pairs must still
+    # land in exactly one of the two banded assignments
+    for us in [
+        -2 * BUCKET_US, -BUCKET_US - 1, -BUCKET_US, -BUCKET_US + 1,
+        -1, 0, 1, BUCKET_US - 1, BUCKET_US,
+    ]:
+        eid += 1
+        rows.append((eid, 3, us))
     df = spark.createDataFrame(
         [(e, u, t) for e, u, t in rows], "event_id long, user_id long, us long"
     ).select("event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts"))
@@ -733,7 +743,7 @@ def test_banded_range_join_equals_brute_force_on_boundaries(spark):
     # engine path: identical plan to join_theta_range's banded kernel
     e = df.select(
         "event_id", "user_id", "ts",
-        (F.unix_micros(F.col("ts")) / F.lit(BUCKET_US)).cast("long").alias("bkt"),
+        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bkt"),
     )
     left = e.select(
         F.col("event_id").alias("id1"), "user_id", F.col("ts").alias("ts1"),
@@ -762,3 +772,44 @@ def test_banded_range_join_equals_brute_force_on_boundaries(spark):
     )
     assert got == want, f"banded={got}\nbrute={want}"
     assert len(got) == len(set(got)), "duplicate pair emitted by banding"
+
+
+def test_np_round_half_away_matches_duckdb_round():
+    """The numpy-kernel rounding helper must reproduce DuckDB's
+    round(DOUBLE, n) bit-for-bit — including exact-half values where
+    np.round (banker's, ties-to-even) disagrees with DuckDB's
+    std::round (ties away from zero). This makes the similarity-kernel
+    tie policy structural instead of resting on a measured fixture
+    margin (round-4 ADVICE)."""
+    import duckdb
+    import numpy as np
+
+    from adlspark.llm.vector import np_round_half_away
+
+    # exact halves, signs, boundaries, and random sims in [-1, 1]
+    rng = np.random.default_rng(42)
+    xs = np.concatenate(
+        [
+            np.array(
+                [0.00005, 0.00015, 0.25005, -0.00005, -0.25005,
+                 0.5, -0.5, 0.99995, -0.99995, 0.0, 1.0, -1.0]
+            ),
+            rng.uniform(-1, 1, 5000),
+        ]
+    )
+    got = np_round_half_away(xs, 4)
+    want = np.array(
+        [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                "SELECT round(x, 4) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+                [xs.tolist()],
+            )
+            .fetchall()
+        ]
+    )
+    mism = np.nonzero(got != want)[0]
+    assert mism.size == 0, f"{mism.size} mismatches, first at x={xs[mism[:5]]}"
+    # and at least one of the seeded halves is a case where np.round differs
+    assert np.any(np.round(xs, 4) != got), "fixture never exercises the tie gap"

@@ -31,7 +31,7 @@ def main():
     import __spark_entry__ as e
 
     n = len(e.entry(spark).collect())
-    assert n >= 0
+    assert n > 0, "entry() flagship query returned 0 rows"
     print(f"entry() ok: {n} rows", flush=True)
 
     con = duckdb.connect()
