@@ -315,7 +315,8 @@ WITH tok AS (
   FROM tok
 ), bits AS (
   SELECT doc_id, b.bit,
-         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         CAST(sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END)
+              AS BIGINT) AS vote
   FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
   GROUP BY doc_id, b.bit
 )

@@ -552,11 +552,11 @@ WITH q AS (
   FROM embeddings
 ), planes AS (
   SELECT vec_id, p,
-         list_sum(list_transform(generate_series(1, len(qv)), i ->
+         CAST(list_sum(list_transform(generate_series(1, len(qv)), i ->
            qv[CAST(i AS INT)]
            * ((CAST('0x' || substring(md5(CAST(p AS VARCHAR) || ':'
                     || CAST(i - 1 AS VARCHAR)), 1, 2) AS BIGINT) % 16) - 8)))
-           AS s
+           AS BIGINT) AS s
   FROM q, unnest(generate_series(0, 15)) AS t(p)
 )
 SELECT vec_id,
@@ -681,11 +681,11 @@ WITH q AS (
   FROM embeddings
 ), planes AS (
   SELECT vec_id, p,
-         list_sum(list_transform(generate_series(1, len(qv)), i ->
+         CAST(list_sum(list_transform(generate_series(1, len(qv)), i ->
            qv[CAST(i AS INT)]
            * ((CAST('0x' || substring(md5(CAST(p AS VARCHAR) || ':'
                     || CAST(i - 1 AS VARCHAR)), 1, 2) AS BIGINT) % 16) - 8)))
-           AS s
+           AS BIGINT) AS s
   FROM q, unnest(generate_series(0, 15)) AS t(p)
 ), codes AS (
   SELECT vec_id,

@@ -521,7 +521,7 @@ WITH tok AS (
 ), freq AS (
   SELECT w, count(*) AS cnt FROM tok GROUP BY w
 ), total AS (
-  SELECT sum(cnt) AS t FROM freq
+  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM freq
 )
 SELECT tok.doc_id,
        count(*) AS n_tokens,
@@ -653,8 +653,9 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS off
   FROM t
 )
 SELECT lang, CAST(floor(off / 2048) AS BIGINT) AS bin,
@@ -846,7 +847,7 @@ WITH ch AS (
 ), cc AS (
   SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
 ), tot AS (
-  SELECT doc_id, sum(n) AS t FROM cc GROUP BY doc_id
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS t FROM cc GROUP BY doc_id
 ), h AS (
   SELECT cc.doc_id,
          CAST(tot.t AS BIGINT) AS n_chars_counted,
@@ -915,7 +916,8 @@ WITH w AS (
 ), bgc AS (
   SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram
 ), hc AS (
-  SELECT string_split(bigram, ' ')[1] AS head, sum(c2) AS c1
+  SELECT string_split(bigram, ' ')[1] AS head,
+         CAST(sum(c2) AS BIGINT) AS c1
   FROM bgc GROUP BY head
 )
 SELECT bg.doc_id,
@@ -1170,8 +1172,8 @@ def llm_text_normalize(spark, sf_dir):
 WITH f AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-         list_sum(list_transform(list_filter(string_split(text, ' '),
-           x -> x <> ''), x -> len(x))) AS sum_word_len,
+         CAST(list_sum(list_transform(list_filter(string_split(text, ' '),
+           x -> x <> ''), x -> len(x))) AS BIGINT) AS sum_word_len,
          len(list_filter(string_split(text, ' '),
            x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')))
            AS n_stop,

@@ -180,7 +180,7 @@ WITH t AS (
          CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
   FROM t GROUP BY lang
 ), tot AS (
-  SELECT sum(avail_tokens) AS total_tokens,
+  SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens,
          count(*) AS n_langs
   FROM per_lang
 )

@@ -1029,14 +1029,17 @@ WITH a AS (
   SELECT value FROM events
   WHERE event_type = 'click' AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
 ), pooled AS (
-  SELECT value, sum(in_a) AS ca, sum(in_b) AS cb FROM (
+  SELECT value, CAST(sum(in_a) AS BIGINT) AS ca,
+         CAST(sum(in_b) AS BIGINT) AS cb FROM (
     SELECT value, 1 AS in_a, 0 AS in_b FROM a
     UNION ALL SELECT value, 0, 1 FROM b
   ) GROUP BY value
 ), cum AS (
   SELECT value,
-         sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
-         sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b
+         CAST(sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_b
   FROM pooled
 ), tot AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
 SELECT CAST(na AS BIGINT) AS n_before, CAST(nb AS BIGINT) AS n_after,

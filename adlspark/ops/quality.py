@@ -53,7 +53,7 @@ _LINEITEM_RULES = [
 
 def _validate_oracle() -> str:
     cols = ", ".join(
-        f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS v{i}"
+        f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS v{i}"
         for i, (_, _, pred) in enumerate(_LINEITEM_RULES)
     )
     arms = "\nUNION ALL\n".join(

@@ -90,8 +90,8 @@ WITH e AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS sid
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM g
 ), per AS (
   SELECT user_id, sid, count(*) AS n,
@@ -959,12 +959,12 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ), f AS (
   SELECT user_id, day, x, y,
-         count(*)    OVER w AS n,
-         sum(x)      OVER w AS sx,
-         sum(y)      OVER w AS sy,
-         sum(x * x)  OVER w AS sxx,
-         sum(y * y)  OVER w AS syy,
-         sum(x * y)  OVER w AS sxy
+         count(*)                          OVER w AS n,
+         CAST(sum(x)     OVER w AS BIGINT) AS sx,
+         CAST(sum(y)     OVER w AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
   FROM daily
   WINDOW w AS (PARTITION BY user_id ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1435,8 +1435,8 @@ WITH e AS (
                  THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sid
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM g
 ), paths AS (
   SELECT user_id, sid,
@@ -1514,7 +1514,7 @@ WITH a AS (
   WHERE event_type = 'view' AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
 ), binned AS (
   SELECT CAST(least(floor(value / 10.0), 9) AS BIGINT) AS bin,
-         sum(in_a) AS ca, sum(in_b) AS cb
+         CAST(sum(in_a) AS BIGINT) AS ca, CAST(sum(in_b) AS BIGINT) AS cb
   FROM (
     SELECT value, 1 AS in_a, 0 AS in_b FROM a
     UNION ALL SELECT value, 0, 1 FROM b

@@ -55,7 +55,20 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     (ties-to-even) to np_round_half_away (DuckDB's ties-away policy,
 #     r4 ADVICE) — llm_knn_graph got the same fix but is in the debt
 #     list below anyway;
-# + 47 of the 50 never-verified oracle keys. The 3 displaced oracle
+# + 47 of the 50 never-verified oracle keys.
+#
+# Oracle-only CAST hardening (this session, NOT re-entered): the widened
+# intermediate-CTE lint (tests/test_oracle_types.py, r4 verdict #5)
+# flagged 15 oracles whose WITH-clause columns carried DuckDB-widened
+# HUGEINT; all 15 got in-CTE CAST(... AS BIGINT). Ten of them are
+# verified green (r2–r4). They do NOT re-enter the window because the
+# change is provably observation-equivalent: old and new oracle were run
+# side-by-side in DuckDB at sf0.001 AND sf0.01 and produced byte-
+# identical Arrow results (same schema, same values) — the driver would
+# record the exact same hash — and the targeted sim re-passed all 15
+# against the NEW oracles at both SFs. The Spark side is untouched.
+#
+# The 3 displaced oracle
 # keys (llm_dataset_card, llm_vocab_coverage, llm_temperature_sample —
 # simple deterministic aggregations, pytest-green, lowest spillover
 # risk) close out in round 6 alongside the 14 rows-only keys
