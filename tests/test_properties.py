@@ -813,3 +813,112 @@ def test_np_round_half_away_matches_duckdb_round():
     assert mism.size == 0, f"{mism.size} mismatches, first at x={xs[mism[:5]]}"
     # and at least one of the seeded halves is a case where np.round differs
     assert np.any(np.round(xs, 4) != got), "fixture never exercises the tie gap"
+
+
+def test_kmeans_determinism_inertia_monotone_and_numpy_parity(spark, sf_dir):
+    """The llm_kmeans bars its docstring promises: (a) the fixed-seed
+    run is bit-deterministic; (b) per-iteration inertia is monotone
+    non-increasing (Lloyd's guarantee — a broken update step breaks
+    this); (c) assignments match an independent numpy Lloyd
+    implementation from the same deterministic init, with mismatches
+    tolerated only on genuine distance ties."""
+    import numpy as np
+
+    from adlspark.llm.similarity import kmeans_fit
+    from adlspark.registry import all_queries
+
+    K, ITERS = 8, 5
+    q = all_queries()["llm_kmeans"]
+    a = sorted((r.vec_id, r.cluster, r.sq_dist) for r in q(spark, sf_dir).collect())
+    b = sorted((r.vec_id, r.cluster, r.sq_dist) for r in q(spark, sf_dir).collect())
+    assert a == b, "kmeans run is not deterministic"
+
+    _, inertia = kmeans_fit(spark, sf_dir, k=K, iters=ITERS, track_inertia=True)
+    assert len(inertia) == ITERS
+    for prev, nxt in zip(inertia, inertia[1:]):
+        assert nxt <= prev * (1 + 1e-9) + 1e-9, inertia
+
+    # independent numpy Lloyd from the same init (k lowest vec_ids)
+    rows = (
+        tables.load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.asarray(sorted(r.vec_id for r in rows), dtype=np.int64)
+    e = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    mat = np.stack([e[i] for i in ids])
+    # spark's returned assignment is w.r.t. the final iteration's START
+    # centroids — so run iters-1 numpy updates then one labeling pass
+    cent = mat[np.searchsorted(ids, ids[:K])].astype(np.float64).copy()
+    for _ in range(ITERS - 1):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        cent = np.stack(
+            [
+                mat[lab == c].mean(axis=0) if np.any(lab == c) else cent[c]
+                for c in range(K)
+            ]
+        )
+    d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    np_lab = d.argmin(axis=1)
+    spark_lab = {v: c for v, c, _ in a}
+    n_mism = 0
+    for i, vid in enumerate(ids):
+        if spark_lab[int(vid)] != np_lab[i]:
+            two = np.partition(d[i], 1)[:2]
+            assert abs(two[0] - two[1]) < 1e-9, (
+                f"vec {vid}: spark={spark_lab[int(vid)]} numpy={np_lab[i]}, "
+                f"not a tie (d0={two[0]}, d1={two[1]})"
+            )
+            n_mism += 1
+    assert n_mism <= len(ids) * 0.01, f"{n_mism} tie-flips of {len(ids)}"
+
+
+def test_pagerank_matches_numpy_power_iteration_and_converges(spark, sf_dir):
+    """Two bars the mass-conservation test can't provide: (a) the Spark
+    8-iteration ranks match an independent numpy power iteration with
+    identical semantics (damping, uniform teleport, dangling mass
+    redistributed uniformly) to float tolerance; (b) the iteration is
+    CONVERGING the way PageRank theory demands — per-step L1 residual
+    contracts by at least the damping factor d (geometric, so a
+    diverging or oscillating implementation fails), which also bounds
+    the fixed-8-iteration truncation error by d^8/(1-d)·r0."""
+    import numpy as np
+
+    from adlspark.llm.graph import _band_edges
+    from adlspark.registry import all_queries
+
+    rows = all_queries()["llm_graph_pagerank"](spark, sf_dir).collect()
+    got = {r.doc_id: r["rank"] for r in rows}
+    n = len(got)
+    ids = sorted(got)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    edges = [(r.src, r.dst) for r in _band_edges(spark, sf_dir).collect()]
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    residuals = []
+    history = {}
+    for it in range(50):
+        dm = r[deg == 0].sum()
+        inflow = np.zeros(n)
+        for s, t in edges:
+            inflow[idx[t]] += r[idx[s]] / deg[idx[s]]
+        nxt = (1.0 - d) / n + d * (inflow + dm / n)
+        residuals.append(np.abs(nxt - r).sum())
+        r = nxt
+        history[it + 1] = r.copy()
+
+    spark_vec = np.array([got[v] for v in ids])
+    assert np.abs(spark_vec - history[8]).max() < 1e-9, "Spark != numpy at iter 8"
+    # geometric contraction at rate <= d (the Markov-chain guarantee);
+    # also implies the 8-iteration result is within d^8/(1-d)*r0 of the
+    # true fixpoint in L1
+    for a, b in zip(residuals[:20], residuals[1:21]):
+        assert b <= a * (d + 1e-9), residuals[:21]
+    assert np.abs(history[8] - history[50]).sum() <= (d ** 8 / (1 - d)) * residuals[
+        0
+    ], "truncation error exceeds the geometric bound"
