@@ -65,4 +65,12 @@ def np_round_half_away(x, ndigits: int = 4):
 
     scale = 10.0 ** ndigits
     s = np.asarray(x, dtype=np.float64) * scale
-    return np.copysign(np.floor(np.abs(s) + 0.5), s) / scale
+    # in-place pipeline: |s|+0.5 → floor → restore sign → unscale.
+    # Two buffers total (s, out) — same allocation budget as np.round,
+    # which matters when x is an N²-sized similarity matrix.
+    out = np.abs(s)
+    out += 0.5
+    np.floor(out, out=out)
+    np.copysign(out, s, out=out)
+    out /= scale
+    return out
