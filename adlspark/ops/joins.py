@@ -215,25 +215,20 @@ def join_theta_range(spark, sf_dir):
     assignments — identical output, no post-dedup, and the per-block
     work drops from per-user to per-(user, 10 minutes). The range
     residual still applies inside each bucket pair."""
+    from adlspark.ops.banding import banded_assignments, time_bucket
+
     BUCKET_US = 600 * 1000000  # one window width: 10 minutes
-    # Exact integer division (``div``), not double division + cast: FP
-    # division can round an exact boundary quotient to n-eps, landing the
-    # event one bucket early and silently dropping a qualifying pair.
-    # ``div`` truncates toward zero (bucket 0 spans (-W, W), 2W wide, for
-    # negative-epoch data) — still safe: bucketing stays monotonic and
-    # every bucket is >= one window width, so any pair with
-    # t2 in [t1, t1+W] lands in bkt(t1) or bkt(t1)+1 exactly as before.
     e = tables.events(spark, sf_dir).select(
         "event_id",
         "user_id",
         "ts",
-        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bkt"),
+        time_bucket("ts", BUCKET_US).alias("bkt"),
     )
     left = e.select(
         F.col("event_id").alias("id1"),
         "user_id",
         F.col("ts").alias("ts1"),
-        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jb"),
+        F.explode(banded_assignments("ts", BUCKET_US)).alias("jb"),
     )
     right = e.select(
         F.col("event_id").alias("id2"),

@@ -287,6 +287,8 @@ def stream_stream_join(spark, sf_dir):
     and every probe scans the user's whole buffered history — the
     10x-skew sweep measured 180 s; banding cuts the per-probe candidate
     set to two 15-minute buckets."""
+    from adlspark.ops.banding import banded_assignments, time_bucket
+
     BUCKET_US = 900 * 1000000  # one join-window width: 15 minutes
     ev = events_stream(spark, sf_dir)
     views = (
@@ -294,15 +296,7 @@ def stream_stream_join(spark, sf_dir):
         .select(
             "user_id",
             F.col("ts").alias("view_ts"),
-            # Exact integer division (``div``) — see ops/joins.py
-            # join_theta_range for why FP division + cast('long') can drop
-            # a boundary pair and why trunc-toward-zero banding stays safe.
-            F.explode(
-                F.array(
-                    F.expr(f"unix_micros(ts) div {BUCKET_US}"),
-                    F.expr(f"unix_micros(ts) div {BUCKET_US}") + 1,
-                )
-            ).alias("jb"),
+            F.explode(banded_assignments("ts", BUCKET_US)).alias("jb"),
         )
         .withWatermark("view_ts", "30 minutes")
     )
@@ -311,7 +305,7 @@ def stream_stream_join(spark, sf_dir):
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
-            F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("jb2"),
+            time_bucket("ts", BUCKET_US).alias("jb2"),
         )
         .withWatermark("purchase_ts", "30 minutes")
     )

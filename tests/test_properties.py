@@ -740,14 +740,17 @@ def test_banded_range_join_equals_brute_force_on_boundaries(spark):
         [(e, u, t) for e, u, t in rows], "event_id long, user_id long, us long"
     ).select("event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts"))
 
-    # engine path: identical plan to join_theta_range's banded kernel
+    # engine path: the SAME shared banding helper the operators use
+    # (adlspark.ops.banding) — a formula drift there fails here
+    from adlspark.ops.banding import banded_assignments, time_bucket
+
     e = df.select(
         "event_id", "user_id", "ts",
-        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bkt"),
+        time_bucket("ts", BUCKET_US).alias("bkt"),
     )
     left = e.select(
         F.col("event_id").alias("id1"), "user_id", F.col("ts").alias("ts1"),
-        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jb"),
+        F.explode(banded_assignments("ts", BUCKET_US)).alias("jb"),
     )
     right = e.select(
         F.col("event_id").alias("id2"), F.col("user_id").alias("user_id2"),
