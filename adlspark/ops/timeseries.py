@@ -538,6 +538,80 @@ def ts_seasonality(spark, sf_dir):
     )
 
 
+def _ewma_halving(vals, prev=None):
+    """Bit-exact vectorized y_i = fl(0.5·x_i + 0.5·y_{i-1}).
+
+    With ``prev=None`` the series seeds itself (y_0 = x_0); with a
+    carried ``prev`` (resuming a user's series across Arrow batch
+    boundaries) every element, including the first, applies the
+    recurrence against it.
+
+    Scaling a double by a power of two is exact (within range), and IEEE
+    rounding commutes with exact scaling: fl(a+b)·2^k = fl(a·2^k + b·2^k)
+    while both sides stay normal. Substituting z_k = y_{i+k}·2^{k+1}
+    inside a block starting at i turns the recurrence into a plain
+    running sum, z_k = fl(x_{i+k}·2^k + z_{k-1}) — i.e. np.cumsum over
+    exactly-prescaled terms, whose sequential left-to-right accumulate
+    performs the identical rounding sequence to the naive Python loop.
+
+    Guards (each falls back to the loop, which defines the semantics):
+    - adaptive block size B ≤ 1000 − log2(max|x|) so no scaled term or
+      partial sum (bounded by max|x|·2^{B+1}) can overflow;
+    - non-finite input or max|x| ≥ 2^990 → loop;
+    - any nonzero output with |y| < 1e-280 → loop, because rounding only
+      commutes with scaling in the NORMAL range: a step whose true value
+      is subnormal quantizes differently unscaled vs scaled, and at the
+      first such step the correctly-rounded (scaled-domain) output is
+      itself far below 1e-280, so the scan always catches a divergence.
+
+    Pinned bit-exact against the loop (hypothesis-style sweep incl.
+    zero-decay and mixed-magnitude cases) and against DuckDB's
+    recursive-CTE evaluation in tests/test_timeseries_exact.py."""
+    import numpy as np
+
+    def _loop(v, p):
+        out = v.copy()
+        if p is not None:
+            out[0] = 0.5 * v[0] + 0.5 * p
+        for i in range(1, len(out)):
+            out[i] = 0.5 * v[i] + 0.5 * out[i - 1]
+        return out
+
+    seed = prev
+
+    n = len(vals)
+    if n == 0:
+        return vals.copy()
+    if n == 1 and prev is None:
+        return vals.copy()
+    vmax = np.max(np.abs(vals))
+    if prev is not None:
+        vmax = max(vmax, abs(prev))
+    if not np.isfinite(vmax) or vmax >= np.ldexp(1.0, 990):
+        return _loop(vals, prev)
+    B = min(512, 1000 - (int(np.ceil(np.log2(vmax))) if vmax > 0 else 0))
+    out = np.empty_like(vals)
+    if prev is None:
+        out[0] = vals[0]
+        prev = vals[0]
+        i = 1
+    else:
+        i = 0
+    while i < n:
+        j = min(i + B, n)
+        k = np.arange(j - i)
+        scaled = np.cumsum(
+            np.concatenate(([prev], np.ldexp(vals[i:j], k)))
+        )[1:]
+        out[i:j] = np.ldexp(scaled, -(k + 1))
+        prev = out[j - 1]
+        i = j
+    nonzero = out[out != 0]
+    if nonzero.size and np.min(np.abs(nonzero)) < 1e-280:
+        return _loop(vals, seed)
+    return out
+
+
 @query(
     "ts_ewma",
     oracle="""
@@ -560,46 +634,71 @@ def ts_ewma(spark, sf_dir):
     """Per-user exponentially-weighted moving average (α=0.5) — the
     inherently SEQUENTIAL time-series statistic: ewma_t = α·x_t +
     (1-α)·ewma_{t-1}, seeded with the first observation. No built-in
-    window frame expresses this recurrence, so it is the canonical
-    applyInPandas case: one Arrow batch per user, an explicit O(n) scan
-    inside the batch, zero driver involvement.
+    window frame expresses this recurrence, so it runs as ONE
+    mapInPandas pass over partitions that are hash-repartitioned by
+    user_id and sorted (user_id, ts, event_id) JVM-side: each user's
+    history is a contiguous ordered run, the kernel scans runs inside
+    each Arrow batch, and the (user, ewma) carry resumes a run that
+    spans a batch boundary. This replaces the earlier per-user
+    applyInPandas, whose ~2 ms/group pandas overhead dominated the key
+    (1 500 groups ≈ 3 s at sf0.1) — group count no longer appears in
+    the cost, only total row count does.
 
     Cross-engine exactness without rounding: α=0.5 makes every step two
     exact halvings (scaling a double by 0.5 is lossless barring
     underflow) plus one correctly-rounded IEEE add — bit-identical to
     DuckDB's recursive-CTE evaluation of the same recurrence, in the
-    same (µs-truncated ts, event_id) order. The recurrence is coded as
-    an explicit loop rather than pandas ``ewm`` so the arithmetic is
-    exactly 0.5*x + 0.5*prev on both sides.
+    same (µs-truncated ts, event_id) order. The scan is evaluated by
+    ``_ewma_halving`` (above), a vectorized np.cumsum in a power-of-two
+    scaled domain that reproduces the per-step IEEE rounding of the
+    naive loop bit-for-bit (see its docstring for the argument and the
+    overflow/subnormal guards).
 
-    Scale shape: one shuffle by user_id (the grouping key), then purely
-    local sequential work per user — the same layout a 1000-executor
-    cluster needs, since EWMA cannot be computed without each user's
-    history in one place. Users are independent, so parallelism is the
-    user count; a single pathological user is bounded by its own event
-    count, not the corpus."""
+    Scale shape: one shuffle by user_id, then purely local sequential
+    work per user — the same layout a 1000-executor cluster needs,
+    since EWMA cannot be computed without each user's history in one
+    place. Users are independent, so parallelism is the user count; a
+    single pathological user is bounded by its own event count, not
+    the corpus."""
+    import numpy as np
     import pandas as pd
 
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        vals = pdf["value"].to_numpy()
-        out = vals.copy()
-        for i in range(1, len(out)):
-            out[i] = 0.5 * vals[i] + 0.5 * out[i - 1]
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
-                "value": pdf["value"],
-                "ewma": out,
-            }
-        )
+    def ewma_partition(batches):
+        last_uid = None
+        last_y = None
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            out = np.empty_like(vals)
+            if len(uids):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], uids[1:] != uids[:-1]))
+                )
+                ends = np.append(starts[1:], len(uids))
+                for s, e in zip(starts, ends):
+                    carry = last_y if uids[s] == last_uid else None
+                    out[s:e] = _ewma_halving(vals[s:e], prev=carry)
+                last_uid = uids[-1]
+                last_y = out[-1]
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "value": pdf["value"],
+                    "ewma": out,
+                }
+            )
 
     ev = tables.events(spark, sf_dir).select(
         "user_id", "event_id", "ts", "value"
     )
-    return ev.groupBy("user_id").applyInPandas(
-        ewma, "user_id long, event_id long, value double, ewma double"
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            ewma_partition,
+            "user_id long, event_id long, value double, ewma double",
+        )
     )
 
 

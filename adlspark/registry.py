@@ -41,100 +41,44 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # their existing verdicts because their code is unchanged, and rotate to
 # the back of the queue.
 #
-# State entering driver round 5 (CORRECTNESS_r04 landed; recomputed
-# 2026-08-14 with tools/verification_debt.py — the single source of
-# truth for these numbers, per the r4 ADVICE on bookkeeping drift):
-#   - 254 registry keys; 190 carry a verdict, ALL 190 green (0 failed).
-#   - Debt = 64 never-verified keys: 50 with oracles + 14 rows-only.
-# This 50-key window = the 3 keys whose code changed THIS session after
-# a green verdict (re-enter per the standing invariant):
-#   - join_theta_range / stream_stream_join — banded-join bucket now
-#     exact integer `div` instead of double division + cast('long')
-#     (r4 ADVICE: FP rounding could drop a boundary pair);
-#   - llm_sim_threshold_join — kernel rounding switched from np.round
-#     (ties-to-even) to np_round_half_away (DuckDB's ties-away policy,
-#     r4 ADVICE) — llm_knn_graph got the same fix but is in the debt
-#     list below anyway;
-# + 47 of the 50 never-verified oracle keys.
-#
-# Oracle-only CAST hardening (this session, NOT re-entered): the widened
-# intermediate-CTE lint (tests/test_oracle_types.py, r4 verdict #5)
-# flagged 15 oracles whose WITH-clause columns carried DuckDB-widened
-# HUGEINT; all 15 got in-CTE CAST(... AS BIGINT). Ten of them are
-# verified green (r2–r4). They do NOT re-enter the window because the
-# change is provably observation-equivalent: old and new oracle were run
-# side-by-side in DuckDB at sf0.001 AND sf0.01 and produced byte-
-# identical Arrow results (same schema, same values) — the driver would
-# record the exact same hash — and the targeted sim re-passed all 15
-# against the NEW oracles at both SFs. The Spark side is untouched.
-#
-# The 3 displaced oracle
-# keys (llm_dataset_card, llm_vocab_coverage, llm_temperature_sample —
-# simple deterministic aggregations, pytest-green, lowest spillover
-# risk) close out in round 6 alongside the 14 rows-only keys
-# (llm_kmeans, llm_ann_ivf_pq, llm_pca_power, llm_mmr_diverse_sample,
-# llm_bpe_learn, llm_bpe_encode, llm_graph_pagerank,
-# lake_compact_small_files, lake_vacuum_orphans, agg_approx_percentile,
-# agg_hll_partial_merge, stream_tumbling_ohlc, stream_sliding_watermark,
-# stream_hll_distinct) — 17 keys, well inside one window.
+# State entering driver round 6 (CORRECTNESS_r05 landed 50/50 green;
+# recomputed 2026-08-14 with tools/verification_debt.py — the single
+# source of truth for these numbers):
+#   - 254 registry keys; 237 carry a verdict, ALL 237 green (0 failed).
+#   - Debt = 17 never-verified keys: the 3 oracle keys displaced from
+#     the r5 window by the changed-code re-entries, plus the 14
+#     rows-only keys (no SQL-expressible oracle by §2 contract; each
+#     carries a pytest property/parity bar instead).
+# This window = exactly that debt, closing verification for the whole
+# registry: CORRECTNESS_r06 green on these 17 ⇒ 254/254 driver-proven.
+# Keys whose Spark code changes THIS session re-enter at the front per
+# the standing invariant (the window holds 50, so there is ample room).
 _VERIFY_WINDOW = [
-    # (a) code changed this session after a green verdict — re-enter
-    "join_theta_range",
-    "stream_stream_join",
-    "llm_sim_threshold_join",
-    # (b) never-verified: lake write-path + stream recovery (front-
-    # loaded per the r4 verdict — the sim exercises these paths least)
-    "lake_dynamic_partition_overwrite",
-    "lake_snapshot_rollback",
-    "lake_write_audit_publish",
-    "stream_checkpoint_recovery",
-    "ingest_csv_malformed",
-    # (b) never-verified: drift / statistics
-    "ts_drift_psi",
-    "agg_ks_test",
-    "agg_chi2_independence",
-    "agg_corr_matrix",
-    "agg_mutual_info",
-    "agg_cohort_overlap",
-    "agg_grouping_flags",
-    # (b) never-verified: joins / subqueries / functions / windows
-    "join_star_schema",
-    "join_bloom_filtered",
-    "join_asof_tolerance",
-    "subq_corr_scalar_agg",
-    "subq_in_multi",
-    "fn_unpivot",
-    "fn_higher_order",
-    "fn_try_arith",
-    "win_distinct_running",
-    "win_time_range",
-    # (b) never-verified: timeseries analytics tail
-    "ts_autocorr",
-    "ts_rolling_median",
-    "ts_pattern_match",
-    "ts_cusum_changepoint",
-    "ts_rolling_corr",
-    "ts_outlier_mad",
-    "ts_attribution",
-    "ts_burst_detect",
-    "ts_active_users",
-    "ts_forecast_naive",
-    "ts_velocity_features",
-    "ts_event_paths",
-    # (b) never-verified: LLM-pipeline oracle keys
-    "llm_dedup_editdist",
-    "llm_dedup_cross_source",
-    "llm_containment_dedup",
-    "llm_hard_negative_mine",
-    "llm_knn_graph",
-    "llm_perplexity_bucket",
-    "llm_soft_dedup_weight",
-    "llm_ngram_novelty",
-    "llm_cooccurrence_pmi",
-    "llm_rouge_overlap",
-    "llm_bpe_pair_count",
-    "llm_dsir_weight",
-    "llm_mixture_weights",
+    # (a) code changed this session after a green verdict — re-enter:
+    #   ts_ewma — per-row Python recurrence loop replaced by the exact
+    #     power-of-two-scaled np.cumsum evaluation (identical IEEE
+    #     rounding sequence; pinned bit-exact vs the loop and vs DuckDB
+    #     in tests/test_timeseries_exact.py).
+    "ts_ewma",
+    # (b) the 3 oracle keys displaced from the r5 window
+    "llm_vocab_coverage",
+    "llm_temperature_sample",
+    "llm_dataset_card",
+    # (c) the 14 never-verified rows-only keys
+    "llm_kmeans",
+    "llm_ann_ivf_pq",
+    "llm_pca_power",
+    "llm_mmr_diverse_sample",
+    "llm_bpe_learn",
+    "llm_bpe_encode",
+    "llm_graph_pagerank",
+    "lake_compact_small_files",
+    "lake_vacuum_orphans",
+    "agg_approx_percentile",
+    "agg_hll_partial_merge",
+    "stream_tumbling_ohlc",
+    "stream_sliding_watermark",
+    "stream_hll_distinct",
 ]
 
 
