@@ -24,8 +24,17 @@ from pyspark.sql import functions as F
 
 
 def time_bucket(ts_col: str, width_us: int) -> Column:
-    """Exact-integer bucket index of timestamp column ``ts_col``."""
-    return F.expr(f"unix_micros({ts_col}) div {width_us}")
+    """Exact-integer bucket index of timestamp column ``ts_col``.
+
+    ``div`` is an infix operator with no Column-API equivalent (`/` is
+    DOUBLE division, unusable here per the module docstring), so this
+    stays an F.expr — but the identifier is backtick-quoted (with
+    embedded backticks doubled, Spark's escape) so a column name that
+    needs quoting can't silently become an expression."""
+    if not isinstance(width_us, int) or width_us <= 0:
+        raise ValueError(f"width_us must be a positive int, got {width_us!r}")
+    quoted = ts_col.replace("`", "``")
+    return F.expr(f"unix_micros(`{quoted}`) div {width_us}")
 
 
 def banded_assignments(ts_col: str, width_us: int) -> Column:

@@ -59,7 +59,13 @@ _VERIFY_WINDOW = [
     #     power-of-two-scaled np.cumsum evaluation (identical IEEE
     #     rounding sequence; pinned bit-exact vs the loop and vs DuckDB
     #     in tests/test_timeseries_exact.py).
+    #   join_theta_range / stream_stream_join — banding.time_bucket now
+    #     backtick-quotes the interpolated identifier (r5 ADVICE);
+    #     analyzed plans verified identical modulo exprIds, re-entered
+    #     anyway per the invariant.
     "ts_ewma",
+    "join_theta_range",
+    "stream_stream_join",
     # (b) the 3 oracle keys displaced from the r5 window
     "llm_vocab_coverage",
     "llm_temperature_sample",

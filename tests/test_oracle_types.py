@@ -14,6 +14,8 @@ DuckDB widening, which always means a missing cast in the oracle.
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 
@@ -71,12 +73,42 @@ def test_oracle_result_types(key, lint_con):
 _CTE_FORBIDDEN = ("HUGEINT", "UHUGEINT")
 
 
+def _strip_line_comments(sql: str) -> str:
+    """Remove ``--`` line comments, string-literal-aware. An apostrophe
+    INSIDE a comment ("unix_timestamp's") must not toggle string state —
+    leaving comments in place did exactly that and silently broke the
+    paren scan for ts_trend_slope (hidden by the old blanket except)."""
+    out = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        c = sql[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                in_str = False
+            i += 1
+        elif c == "'":
+            out.append(c)
+            in_str = True
+            i += 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            while i < n and sql[i] != "\n":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _split_top_level_ctes(sql: str):
-    """Return (recursive, [(name, body), ...]) for a top-level WITH, else
-    (False, []). Paren-balance aware and single-quote-string aware — CTE
-    bodies routinely contain nested parens, lambdas (p -> ...), and string
-    literals."""
-    s = sql.strip()
+    """Return (recursive, [(name, header, body), ...]) for a top-level
+    WITH, else (False, []). ``header`` is the full CTE head including an
+    optional column-alias list ("r(user_id, rn)"), which probe
+    reconstruction must preserve. Paren-balance aware and
+    single-quote-string aware — CTE bodies routinely contain nested
+    parens, lambdas (p -> ...), and string literals."""
+    s = _strip_line_comments(sql).strip()
     up = s.upper()
     if not up.startswith("WITH"):
         return False, []
@@ -104,7 +136,12 @@ def _split_top_level_ctes(sql: str):
             elif c == "'":
                 in_str = True
             elif c == "(":
-                if depth == 0 and up[max(0, j - 4) : j].strip().endswith("AS"):
+                # the body opens at a depth-0 '(' preceded by the WORD
+                # "AS" — \b guards identifiers that merely END in "as"
+                # ("bias (x) AS (...)" must not match at "bias (")
+                if depth == 0 and re.search(
+                    r"\bAS\s*\Z", up[max(0, j - 10) : j]
+                ):
                     break
                 depth += 1
             elif c == ")":
@@ -112,7 +149,8 @@ def _split_top_level_ctes(sql: str):
             j += 1
         if j >= n:
             break
-        name = s[start:j].rsplit(None, 1)[0].split("(")[0].strip()
+        header = re.sub(r"(?i)\bAS\s*\Z", "", s[start:j]).strip()
+        name = header.split("(")[0].strip()
         # consume the balanced body
         depth = 1
         in_str = False
@@ -129,7 +167,7 @@ def _split_top_level_ctes(sql: str):
             elif c == ")":
                 depth -= 1
             k += 1
-        ctes.append((name, s[j + 1 : k - 1]))
+        ctes.append((name, header, s[j + 1 : k - 1]))
         i = k
         while i < n and s[i] in " \t\n":
             i += 1
@@ -150,24 +188,68 @@ def test_oracle_intermediate_cte_types(key, lint_con):
     assert ctes, f"[{key}] starts with WITH but no CTE parsed"
     kw = "WITH RECURSIVE" if recursive else "WITH"
     offenders = []
+    skipped = []
     for upto in range(len(ctes)):
-        prefix = ", ".join(f"{nm} AS ({body})" for nm, body in ctes[: upto + 1])
+        prefix = ", ".join(
+            f"{hdr} AS ({body})" for _, hdr, body in ctes[: upto + 1]
+        )
         probe = f"{kw} {prefix} SELECT * FROM {ctes[upto][0]} LIMIT 0"
         try:
             rel = lint_con.sql(probe)
-        except Exception:
-            continue  # recursive members may not stand alone; result lint covers them
+        except Exception as exc:
+            skipped.append((ctes[upto][0], str(exc).splitlines()[0]))
+            continue
         offenders += [
             (ctes[upto][0], col, str(typ))
             for col, typ in zip(rel.columns, rel.types)
             if any(f in str(typ).upper() for f in _CTE_FORBIDDEN)
         ]
+    # Every probe carries all preceding CTEs (and the RECURSIVE keyword
+    # when present), so each one must compile standalone; a skip means
+    # the lint silently lost coverage of that CTE (r5 ADVICE), not a
+    # legitimate recursion artifact.
+    assert not skipped, (
+        f"[{key}] CTE probe(s) failed to compile, leaving them unlinted: "
+        f"{skipped}"
+    )
     assert not offenders, (
         f"[{key}] intermediate CTE column(s) carry DuckDB-widened integral "
         f"types {offenders}; any later join/filter/comparison on them can "
         "diverge from Spark BIGINT semantics even when the final SELECT "
         "casts — wrap the aggregate in CAST(... AS BIGINT) inside the CTE"
     )
+
+
+def test_strip_line_comments_edge_cases():
+    # apostrophe inside a comment must not open a string
+    assert _strip_line_comments(
+        "SELECT 1 -- it's a comment (unbalanced\nFROM t"
+    ) == "SELECT 1 \nFROM t"
+    # '--' inside a string literal must survive
+    assert _strip_line_comments("SELECT 'a--b' AS s") == "SELECT 'a--b' AS s"
+    # escaped quote ('') stays a string: the doubled quote closes and
+    # reopens, leaving state consistent
+    assert _strip_line_comments("SELECT 'it''s' -- tail\n") == "SELECT 'it''s' \n"
+
+
+def test_cte_parser_identifier_ending_in_as(lint_con):
+    """r5 ADVICE: a CTE named with a trailing 'as' ('bias (x) AS (...)')
+    must parse at the real AS, not at the identifier's column list."""
+    sql = """
+WITH bias (x) AS (SELECT 1), atlas AS (SELECT x + 1 AS y FROM bias)
+SELECT y FROM atlas
+"""
+    recursive, ctes = _split_top_level_ctes(sql)
+    assert not recursive
+    assert [n for n, _, _ in ctes] == ["bias", "atlas"]
+    assert ctes[0][1] == "bias (x)"  # column list preserved in the header
+    assert ctes[0][2].strip() == "SELECT 1"
+    assert ctes[1][2].strip() == "SELECT x + 1 AS y FROM bias"
+    # and the probe the lint builds from it compiles, x alias intact
+    rel = lint_con.sql(
+        f"WITH {ctes[0][1]} AS ({ctes[0][2]}) SELECT * FROM bias LIMIT 0"
+    )
+    assert rel.columns == ["x"]
 
 
 def test_cte_lint_catches_seeded_intermediate_widening(lint_con):
@@ -183,7 +265,7 @@ SELECT o_custkey, CAST(s AS BIGINT) AS s FROM t
     assert not any("HUGEINT" in str(t).upper() for t in rel.types)
     # the CTE lint must catch it:
     recursive, ctes = _split_top_level_ctes(seeded)
-    assert [n for n, _ in ctes] == ["t"]
-    probe = f"WITH t AS ({ctes[0][1]}) SELECT * FROM t LIMIT 0"
+    assert [n for n, _, _ in ctes] == ["t"]
+    probe = f"WITH t AS ({ctes[0][2]}) SELECT * FROM t LIMIT 0"
     types = [str(t).upper() for t in lint_con.sql(probe).types]
     assert any("HUGEINT" in t for t in types), types

@@ -39,7 +39,10 @@ def survey_s2_sections(survey_text: str) -> list[tuple[str, list[str]]]:
 
 
 def generate() -> str:
-    queries = registry.all_queries()
+    registry.all_queries()  # trigger module imports that populate _QUERIES
+    # raw registration order, NOT all_queries(): that one front-loads the
+    # per-round _VERIFY_WINDOW, which would churn this file every rotation
+    queries = dict(registry._QUERIES)
     oracles = registry.all_oracles()
     with open(os.path.join(REPO, "SURVEY.md")) as f:
         sections = survey_s2_sections(f.read())
