@@ -550,13 +550,26 @@ def agg_approx_percentile(spark, sf_dir):
     full value distributions per group. The sketch is mergeable, so the
     aggregate stays one map-side-combinable shuffle of sketch state per
     group; rows-only because sketch boundaries are engine-specific
-    (the exact key next to it carries the value verification)."""
+    (the exact key next to it carries the value verification).
+
+    Output shape: the three quantiles are emitted as SCALAR double
+    columns (p50/p95/p99), never as one array<double> — the driver's
+    pandas canonicalizer cannot factorize ndarray cells (the round-1
+    harness trap agg_collect_sorted documents and avoids via
+    concat_ws); this key shipped the array form and ERRORED in its
+    first round-6 driver appearance. tests/test_output_schema.py now
+    lints the whole registry for atomic-only output fields."""
     li = tables.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "p50_p95_p99"
-        ),
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pa"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agged.select(
+        "l_returnflag",
+        F.element_at("pa", 1).alias("p50"),
+        F.element_at("pa", 2).alias("p95"),
+        F.element_at("pa", 3).alias("p99"),
+        "n",
     )
 
 

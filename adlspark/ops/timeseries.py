@@ -538,6 +538,31 @@ def ts_seasonality(spark, sf_dir):
     )
 
 
+_CUMSUM_SEQUENTIAL = None
+
+
+def _cumsum_is_sequential():
+    """Once-per-process sentinel: does np.cumsum accumulate strictly
+    left-to-right? Sequential IEEE adds leave 1.0 + k·2⁻⁵³ stuck at 1.0
+    (each add rounds down); any pairwise/blocked scheme would combine
+    the small terms first and drift upward. Cached so the per-batch cost
+    is one flag read; runs wherever the kernel runs, executors included,
+    so a numpy upgrade on the cluster self-checks without a test rig."""
+    global _CUMSUM_SEQUENTIAL
+    if _CUMSUM_SEQUENTIAL is None:
+        import numpy as np
+
+        eps = np.ldexp(1.0, -53)
+        x = np.concatenate(([1.0], np.full(64, eps)))
+        expect = np.empty_like(x)
+        acc = 0.0
+        for i in range(len(x)):
+            acc = acc + x[i]
+            expect[i] = acc
+        _CUMSUM_SEQUENTIAL = bool(np.array_equal(np.cumsum(x), expect))
+    return _CUMSUM_SEQUENTIAL
+
+
 def _ewma_halving(vals, prev=None):
     """Bit-exact vectorized y_i = fl(0.5·x_i + 0.5·y_{i-1}).
 
@@ -566,7 +591,16 @@ def _ewma_halving(vals, prev=None):
 
     Pinned bit-exact against the loop (hypothesis-style sweep incl.
     zero-decay and mixed-magnitude cases) and against DuckDB's
-    recursive-CTE evaluation in tests/test_timeseries_exact.py."""
+    recursive-CTE evaluation in tests/test_timeseries_exact.py.
+
+    Dependency note: the argument above assumes ``np.cumsum`` performs a
+    strictly sequential left-to-right accumulation — a numpy
+    implementation detail, not a documented guarantee (a future numpy
+    adopting pairwise accumulation would round differently). Guarded two
+    ways: the pinning test above, and ``_cumsum_is_sequential()`` below,
+    a once-per-process runtime sentinel that also runs on EXECUTORS (not
+    just the test environment); if it ever fails, this function falls
+    back to the defining loop rather than silently changing results."""
     import numpy as np
 
     def _loop(v, p):
@@ -584,6 +618,8 @@ def _ewma_halving(vals, prev=None):
         return vals.copy()
     if n == 1 and prev is None:
         return vals.copy()
+    if not _cumsum_is_sequential():
+        return _loop(vals, prev)
     vmax = np.max(np.abs(vals))
     if prev is not None:
         vmax = max(vmax, abs(prev))
@@ -668,6 +704,17 @@ def ts_ewma(spark, sf_dir):
         last_y = None
         for pdf in batches:
             uids = pdf["user_id"].to_numpy()
+            # Non-null user_id is a kernel invariant: a null arrives via
+            # Arrow→pandas as NaN, and NaN != NaN would split the null
+            # group into singleton runs (each re-seeded, unlike the old
+            # groupBy which grouped nulls together) while the
+            # 'user_id long' output schema cannot serialize NaN — fail
+            # loudly instead of silently mis-seeding.
+            if pdf["user_id"].isna().any():
+                raise ValueError(
+                    "ts_ewma requires non-null user_id; filter or "
+                    "impute nulls upstream before the EWMA pass"
+                )
             vals = pdf["value"].to_numpy()
             out = np.empty_like(vals)
             if len(uids):

@@ -36,55 +36,82 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 
 # Keys the external harness must judge THIS round, most-urgent first.
-# The driver verifies the first ~50 keys of queries() (CORRECTNESS_r01–r04
-# each hold exactly 50 verdicts); keys absent from this list keep
-# their existing verdicts because their code is unchanged, and rotate to
-# the back of the queue.
+# The driver verifies the first ~50 keys of queries() per round; keys
+# absent from this list keep their existing verdicts because their code
+# is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 6 (CORRECTNESS_r05 landed 50/50 green;
-# recomputed 2026-08-14 with tools/verification_debt.py — the single
-# source of truth for these numbers):
-#   - 254 registry keys; 237 carry a verdict, ALL 237 green (0 failed).
-#   - Debt = 17 never-verified keys: the 3 oracle keys displaced from
-#     the r5 window by the changed-code re-entries, plus the 14
-#     rows-only keys (no SQL-expressible oracle by §2 contract; each
-#     carries a pytest property/parity bar instead).
-# This window = exactly that debt, closing verification for the whole
-# registry: CORRECTNESS_r06 green on these 17 ⇒ 254/254 driver-proven.
-# Keys whose Spark code changes THIS session re-enter at the front per
-# the standing invariant (the window holds 50, so there is ample room).
+# State entering driver round 7 (recomputed 2026-08-14 with
+# tools/verification_debt.py — the single source of truth):
+#   - 254 registry keys, 254 carry a verdict (debt = 0 for the first
+#     time), 253 green, ONE failed: agg_approx_percentile ERRORED in r6
+#     because its output carried a raw array<double> column the driver's
+#     pandas canonicalizer cannot factorize. Fixed this session (scalar
+#     p50/p95/p99 via element_at, the aggs.py agg_collect_sorted
+#     precedent); tests/test_output_schema.py now lints the whole
+#     registry so the class cannot ship again.
+# With the debt paid, the spare capacity starts the staleness rotation
+# (r6 verdict item 5): the ~48 free slots carry the OLDEST verdicts —
+# the full r1 cohort plus the earliest r2 keys, all verified against
+# testdata the driver has regenerated five times since. Over ~5 rounds
+# every verdict stays ≤5 rounds old.
 _VERIFY_WINDOW = [
-    # (a) code changed this session after a green verdict — re-enter:
-    #   ts_ewma — per-row Python recurrence loop replaced by the exact
-    #     power-of-two-scaled np.cumsum evaluation (identical IEEE
-    #     rounding sequence; pinned bit-exact vs the loop and vs DuckDB
-    #     in tests/test_timeseries_exact.py).
-    #   join_theta_range / stream_stream_join — banding.time_bucket now
-    #     backtick-quotes the interpolated identifier (r5 ADVICE);
-    #     analyzed plans verified identical modulo exprIds, re-entered
-    #     anyway per the invariant.
-    "ts_ewma",
-    "join_theta_range",
-    "stream_stream_join",
-    # (b) the 3 oracle keys displaced from the r5 window
-    "llm_vocab_coverage",
-    "llm_temperature_sample",
-    "llm_dataset_card",
-    # (c) the 14 never-verified rows-only keys
-    "llm_kmeans",
-    "llm_ann_ivf_pq",
-    "llm_pca_power",
-    "llm_mmr_diverse_sample",
-    "llm_bpe_learn",
-    "llm_bpe_encode",
-    "llm_graph_pagerank",
-    "lake_compact_small_files",
-    "lake_vacuum_orphans",
+    # (a) failed in its latest window — re-front-load FIRST:
     "agg_approx_percentile",
-    "agg_hll_partial_merge",
-    "stream_tumbling_ohlc",
-    "stream_sliding_watermark",
-    "stream_hll_distinct",
+    # (b) code changed this session after a green verdict — re-enter:
+    #   ts_ewma — kernel hardening (non-null user_id guard in
+    #     ewma_partition; np.cumsum sequential-accumulation runtime
+    #     sentinel with loop fallback). Hash-parity re-proven vs DuckDB
+    #     at sf0.001+sf0.01 in-session; re-entered per the invariant.
+    "ts_ewma",
+    # (c) staleness rotation: the 43 r1-era + 5 earliest r2-era keys
+    "scan_project",
+    "scan_all_tables_counts",
+    "ingest_validate_json",
+    "ingest_csv_header",
+    "sink_parquet_roundtrip",
+    "stream_file_source",
+    "ingest_partitioned_prune",
+    "ingest_idempotent",
+    "project_compute",
+    "filter_pred",
+    "filter_null_3vl",
+    "distinct_rows",
+    "filter_dynamic_rule",
+    "join_inner",
+    "join_broadcast",
+    "join_multikey",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_interval",
+    "join_skew_salted",
+    "agg_group_q1",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_unpivot",
+    "win_rownum",
+    "win_topk_group",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_ntile_pct",
+    "llm_text_stats",
+    "llm_top_terms",
+    "llm_tfidf",
+    "llm_lang_partition_pipeline",
+    "llm_langid",
 ]
 
 

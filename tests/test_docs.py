@@ -37,11 +37,15 @@ def test_coverage_md_matches_generator():
     # COVERAGE.md is SURVEY §2's designated authoritative per-key list;
     # it is generated, and any drift (missing key, stale status, stale
     # module) is a byte-level mismatch here.
-    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    # Importing gen_coverage runs its module-level sys.path.insert(0, REPO),
+    # so a blind pop(0) here would remove REPO and leave tools/ shadowing
+    # imports for the rest of the pytest session — remove tools/ by value.
+    tools_dir = os.path.join(_REPO, "tools")
+    sys.path.insert(0, tools_dir)
     try:
         import gen_coverage
     finally:
-        sys.path.pop(0)
+        sys.path.remove(tools_dir)
     with open(os.path.join(_REPO, "COVERAGE.md")) as f:
         current = f.read()
     assert current == gen_coverage.generate(), (

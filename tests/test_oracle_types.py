@@ -137,12 +137,24 @@ def _split_top_level_ctes(sql: str):
                 in_str = True
             elif c == "(":
                 # the body opens at a depth-0 '(' preceded by the WORD
-                # "AS" — \b guards identifiers that merely END in "as"
-                # ("bias (x) AS (...)" must not match at "bias (")
-                if depth == 0 and re.search(
-                    r"\bAS\s*\Z", up[max(0, j - 10) : j]
-                ):
-                    break
+                # "AS": skip back over ALL whitespace (a fixed-width
+                # lookback window misparses AS-newline-deep-indent),
+                # then require the token "AS" with a non-identifier char
+                # before it ("bias (x) AS (...)" must not match at
+                # "bias (")
+                if depth == 0:
+                    t = j
+                    while t > 0 and up[t - 1] in " \t\r\n":
+                        t -= 1
+                    if (
+                        t >= 2
+                        and up[t - 2 : t] == "AS"
+                        and (
+                            t == 2
+                            or not (up[t - 3].isalnum() or up[t - 3] == "_")
+                        )
+                    ):
+                        break
                 depth += 1
             elif c == ")":
                 depth -= 1

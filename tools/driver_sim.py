@@ -61,7 +61,14 @@ def main():
                 compare(df, con, oracles[k], key=k)
                 verdict = "HASH-PASS"
             else:
-                rows = df.count()
+                # Mirror the driver's rows-only path: it canonicalizes
+                # toPandas() output with sort_values across ALL columns,
+                # which crashes on ndarray/dict cells (the
+                # agg_approx_percentile r6 ERROR) — df.count() alone
+                # would miss that whole failure class.
+                pdf = df.toPandas()
+                pdf.sort_values(list(pdf.columns), ignore_index=True)
+                rows = len(pdf)
                 assert rows > 0, f"[{k}] rows-only key returned 0 rows"
                 verdict = f"rows-only ({rows})"
         except Exception as ex:

@@ -35,8 +35,11 @@ SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
 # STRESS_PLAIN=1 skips both skew injections (plain 10x key-shifted union —
 # the BASELINE.md first stress table's dataset shape)
 PLAIN = os.environ.get("STRESS_PLAIN", "") == "1"
-DST = os.environ.get("STRESS_DST", "/tmp/sfx10plain" if PLAIN else "/tmp/sfx10skew")
-COPIES = 10
+COPIES = int(os.environ.get("STRESS_COPIES", "10"))
+DST = os.environ.get(
+    "STRESS_DST",
+    f"/tmp/sfx{COPIES}plain" if PLAIN else f"/tmp/sfx{COPIES}skew",
+)
 HOT_USER = 7
 HOT_LANG = "en"
 
