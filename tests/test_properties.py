@@ -441,7 +441,7 @@ def test_approx_percentile_rank_error_bounded(spark, sf_dir):
         xs = vals[r["l_returnflag"]]
         n = len(xs)
         tol = max(2.0, 10 * n / 10000.0)
-        for q, est in zip((0.5, 0.95, 0.99), r["p50_p95_p99"]):
+        for q, est in zip((0.5, 0.95, 0.99), (r["p50"], r["p95"], r["p99"])):
             lo = bisect.bisect_left(xs, est)
             hi = bisect.bisect_right(xs, est)
             target = q * (n - 1)
