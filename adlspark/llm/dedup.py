@@ -190,30 +190,109 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True):
     )
     if not expand:
         return g, rep_pairs
-    # expansion: representative pairs → member pairs (pure output work)
-    m1 = g.select(F.col("gid").alias("id1"), F.explode("members").alias("m1"))
-    m2 = g.select(F.col("gid").alias("id2"), F.explode("members").alias("m2"))
-    cross = (
-        rep_pairs.join(m1, "id1")
-        .join(m2, "id2")
-        .select(
-            F.least("m1", "m2").alias("id1"),
-            F.greatest("m1", "m2").alias("id2"),
-            "jaccard",
+    # expansion: representative pairs → member pairs (pure output work,
+    # distributed: a straight explode×explode runs each group's k²
+    # expansion inside ONE Generate task — the 100× stress corpus has a
+    # 23k-member identity group whose 269M within-pairs pinned a single
+    # core for minutes while 31 sat idle; chunked_* bounds per-task work)
+    cross_src = (
+        rep_pairs.join(
+            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
+            "id1",
         )
-    )
-    within = (
-        g.where((F.size("members") >= 2) & (F.size("toks") > 0))
-        .select(F.col("members"), F.explode("members").alias("m1"))
-        .select("m1", F.explode("members").alias("m2"))
-        .where(F.col("m1") < F.col("m2"))
-        .select(
-            F.col("m1").alias("id1"),
-            F.col("m2").alias("id2"),
-            F.lit(1.0).alias("jaccard"),
+        .join(
+            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
+            "id2",
         )
+        .select("jaccard", "mem_a", "mem_b")
     )
+    cross = chunked_cartesian(
+        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("jaccard",)
+    ).select(
+        F.least("_m1", "_m2").alias("id1"),
+        F.greatest("_m1", "_m2").alias("id2"),
+        "jaccard",
+    )
+    within = chunked_self_pairs(
+        g.where((F.size("members") >= 2) & (F.size("toks") > 0)).select("members"),
+        "members",
+        "id1",
+        "id2",
+    ).select("id1", "id2", F.lit(1.0).alias("jaccard"))
     return cross.unionByName(within)
+
+
+PAIR_CHUNK = 512
+
+
+def _chunks(col: str, chunk: int):
+    """Array column → array of ≤chunk-element slices (≥1 slice even when
+    empty, so downstream chunk-pair bookkeeping never sees zero rows;
+    an empty slice explodes to nothing, matching plain-explode
+    semantics on empty arrays)."""
+    return F.expr(
+        f"transform(sequence(0, greatest(cast(ceil(size({col})/{chunk}.0) as int), 1) - 1),"
+        f" i -> slice({col}, i*{chunk}+1, {chunk}))"
+    )
+
+
+def chunked_self_pairs(df, arr, out_a, out_b, payload=(), chunk=PAIR_CHUNK):
+    """All unordered element pairs of ``arr`` per row, with BOUNDED
+    per-task expansion work.
+
+    explode(arr) → explode(arr) → filter(a < b) runs each row's entire
+    C(k,2) expansion inside one Generate task, because a generator
+    cannot split one input row across tasks — a hot identity group
+    (k=23,200 at the 100× stress scale, C(k,2)=269M pairs) therefore
+    serializes on a single core and GC-thrashes the executor while the
+    rest of the cluster idles. Here the array is sliced into ≤chunk
+    pieces, chunk PAIRS (i ≤ j) are exploded first — |k/chunk|² small
+    rows carrying two ~chunk-element slices — then round-robin
+    ``repartition(spark.sql.shuffle.partitions)`` spreads them (an
+    explicit-numPartitions shuffle, which AQE never re-coalesces) before
+    the element-level explodes, so no task generates more than ~chunk²
+    rows per chunk pair. Output: payload columns + (out_a, out_b) with
+    out_a < out_b by value — exactly the rows of the naive expansion,
+    only the physical distribution changes.
+    """
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    payload = list(payload)
+    return (
+        df.select(*payload, _chunks(arr, chunk).alias("_chs"))
+        .select(*payload, "_chs", F.posexplode("_chs").alias("_i", "_ca"))
+        .select(*payload, "_i", "_ca", F.posexplode("_chs").alias("_j", "_cb"))
+        .where(F.col("_j") >= F.col("_i"))
+        .repartition(p)
+        .select(*payload, "_i", "_j", F.explode("_ca").alias("_ea"), "_cb")
+        .select(*payload, "_i", "_j", "_ea", F.explode("_cb").alias("_eb"))
+        .where((F.col("_i") < F.col("_j")) | (F.col("_ea") < F.col("_eb")))
+        .select(
+            *payload,
+            F.least("_ea", "_eb").alias(out_a),
+            F.greatest("_ea", "_eb").alias(out_b),
+        )
+    )
+
+
+def chunked_cartesian(df, arr_a, arr_b, out_a, out_b, payload=(), chunk=PAIR_CHUNK):
+    """Element-level cartesian ``arr_a × arr_b`` per row with BOUNDED
+    per-task expansion work — the cross-group sibling of
+    chunked_self_pairs (same one-Generate-task pathology: a rep pair
+    between two mega-groups expands k_a·k_b rows on one core). Slices
+    both arrays, explodes to chunk pairs, repartitions, then explodes
+    elements. Output: payload + (out_a, out_b), exactly the naive
+    cartesian's rows; callers apply their own orientation rules.
+    """
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    payload = list(payload)
+    return (
+        df.select(*payload, _chunks(arr_a, chunk).alias("_cha"), F.col(arr_b))
+        .select(*payload, F.explode("_cha").alias("_ca"), _chunks(arr_b, chunk).alias("_chb"))
+        .select(*payload, "_ca", F.explode("_chb").alias("_cb"))
+        .repartition(p)
+        .select(*payload, F.explode("_ca").alias(out_a), "_cb")
+        .select(*payload, out_a, F.explode("_cb").alias(out_b))
+    )
 
 
 @query("llm_dedup_minhash")  # rows-only: hash internals are engine-specific
@@ -235,6 +314,19 @@ def llm_dedup_minhash(spark, sf_dir):
        density, the 100 TB property).
     4. Exact shingle-Jaccard verification of candidates, keep dist ≤ 0.2.
 
+    QUOTIENTED like the other dedup kernels: identical shingle sets get
+    identical signatures, hence identical band buckets, so k exact
+    copies of a doc put C(k,2) guaranteed-candidate pairs through the
+    bucket self-join AND the verify join — quadratic in dup density,
+    which is exactly the regime dedup runs in (the 100× stress corpus,
+    100 copies per text, stalled here). Collapsing to one representative
+    per distinct shingle set first makes signatures, banding, and
+    verification run once per UNIQUE set; member pairs are expanded
+    afterwards (within a group dist is exactly 0.0; a cross-group pair
+    inherits its representatives' distance verbatim), via the chunked
+    expansion so no mega-group serializes one Generate task. Output rows
+    are bit-identical to the unquotiented join.
+
     Replaced pyspark.ml's MinHashLSH (≈8 s warm at sf0.1 in
     approxSimilarityJoin) with this ≈2 s pipeline; rows-only because the
     sketch choice is engine-specific, but the output is deterministic.
@@ -252,15 +344,25 @@ def llm_dedup_minhash(spark, sf_dir):
             ).alias("shingles"),
         )
     )
-    sh = d.select("doc_id", F.explode("shingles").alias("s"))
-    sig = sh.groupBy("doc_id").agg(
+    g = (
+        d.groupBy(F.array_sort("shingles").alias("_skey"))
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+            F.first("shingles").alias("shingles"),
+        )
+        .drop("_skey")
+        .localCheckpoint(eager=True)  # feeds sig, verify ×2, expansion ×2
+    )
+    sh = g.select("gid", F.explode("shingles").alias("s"))
+    sig = sh.groupBy("gid").agg(
         *[
             F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
             for i in range(n_hashes)
         ]
     )
     band_rows = sig.select(
-        "doc_id",
+        "gid",
         F.explode(
             F.array(
                 *[
@@ -277,31 +379,51 @@ def llm_dedup_minhash(spark, sf_dir):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("gid", "bb.band", "bb.bucket")
     cand = (
         band_rows.alias("x")
         .join(
             band_rows.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.gid") < F.col("y.gid")),
         )
-        .select(
-            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
-        )
+        .select(F.col("x.gid").alias("id1"), F.col("y.gid").alias("id2"))
         .distinct()
     )
     verify = (
-        cand.join(d.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1")), "id1")
-        .join(d.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2")), "id2")
+        cand.join(g.select(F.col("gid").alias("id1"), F.col("shingles").alias("sh1")), "id1")
+        .join(g.select(F.col("gid").alias("id2"), F.col("shingles").alias("sh2")), "id2")
     )
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
-    return (
+    rep_pairs = (
         verify.withColumn("jaccard_dist", F.round(1 - jac, 4))
         .where(F.col("jaccard_dist") <= 0.2)
         .select("id1", "id2", "jaccard_dist")
     )
+    cross_src = (
+        rep_pairs.join(
+            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
+            "id1",
+        )
+        .join(
+            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
+            "id2",
+        )
+        .select("jaccard_dist", "mem_a", "mem_b")
+    )
+    cross = chunked_cartesian(
+        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("jaccard_dist",)
+    ).select(
+        F.least("_m1", "_m2").alias("id1"),
+        F.greatest("_m1", "_m2").alias("id2"),
+        "jaccard_dist",
+    )
+    within = chunked_self_pairs(
+        g.where(F.size("members") >= 2).select("members"), "members", "id1", "id2"
+    ).select("id1", "id2", F.lit(0.0).alias("jaccard_dist"))
+    return cross.unionByName(within)
 
 
 @query(
@@ -1539,17 +1661,15 @@ def llm_containment_dedup(spark, sf_dir):
         )
     )
     # cross-group expansion: every member pair, same (size, id) rule
-    cross = (
-        scored.select(
-            "sz_a",
-            "sz_b",
-            "n_int",
-            F.explode("mem_a").alias("id_a"),
-            "mem_b",
-        )
-        .select(
-            "sz_a", "sz_b", "n_int", "id_a", F.explode("mem_b").alias("id_b")
-        )
+    # (chunked: a mega-group rep pair must not expand k_a·k_b rows
+    # inside one Generate task — see chunked_cartesian)
+    cross = chunked_cartesian(
+        scored.select("sz_a", "sz_b", "n_int", "mem_a", "mem_b"),
+        "mem_a",
+        "mem_b",
+        "id_a",
+        "id_b",
+        payload=("sz_a", "sz_b", "n_int"),
     )
     a_contained = (F.col("sz_a") < F.col("sz_b")) | (
         (F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") > F.col("id_b"))
@@ -1568,17 +1688,17 @@ def llm_containment_dedup(spark, sf_dir):
     )
     # within-group pairs: identical sets, containment exactly 1.0;
     # contained side = larger doc_id (sizes tie)
-    within = (
-        g.where(F.col("m") >= 2)
-        .select("sz", F.explode("members").alias("id_a"), "members")
-        .select("sz", "id_a", F.explode("members").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("id_b").alias("contained_id"),
-            F.col("id_a").alias("container_id"),
-            F.col("sz").alias("sz_contained"),
-            F.col("sz").alias("sz_container"),
-            F.lit(1.0).alias("containment"),
-        )
+    within = chunked_self_pairs(
+        g.where(F.col("m") >= 2).select("sz", "members"),
+        "members",
+        "id_a",
+        "id_b",
+        payload=("sz",),
+    ).select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.col("sz").alias("sz_contained"),
+        F.col("sz").alias("sz_container"),
+        F.lit(1.0).alias("containment"),
     )
     return cross_rows.unionByName(within)
