@@ -1447,6 +1447,16 @@ def llm_dedup_editdist(spark, sf_dir):
     ``levenshtein`` is a JVM builtin inside codegen, no Python. At
     100 TB the blocker widens to LSH bands; the verify kernel is
     unchanged.
+
+    QUOTIENTED on (blocking key, t64): the kernel's output depends on a
+    doc only through that tuple, so k docs sharing it collapse to one
+    representative — the Levenshtein verify (the O(64²) hot loop) runs
+    once per UNIQUE tuple pair instead of once per doc pair (25M
+    redundant verifies at the 100× stress scale, 168 s → rep count²),
+    within-group pairs are distance-0 by construction, and cross-group
+    member pairs inherit their representatives' distance verbatim.
+    Member expansion is chunked (chunked_* helpers), so output rows are
+    identical and no mega-group serializes one Generate task.
     """
     d = tables.load(spark, sf_dir, "documents")
     w = F.split("text", " ")
@@ -1457,23 +1467,56 @@ def llm_dedup_editdist(spark, sf_dir):
         (F.size(w) / 8).cast("int").alias("len_bucket"),
         F.concat_ws(" ", F.slice(w, 1, 2)).alias("pfx"),
     )
-    a, c = b.alias("a"), b.alias("c")
+    g = (
+        b.groupBy("lang", "len_bucket", "pfx", "t64")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .localCheckpoint(eager=True)  # feeds verify ×2, expansion ×3
+    )
+    a, c = g.alias("a"), g.alias("c")
     dist = F.levenshtein(F.col("a.t64"), F.col("c.t64"))
-    return (
+    rep_pairs = (
         a.join(
             c,
             (F.col("a.lang") == F.col("c.lang"))
             & (F.col("a.len_bucket") == F.col("c.len_bucket"))
             & (F.col("a.pfx") == F.col("c.pfx"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+            & (F.col("a.gid") < F.col("c.gid")),
         )
         .where(dist <= 24)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.gid").alias("id1"),
+            F.col("c.gid").alias("id2"),
             dist.cast("long").alias("edit_dist"),
         )
     )
+    cross_src = (
+        rep_pairs.join(
+            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
+            "id1",
+        )
+        .join(
+            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
+            "id2",
+        )
+        .select("edit_dist", "mem_a", "mem_b")
+    )
+    cross = chunked_cartesian(
+        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("edit_dist",)
+    ).select(
+        F.least("_m1", "_m2").alias("doc_a"),
+        F.greatest("_m1", "_m2").alias("doc_b"),
+        "edit_dist",
+    )
+    within = chunked_self_pairs(
+        g.where(F.size("members") >= 2).select("members"),
+        "members",
+        "doc_a",
+        "doc_b",
+    ).select("doc_a", "doc_b", F.lit(0).cast("long").alias("edit_dist"))
+    return cross.unionByName(within)
 
 
 @query(

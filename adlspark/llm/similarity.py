@@ -101,12 +101,28 @@ def llm_sim_threshold_join(spark, sf_dir):
     survives 100 TB. numpy's pairwise summation is not bit-identical to
     sequential, but products are exact (float32 pairs in double) and
     τ/round-4 sit ≫ the ~1e-15 drift (fixtures measured clear of both
-    boundaries)."""
+    boundaries).
+
+    QUOTIENTED by identical embedding first (the dedup-kernel pattern,
+    dedup.py): k exact copies of a vector turn the O(N²) matmul into
+    O(U²) on the U unique vectors plus pure output expansion — on the
+    100× stress corpus (100 copies per vector, N=200k, U=2k) the
+    unquotiented matmul is 10⁴× the flops and Arrow traffic for the
+    same ~19M output rows and blew past 560 s; quotiented it runs at
+    the unique-vector cost. Within a group every pair is exactly 1.0
+    after the 4-decimal round (zero-norm groups excluded — their
+    normalized sims are NaN, never emitted, in the direct computation
+    too); a cross-group pair inherits its representatives' rounded sim
+    verbatim, so output rows are identical to the unquotiented join.
+    Expansion goes through chunked_cartesian/chunked_self_pairs so a
+    mega-group's k² never lands on one Generate task."""
     import math
     import os
 
     import numpy as np
     import pandas as pd
+
+    from adlspark.llm.dedup import chunked_cartesian, chunked_self_pairs
 
     # Block count scales with the CLUSTER, not the data: B(B+1)/2 block-
     # pair groups should cover the available parallelism, so B ≈
@@ -122,7 +138,15 @@ def llm_sim_threshold_join(spark, sf_dir):
         else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
     )
     e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    eb = e.withColumn(
+    g = (
+        e.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.collect_list("vec_id").alias("members"),
+        )
+        .localCheckpoint(eager=True)  # feeds matmul + expansion ×3
+    )
+    eb = g.select(F.col("gid").alias("vec_id"), "embedding").withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
     )
     bp = spark.createDataFrame(
@@ -165,11 +189,44 @@ def llm_sim_threshold_join(spark, sf_dir):
             {"id1": id_lo, "id2": id_hi, "sim": np_round_half_away(sims[li, ri], 4)}
         )
 
-    return (
+    rep_pairs = (
         left.unionByName(right)
         .groupBy("bi", "bj")
         .applyInPandas(score, "id1 long, id2 long, sim double")
     )
+    # representative pairs → member pairs (pure output work, chunked so
+    # a mega-group's k² never serializes one Generate task)
+    cross_src = (
+        rep_pairs.join(
+            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
+            "id1",
+        )
+        .join(
+            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
+            "id2",
+        )
+        .select("sim", "mem_a", "mem_b")
+    )
+    cross = chunked_cartesian(
+        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("sim",)
+    ).select(
+        F.least("_m1", "_m2").alias("id1"),
+        F.greatest("_m1", "_m2").alias("id2"),
+        "sim",
+    )
+    # zero-norm (and NaN) embeddings never emit pairs in the direct
+    # computation (their normalized sims are NaN) — excluded here too
+    sq_norm = F.expr(
+        "aggregate(embedding, cast(0 as double),"
+        " (a, x) -> a + cast(x as double) * cast(x as double))"
+    )
+    within = chunked_self_pairs(
+        g.where((F.size("members") >= 2) & (sq_norm > 0)).select("members"),
+        "members",
+        "id1",
+        "id2",
+    ).select("id1", "id2", F.lit(1.0).alias("sim"))
+    return cross.unionByName(within)
 
 
 @query(

@@ -63,6 +63,19 @@ _VERIFY_WINDOW = [
     #     sentinel with loop fallback). Hash-parity re-proven vs DuckDB
     #     at sf0.001+sf0.01 in-session; re-entered per the invariant.
     "ts_ewma",
+    #   chunked pair expansion + minhash quotienting (the 100× stress
+    #   fix): outputs verified bit-identical to the old kernels at
+    #   sf0.001+sf0.01 in-session; re-entered per the invariant.
+    "llm_near_dup_pairs",
+    "llm_ngram_jaccard",
+    "llm_containment_dedup",
+    "llm_dedup_minhash",
+    #   identity-group quotienting of the blocked Levenshtein verify and
+    #   the block-matmul threshold join (same 100× stress fix): both
+    #   hash-passed the sf0.01 DuckDB oracle in-session post-change;
+    #   re-entered per the invariant.
+    "llm_dedup_editdist",
+    "llm_sim_threshold_join",
     # (c) staleness rotation: the 43 r1-era + 5 earliest r2-era keys
     "scan_project",
     "scan_all_tables_counts",
@@ -106,12 +119,10 @@ _VERIFY_WINDOW = [
     "win_running_sum",
     "win_moving_avg",
     "win_range_frame",
-    "win_ntile_pct",
-    "llm_text_stats",
-    "llm_top_terms",
-    "llm_tfidf",
-    "llm_lang_partition_pipeline",
-    "llm_langid",
+    # (win_ntile_pct / llm_text_stats / llm_top_terms / llm_tfidf /
+    # llm_lang_partition_pipeline / llm_langid rotated out to make room
+    # for the six (b) re-entries — the driver verifies 50 keys/round;
+    # they rejoin the staleness rotation next round.)
 ]
 
 
