@@ -950,14 +950,33 @@ def llm_minhash_estimate(spark, sf_dir):
     signature table (8 longs per doc). No verification pass touches
     document text — the whole pipeline runs on the 72-byte sketch.
     """
-    sig = llm_minhash_signature(spark, sf_dir).localCheckpoint()
+    # QUOTIENTED by full signature (the dedup-kernel pattern): docs with
+    # identical signatures share every band bucket AND agree on all 8
+    # sigs, so a k-member signature class contributes C(k,2)
+    # guaranteed-survivor pairs — quadratic in duplicate density if the
+    # bucket self-join and the two signature joins run at doc level (the
+    # 100× stress corpus spent 51 s mostly re-deriving n_agree = 8 for
+    # copy pairs). Banding, candidate generation, and the agreement
+    # joins run once per unique signature; member pairs are pure output
+    # expansion (within a class n_agree is 8 by construction; a
+    # cross-class pair inherits its representatives' n_agree verbatim).
+    sig_cols = [f"sig{i}" for i in range(8)]
+    sig = llm_minhash_signature(spark, sf_dir)
+    g = (
+        sig.groupBy(*sig_cols)
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .localCheckpoint(eager=True)  # feeds banding + both expansions
+    )
     bands = None
     for b in range(4):
-        part = sig.select(
-            "doc_id",
+        part = g.select(
+            "gid",
             F.lit(b).alias("band"),
-            F.col(f"sig{2 * b}").alias("k1"),
-            F.col(f"sig{2 * b + 1}").alias("k2"),
+            F.col(sig_cols[2 * b]).alias("k1"),
+            F.col(sig_cols[2 * b + 1]).alias("k2"),
         )
         bands = part if bands is None else bands.unionByName(part)
     a, c = bands.alias("a"), bands.alias("c")
@@ -967,28 +986,47 @@ def llm_minhash_estimate(spark, sf_dir):
             (F.col("a.band") == F.col("c.band"))
             & (F.col("a.k1") == F.col("c.k1"))
             & (F.col("a.k2") == F.col("c.k2"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+            & (F.col("a.gid") < F.col("c.gid")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .select(F.col("a.gid").alias("id1"), F.col("c.gid").alias("id2"))
         .distinct()
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
+    sa = g.alias("sa")
+    sb = g.alias("sb")
     n_agree = None
     for i in range(8):
         term = (F.col(f"sa.sig{i}") == F.col(f"sb.sig{i}")).cast("int")
         n_agree = term if n_agree is None else n_agree + term
-    return (
-        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
-        .join(sb, cand.doc_b == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
-        .where(F.col("n_agree") >= 4)
+    rep_pairs = (
+        cand.join(sa, cand.id1 == F.col("sa.gid"))
+        .join(sb, cand.id2 == F.col("sb.gid"))
         .select(
-            "doc_a",
-            "doc_b",
-            "n_agree",
-            (F.col("n_agree") / 8.0).alias("est_jaccard"),
+            "id1",
+            "id2",
+            n_agree.alias("n_agree"),
+            F.col("sa.members").alias("mem_a"),
+            F.col("sb.members").alias("mem_b"),
         )
+        .where(F.col("n_agree") >= 4)
+    )
+    cross = chunked_cartesian(
+        rep_pairs, "mem_a", "mem_b", "_m1", "_m2", payload=("n_agree",)
+    ).select(
+        F.least("_m1", "_m2").alias("doc_a"),
+        F.greatest("_m1", "_m2").alias("doc_b"),
+        "n_agree",
+    )
+    within = chunked_self_pairs(
+        g.where(F.size("members") >= 2).select("members"),
+        "members",
+        "doc_a",
+        "doc_b",
+    ).select("doc_a", "doc_b", F.lit(8).cast("integer").alias("n_agree"))
+    return cross.unionByName(within).select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        (F.col("n_agree") / 8.0).alias("est_jaccard"),
     )
 
 

@@ -72,37 +72,121 @@ def llm_graph_pagerank(spark, sf_dir):
     one-time node count). Rank partitioning is node-keyed and stable
     across rounds; localCheckpoint truncates the lineage each round.
     """
+    from adlspark.llm.dedup import llm_minhash_signature
+
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    edges = _band_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edge_w = (
-        edges.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+
+    # LUMPED (quotient-graph) iteration: docs with identical MinHash
+    # signatures share every band bucket, so in the candidate graph they
+    # are adjacent to exactly the same groups plus each other — a graph
+    # automorphism orbit. Symmetric nodes have equal PageRank, so the
+    # iteration runs exactly on signature classes: a class of size k is
+    # an internal k-clique (self edge weight (k-1)/deg) and class
+    # adjacency is complete-bipartite (edge h→g carries k_h/deg_h per
+    # g-member). The 100× stress corpus (100 copies/doc) expands to
+    # ~50M member edges — the expanded build OOM'd the aggregation —
+    # while the quotient graph stays at the unique-corpus size; member
+    # ranks are exactly their class rank, expanded at the end.
+    sig_cols = [f"sig{i}" for i in range(8)]
+    sig = llm_minhash_signature(spark, sf_dir)
+    g = (
+        docs.join(sig, "doc_id", "left")
+        .groupBy(*sig_cols)
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.count(F.lit(1)).alias("k"),
+        )
         .localCheckpoint()
     )
-    dangling_nodes = docs.join(
-        edge_w.select("src").distinct(), docs.doc_id == F.col("src"), "left_anti"
+    bands = None
+    for b in range(4):
+        part = g.where(F.col(sig_cols[2 * b]).isNotNull()).select(
+            "gid",
+            "k",
+            F.lit(b).alias("band"),
+            F.col(sig_cols[2 * b]).alias("k1"),
+            F.col(sig_cols[2 * b + 1]).alias("k2"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, c = bands.alias("a"), bands.alias("c")
+    rep_pairs = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.k1") == F.col("c.k1"))
+            & (F.col("a.k2") == F.col("c.k2"))
+            & (F.col("a.gid") < F.col("c.gid")),
+        )
+        .select(
+            F.col("a.gid").alias("src"),
+            F.col("c.gid").alias("dst"),
+            F.col("a.k").alias("ksrc"),
+            F.col("c.k").alias("kdst"),
+        )
+        .distinct()
+    )
+    # per-member degree of class g: (k_g - 1) internal + Σ_adj k_h
+    nbk = (
+        rep_pairs.select(F.col("src").alias("gid"), F.col("kdst").alias("nk"))
+        .unionByName(
+            rep_pairs.select(F.col("dst").alias("gid"), F.col("ksrc").alias("nk"))
+        )
+        .groupBy("gid")
+        .agg(F.sum("nk").alias("nbk"))
+    )
+    deg = g.select("gid", "k").join(nbk, "gid", "left").select(
+        "gid",
+        (F.col("k") - 1 + F.coalesce(F.col("nbk"), F.lit(0))).alias("deg"),
+    )
+    cross = rep_pairs.select(
+        "src", "dst", F.col("ksrc").cast("double").alias("mult")
+    ).unionByName(
+        rep_pairs.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col("kdst").cast("double").alias("mult"),
+        )
+    )
+    self_e = g.where(F.col("k") >= 2).select(
+        F.col("gid").alias("src"),
+        F.col("gid").alias("dst"),
+        (F.col("k") - 1).cast("double").alias("mult"),
+    )
+    edge_w = (
+        cross.unionByName(self_e)
+        .join(deg.withColumnRenamed("gid", "src"), "src")
+        .select("src", "dst", (F.col("mult") / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
+    # dangling classes: no incident edges at all (necessarily k == 1,
+    # since k >= 2 classes carry their internal self edge)
+    dangling = g.select("gid").join(
+        edge_w.select("src").distinct().withColumnRenamed("src", "gid"),
+        "gid",
+        "left_anti",
     ).localCheckpoint()
 
     d = 0.85
-    ranks = docs.select("doc_id", F.lit(1.0 / n).alias("rank"))
+    ranks = g.select("gid", F.lit(1.0 / n).alias("rank"))
     for it in range(8):
-        dm = (
-            ranks.join(dangling_nodes, "doc_id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # dangling ⟹ k == 1, so class rank sum == member rank sum
+        dm = ranks.join(dangling, "gid", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contribs = (
-            ranks.join(edge_w, ranks.doc_id == edge_w.src)
-            .select(F.col("dst").alias("doc_id"), (F.col("rank") * F.col("w")).alias("c"))
-            .groupBy("doc_id")
+            ranks.join(edge_w, ranks.gid == edge_w.src)
+            .select(F.col("dst").alias("gid"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("gid")
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            docs.join(contribs, "doc_id", "left")
+            g.select("gid")
+            .join(contribs, "gid", "left")
             .crossJoin(F.broadcast(dm))
             .select(
-                "doc_id",
+                "gid",
                 (
                     F.lit((1.0 - d) / n)
                     + F.lit(d)
@@ -115,8 +199,14 @@ def llm_graph_pagerank(spark, sf_dir):
         # join+agg compose into one job between checkpoints).
         if it % 2 == 1:
             ranks = ranks.localCheckpoint()
-    return ranks.select("doc_id", F.round("rank", 9).alias("rank")).orderBy(
-        F.col("rank").desc(), "doc_id"
+    return (
+        g.select("gid", "members")
+        .join(ranks, "gid")
+        .select(
+            F.explode("members").alias("doc_id"),
+            F.round("rank", 9).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "doc_id")
     )
 
 

@@ -258,18 +258,75 @@ SELECT probe_id, label AS pred_label, n_votes FROM (
 """,
 )
 def llm_knn_label(spark, sf_dir):
-    """5-NN majority-vote label per probe (ties → smallest label)."""
+    """5-NN majority-vote label per probe (ties → smallest label).
+
+    QUOTIENTED by identity group (the dedup-kernel pattern): the probe ×
+    corpus cosine depends on a row only through its embedding, so the
+    P×N pair volume (P = N/100 probes — BOTH sides scale with the
+    corpus) collapses to unique-probe × unique-(embedding, label) pairs.
+    On the 100× stress corpus (100 exact copies per vector) the direct
+    form ran 400M expression-fold cosines plus a 400M-row rank shuffle
+    (475 s); quotiented, the kernel cost is the unique-pair count.
+
+    The expansion is LOSSLESS via a margin-6 keep rule: expanded
+    candidates order by (sim desc, vec_id) and members of one group are
+    sim-ties, so any group holding one of a probe's global top-6
+    expanded rows has strictly-better cumulative member count < 6 and is
+    kept; per probe member the self-exclusion (vec_id != probe_id)
+    removes at most one row, so the kept set always contains the
+    member's true non-self top-5. Sims are computed with the identical
+    ``cosine`` expression on the identical arrays — bit-equal to the
+    direct form, so rank tie-breaks and the oracle hash are unchanged.
+    """
+    from adlspark.llm.dedup import chunked_cartesian
+
     e = tables.load(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    g = e.groupBy("embedding", "label").agg(
+        F.min("vec_id").alias("gid"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count(F.lit(1)).alias("cnt"),
     )
-    pairs = e.crossJoin(F.broadcast(probes)).where(
-        F.col("vec_id") != F.col("probe_id")
+    pg = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .groupBy("embedding")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("probe_members"))
+        .select(
+            F.col("embedding").alias("pe"),
+            "probe_members",
+            F.element_at("probe_members", 1).alias("pu"),
+        )
     )
     sim = cosine(F.col("pe"), F.col("embedding"))
+    pairs_u = g.crossJoin(F.broadcast(pg)).select(
+        "pu", "probe_members", "gid", "members", "cnt", "label", sim.alias("sim")
+    )
+    # strictly-better expanded-row count = running member total minus the
+    # current sim-tie block's running total; keep while < 6 (5 + one
+    # possible self-exclusion)
+    w_cum = (
+        Window.partitionBy("pu")
+        .orderBy(F.desc("sim"), "gid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tie = (
+        Window.partitionBy("pu", "sim")
+        .orderBy("gid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        pairs_u.withColumn(
+            "_better", F.sum("cnt").over(w_cum) - F.sum("cnt").over(w_tie)
+        )
+        .where(F.col("_better") < 6)
+        .drop("_better")
+    )
+    pairs = chunked_cartesian(
+        kept, "members", "probe_members", "vec_id", "probe_id",
+        payload=("sim", "label"),
+    ).where(F.col("vec_id") != F.col("probe_id"))
     w_nn = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("vec_id"))
     nn = (
-        pairs.select("probe_id", "vec_id", "label", sim.alias("sim"))
+        pairs.select("probe_id", "vec_id", "label", "sim")
         .withColumn("rnk", F.row_number().over(w_nn))
         .where(F.col("rnk") <= 5)
     )
@@ -405,12 +462,30 @@ def llm_ann_ivf(spark, sf_dir):
             F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
         )
     )
-    # assign each vector to nearest cell (broadcast 10 centroids)
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("cell"))
+    # QUOTIENTED probe search (the llm_knn_label pattern): cell
+    # assignment and every probe-candidate cosine depend on a row only
+    # through its embedding, so identical vectors collapse to one
+    # representative for assignment AND search — on the 100× stress
+    # corpus (100 copies/vector) the direct form scanned ~120M
+    # candidate pairs (cells 100× denser × 100× more probes, 140 s);
+    # quotiented, the search runs at unique-vector cost. Expansion uses
+    # the margin-11 keep rule (top-10 + one possible self-exclusion per
+    # probe member — see llm_knn_label for the losslessness argument).
+    from adlspark.llm.dedup import chunked_cartesian
+
+    g = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).localCheckpoint(eager=True)  # feeds assignment + the probe quotient
+    # assign each unique vector to its nearest cell (broadcast centroids)
+    assign_w = Window.partitionBy("gid").orderBy(F.desc("csim"), F.col("cell"))
     assigned = (
-        e.crossJoin(F.broadcast(cent))
+        g.crossJoin(F.broadcast(cent))
         .select(
-            "vec_id",
+            "gid",
+            "members",
+            "cnt",
             "embedding",
             "cell",
             cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
@@ -419,33 +494,58 @@ def llm_ann_ivf(spark, sf_dir):
         .where(F.col("r") == 1)
         .drop("r", "csim")
     )
-    # probes search their 3 nearest cells
-    probes = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
-    )
+    # unique probe embeddings search their 3 nearest cells
     probe_cells = (
-        probes.crossJoin(F.broadcast(cent))
+        g.select(
+            F.col("embedding").alias("pe"),
+            F.expr("filter(members, m -> m % 100 = 0)").alias("probe_members"),
+        )
+        .where(F.size("probe_members") > 0)
+        .withColumn("pu", F.element_at("probe_members", 1))
+        .crossJoin(F.broadcast(cent))
         .select(
-            "probe_id",
+            "pu",
+            "probe_members",
             "pe",
             "cell",
             cosine(F.col("pe"), F.col("centroid")).alias("csim"),
         )
         .withColumn("r", F.row_number().over(
-            Window.partitionBy("probe_id").orderBy(F.desc("csim"), F.col("cell"))
+            Window.partitionBy("pu").orderBy(F.desc("csim"), F.col("cell"))
         ))
         .where(F.col("r") <= 3)
-        .select("probe_id", "pe", "cell")
-    )
-    cands = probe_cells.join(assigned, on="cell").where(
-        F.col("vec_id") != F.col("probe_id")
+        .select("pu", "probe_members", "pe", "cell")
     )
     sim = cosine(F.col("pe"), F.col("embedding"))
+    pairs_u = probe_cells.join(assigned, on="cell").select(
+        "pu", "probe_members", "gid", "members", "cnt", sim.alias("sim")
+    )
+    w_cum = (
+        Window.partitionBy("pu")
+        .orderBy(F.desc("sim"), "gid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tie = (
+        Window.partitionBy("pu", "sim")
+        .orderBy("gid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        pairs_u.withColumn(
+            "_better", F.sum("cnt").over(w_cum) - F.sum("cnt").over(w_tie)
+        )
+        .where(F.col("_better") < 11)
+        .drop("_better")
+    )
+    cands = chunked_cartesian(
+        kept, "members", "probe_members", "neighbor_id", "probe_id",
+        payload=("sim",),
+    ).where(F.col("neighbor_id") != F.col("probe_id"))
     w_nn = Window.partitionBy("probe_id").orderBy(
         F.desc("sim"), F.col("neighbor_id")
     )
     return (
-        cands.select("probe_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        cands.select("probe_id", "neighbor_id", "sim")
         .withColumn("rnk", F.row_number().over(w_nn))
         .where(F.col("rnk") <= 10)
     )
@@ -894,26 +994,51 @@ def llm_ann_ivf_pq(spark, sf_dir):
     m = cb.shape[0]
     e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    n_blocks = 8
-    coded = e.select(
-        "vec_id", _pq_encode_udf(codebook, sub)("embedding").alias("codes")
-    ).withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    # QUOTIENTED scan (the llm_knn_label pattern): encoding and ADC
+    # distance depend on a row only through its embedding, and the probe
+    # set (N/100) scales with the corpus, so the direct P×N gather is
+    # quadratic in duplicate density (72 s at the 100× stress). Identical
+    # vectors collapse to one representative for encode + scan; the
+    # per-block and global keeps are member-count-aware with margin 10
+    # (no self-exclusion here — the probe's own group is a legitimate
+    # neighbor), so the expanded top-10 is preserved; with all counts 1
+    # this reduces exactly to the unquotiented kernel.
+    from adlspark.llm.dedup import chunked_cartesian
 
-    probes = e.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    g = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).localCheckpoint(eager=True)  # feeds encode, probe quotient, expansion
+
+    n_blocks = 8
+    coded = g.select(
+        "gid", "cnt", _pq_encode_udf(codebook, sub)("embedding").alias("codes")
+    ).withColumn("blk", F.pmod(F.col("gid"), F.lit(n_blocks)).cast("int"))
+
+    pg = (
+        g.select(
+            F.col("embedding").alias("pe"),
+            F.expr("filter(members, m -> m % 100 = 0)").alias("probe_members"),
+        )
+        .where(F.size("probe_members") > 0)
+        .withColumn("pu", F.element_at("probe_members", 1))
+        .localCheckpoint(eager=True)  # feeds block replication + expansion
     )
     blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
-    probe_rep = probes.crossJoin(F.broadcast(blocks)).select(
+    probe_rep = pg.crossJoin(F.broadcast(blocks)).select(
         "blk",
-        F.col("probe_id").alias("vec_id"),
+        F.col("pu").alias("vec_id"),
         F.col("pe").alias("payload"),
         F.lit(1).alias("is_probe"),
+        F.lit(1).cast("long").alias("cnt"),
     )
     code_rows = coded.select(
         "blk",
-        "vec_id",
+        F.col("gid").alias("vec_id"),
         F.col("codes").cast("array<double>").alias("payload"),
         F.lit(0).alias("is_probe"),
+        "cnt",
     )
     both = code_rows.unionByName(probe_rep)
 
@@ -928,8 +1053,9 @@ def llm_ann_ivf_pq(spark, sf_dir):
             )
         codes = np.asarray(
             [np.asarray(v, dtype=np.int64) for v in codes_part["payload"]]
-        )  # (n, m)
+        )  # (u, m)
         nids = np.asarray(codes_part["vec_id"], dtype=np.int64)
+        ncnt = np.asarray(codes_part["cnt"], dtype=np.int64)
         pids = np.asarray(probe_part["vec_id"], dtype=np.int64)
         pe = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in probe_part["payload"]]
@@ -937,21 +1063,27 @@ def llm_ann_ivf_pq(spark, sf_dir):
         ps = pe.reshape(len(pids), m, sub)  # (p, m, sub)
         # per-probe LUT: (p, m, k) squared distances probe-sub → codeword
         lut = ((ps[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
-        # gather: dist (p, n) = sum_m lut[p, m, codes[n, m]]
+        # gather: dist (p, u) = sum_m lut[p, m, codes[u, m]]
         dist = np.zeros((len(pids), len(nids)))
         for ms in range(m):
             dist += lut[:, ms, codes[:, ms]]
         out = []
-        top = min(10, dist.shape[1])
         for pi in range(len(pids)):
-            # deterministic top-k: sort by (dist, neighbor_id)
-            order = np.lexsort((nids, dist[pi]))[:top]
+            # deterministic count-aware keep: order by (dist, neighbor
+            # gid); keep every group whose strictly-better expanded
+            # count is < 10 (covers the block's expanded top-10)
+            order = np.lexsort((nids, dist[pi]))
+            ds = dist[pi][order]
+            cum = np.cumsum(ncnt[order])
+            first_eq = np.searchsorted(ds, ds, side="left")
+            better = np.where(first_eq > 0, cum[first_eq - 1], 0)
+            keep = order[better < 10]
             out.append(
                 pd.DataFrame(
                     {
                         "probe_id": pids[pi],
-                        "neighbor_id": nids[order],
-                        "adc_dist": np_round_half_away(dist[pi][order], 6),
+                        "neighbor_id": nids[keep],
+                        "adc_dist": np_round_half_away(dist[pi][keep], 6),
                     }
                 )
             )
@@ -960,11 +1092,49 @@ def llm_ann_ivf_pq(spark, sf_dir):
     per_block = both.groupBy("blk").applyInPandas(
         search_block, "probe_id long, neighbor_id long, adc_dist double"
     )
+    # global count-aware keep over the block survivors (on the rounded
+    # distances the final rank uses), then member expansion + final rank
+    surv = per_block.join(
+        g.select(F.col("gid").alias("neighbor_id"), "members", "cnt"),
+        "neighbor_id",
+    )
+    w_cum = (
+        Window.partitionBy("probe_id")
+        .orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tie = (
+        Window.partitionBy("probe_id", "adc_dist")
+        .orderBy(F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        surv.withColumn(
+            "_better", F.sum("cnt").over(w_cum) - F.sum("cnt").over(w_tie)
+        )
+        .where(F.col("_better") < 10)
+        .drop("_better")
+    )
+    expanded = chunked_cartesian(
+        kept.join(
+            pg.select(F.col("pu").alias("probe_id"), "probe_members"),
+            "probe_id",
+        ),
+        "members",
+        "probe_members",
+        "neighbor_id_m",
+        "probe_id_m",
+        payload=("adc_dist",),
+    ).select(
+        F.col("probe_id_m").alias("probe_id"),
+        F.col("neighbor_id_m").alias("neighbor_id"),
+        "adc_dist",
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return (
-        per_block.withColumn("rnk", F.row_number().over(w))
+        expanded.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 10)
     )
 
@@ -1151,18 +1321,42 @@ def llm_knn_graph(spark, sf_dir):
         else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
     )
     e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    eb = e.withColumn(
-        "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    # QUOTIENTED by identical embedding (the dedup-kernel pattern): both
+    # the probe side and the corpus side scale with N, so duplicate
+    # density makes the block matmul quadratic in copies (the 100×
+    # stress corpus would run 100× the unique-pair flops). Identical
+    # vectors collapse to one representative; every keep below is
+    # member-count-aware with margin K+1 (a member's non-self top-K is
+    # contained in its with-self top-(K+1), and the self row is the only
+    # one expansion removes). The diagonal (g, g) pair is kept — for
+    # cnt ≥ 2 it carries the sim-1.0 sibling pairs; for cnt == 1 the
+    # post-expansion vec≠neighbor filter drops it. Expansion only needs
+    # each neighbor group's K+2 smallest member ids: expanded candidates
+    # order by (sim DESC, id ASC), members of one group are sim-ties, so
+    # at most K+1 non-self rows per group can rank — K+2 covers the one
+    # possible self among them. With all counts 1 this reduces exactly
+    # to the unquotiented kernel.
+    from adlspark.llm.dedup import chunked_cartesian
+
+    g = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).localCheckpoint(eager=True)  # feeds both block sides + 2 expansions
+    eb = g.select("gid", "embedding", "cnt").withColumn(
+        "blk", F.pmod(F.col("gid"), F.lit(n_blocks)).cast("int")
     )
     bp = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
     )
     left = eb.join(F.broadcast(bp), F.col("blk") == F.col("bi")).select(
-        "bi", "bj", "vec_id", "embedding", F.lit(0).alias("side")
+        "bi", "bj", F.col("gid").alias("vec_id"), "embedding", "cnt",
+        F.lit(0).alias("side"),
     )
     right = eb.join(F.broadcast(bp), F.col("blk") == F.col("bj")).select(
-        "bi", "bj", "vec_id", "embedding", F.lit(1).alias("side")
+        "bi", "bj", F.col("gid").alias("vec_id"), "embedding", "cnt",
+        F.lit(1).alias("side"),
     )
 
     def local_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1173,7 +1367,7 @@ def llm_knn_graph(spark, sf_dir):
         sides = [pdf[pdf["side"] == s] for s in (0, 1)]
         if len(sides[0]) == 0 or len(sides[1]) == 0:
             return empty
-        mats, idss = [], []
+        mats, idss, cntss = [], [], []
         for part in sides:
             ids = np.asarray(part["vec_id"], dtype=np.int64)
             m = np.asarray(
@@ -1181,28 +1375,35 @@ def llm_knn_graph(spark, sf_dir):
             )
             mats.append(m / np.linalg.norm(m, axis=1, keepdims=True))
             idss.append(ids)
-        (lm, rm), (lid, rid) = mats, idss
+            cntss.append(np.asarray(part["cnt"], dtype=np.int64))
+        (lm, rm), (lid, rid), (lcnt, rcnt) = mats, idss, cntss
         sims = np_round_half_away(lm @ rm.T, 4)
 
-        def topk_rows(src_ids, dst_ids, sm):
-            # mask self-pairs with -inf so they never rank
-            mask = src_ids[:, None] == dst_ids[None, :]
-            sm = np.where(mask, -np.inf, sm)
-            k = min(K, sm.shape[1])
-            # lexicographic (sim DESC, id ASC): last key is primary
-            order = np.lexsort(
-                (np.broadcast_to(dst_ids, sm.shape), -sm), axis=1
-            )[:, :k]
-            rows = np.repeat(src_ids, k)
-            cols = dst_ids[order.ravel()]
-            vals = np.take_along_axis(sm, order, axis=1).ravel()
-            keep = vals > -np.inf
+        def topk_rows(src_ids, dst_ids, dst_cnt, sm):
+            # count-aware local keep under the exact final order
+            # (sim DESC, id ASC): keep every group whose strictly-better
+            # expanded-row count is < K+1
+            rows, cols, vals = [], [], []
+            for i in range(len(src_ids)):
+                order = np.lexsort((dst_ids, -sm[i]))
+                neg = -sm[i][order]  # ascending
+                cum = np.cumsum(dst_cnt[order])
+                first_eq = np.searchsorted(neg, neg, side="left")
+                better = np.where(first_eq > 0, cum[first_eq - 1], 0)
+                keep = order[better < K + 1]
+                rows.append(np.full(len(keep), src_ids[i], dtype=np.int64))
+                cols.append(dst_ids[keep])
+                vals.append(sm[i][keep])
             return pd.DataFrame(
-                {"vec_id": rows[keep], "neighbor_id": cols[keep], "sim": vals[keep]}
+                {
+                    "vec_id": np.concatenate(rows),
+                    "neighbor_id": np.concatenate(cols),
+                    "sim": np.concatenate(vals),
+                }
             )
-        out = [topk_rows(lid, rid, sims)]
+        out = [topk_rows(lid, rid, rcnt, sims)]
         if not same_block:
-            out.append(topk_rows(rid, lid, sims.T))
+            out.append(topk_rows(rid, lid, lcnt, sims.T))
         return pd.concat(out, ignore_index=True) if out else empty
 
     partial = (
@@ -1210,10 +1411,51 @@ def llm_knn_graph(spark, sf_dir):
         .groupBy("bi", "bj")
         .applyInPandas(local_topk, "vec_id long, neighbor_id long, sim double")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    # global count-aware keep over block survivors, then member expansion
+    surv = partial.join(
+        g.select(
+            F.col("gid").alias("neighbor_id"),
+            F.slice("members", 1, K + 2).alias("nbr_members"),
+            F.col("cnt").alias("ncnt"),
+        ),
+        "neighbor_id",
+    )
+    w_cum = (
+        Window.partitionBy("vec_id")
+        .orderBy(F.desc("sim"), "neighbor_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tie = (
+        Window.partitionBy("vec_id", "sim")
+        .orderBy("neighbor_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        surv.withColumn(
+            "_better", F.sum("ncnt").over(w_cum) - F.sum("ncnt").over(w_tie)
+        )
+        .where(F.col("_better") < K + 1)
+        .join(
+            g.select(
+                F.col("gid").alias("vec_id"),
+                F.col("members").alias("src_members"),
+            ),
+            "vec_id",
+        )
+    )
+    expanded = chunked_cartesian(
+        kept, "src_members", "nbr_members", "vid", "nid", payload=("sim",)
+    ).where(F.col("vid") != F.col("nid"))
+    w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.col("nid"))
     return (
-        partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+        expanded.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= K)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "sim",
+            "rnk",
+        )
     )
 
 

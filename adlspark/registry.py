@@ -76,7 +76,19 @@ _VERIFY_WINDOW = [
     #   re-entered per the invariant.
     "llm_dedup_editdist",
     "llm_sim_threshold_join",
-    # (c) staleness rotation: the 43 r1-era + 5 earliest r2-era keys
+    #   100×-stress quotienting wave 2 (probe sets / graphs that scale
+    #   with the corpus): knn_label, knn_graph, minhash_estimate
+    #   hash-passed the sf0.001+sf0.01 DuckDB oracle in-session
+    #   post-change; ann_ivf / ann_ivf_pq outputs compared bit-equal to
+    #   the unquotiented kernels at both SFs; pagerank re-passed the
+    #   numpy power-iteration parity bar on the expanded graph.
+    "llm_knn_label",
+    "llm_knn_graph",
+    "llm_minhash_estimate",
+    "llm_ann_ivf",
+    "llm_ann_ivf_pq",
+    "llm_graph_pagerank",
+    # (c) staleness rotation: the r1-era keys
     "scan_project",
     "scan_all_tables_counts",
     "ingest_validate_json",
@@ -113,14 +125,10 @@ _VERIFY_WINDOW = [
     "agg_conditional",
     "agg_pivot",
     "agg_unpivot",
-    "win_rownum",
-    "win_topk_group",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_frame",
-    # (win_ntile_pct / llm_text_stats / llm_top_terms / llm_tfidf /
-    # llm_lang_partition_pipeline / llm_langid rotated out to make room
+    # (win_* / win_ntile_pct / llm_text_stats / llm_top_terms /
+    # llm_tfidf / llm_lang_partition_pipeline / llm_langid rotated out
+    # to make room for the twelve (b) re-entries; they rejoin the
+    # staleness rotation next round. Older comment kept for context:
     # for the six (b) re-entries — the driver verifies 50 keys/round;
     # they rejoin the staleness rotation next round.)
 ]
