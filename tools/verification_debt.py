@@ -2,10 +2,16 @@
 
 The external driver verifies the FIRST ~50 keys of ``queries()`` per
 round and records verdicts in ``CORRECTNESS_r*.json``. This tool prints
-every registry key that has never received a verdict (in registry order),
-so the next round's ``_VERIFY_WINDOW`` in ``adlspark/registry.py`` can be
-composed mechanically: debt first, then anything whose code changed after
-its last green verdict (the tool cannot see that — check git log).
+every registry key that has never received a verdict (in registry order)
+plus a staleness ranking of the verified keys (oldest verdict first), so
+the next round's ``_VERIFY_WINDOW`` in ``adlspark/registry.py`` can be
+composed mechanically: (a) latest-verdict failures, (b) anything whose
+code changed after its last green verdict (the tool cannot see that —
+check git log), (c) never-verified debt, (d) fill the remaining slots
+from the top of the staleness ranking. The goal of (d) is the rotation
+policy from the round-6 verdict: every verdict stays ≤5 rounds old,
+because testdata regenerates between rounds and a verdict against
+long-gone parquet files decays in value.
 
 Usage: python tools/verification_debt.py
 """
@@ -56,6 +62,18 @@ def main() -> None:
     for k in debt:
         kind = "oracle" if k in oracles else "rows-only"
         print(f"  {k}  ({kind})")
+
+    # staleness ranking: verified keys, oldest latest-verdict first; ties
+    # broken by registry order so output is stable round over round
+    order = {k: i for i, k in enumerate(keys)}
+    verified = [k for k in keys if k in seen and not seen[k].startswith("FAILED")]
+    verified.sort(key=lambda k: (seen[k].rsplit("-r", 1)[-1], order[k]))
+    in_window = set(registry._VERIFY_WINDOW)
+    print("\nStaleness ranking (oldest latest-verdict first; * = already in "
+          "the current _VERIFY_WINDOW):")
+    for k in verified[:80]:
+        mark = " *" if k in in_window else ""
+        print(f"  {seen[k].rsplit('-', 1)[-1]}  {k}{mark}")
 
 
 if __name__ == "__main__":
