@@ -114,19 +114,37 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True):
     output expansion; on a dup-free corpus it costs one extra hash
     aggregate. Empty token sets are excluded from the J=1.0 expansion
     (0/0 is NaN — not a pair — in the direct computation too).
+
+    NULL lang or NULL toks rows become their OWN singleton groups, not
+    one merged group: groupBy treats NULLs as equal, but in the direct
+    join (and every caller's SQL oracle) a NULL key satisfies no equi
+    conjunct, so null-keyed docs never pair — and expand=False
+    consumers (connected components, triangle counting) must see them
+    as isolated nodes, not as one spurious identity clique.
     """
-    # 0. one representative per unique (lang, token set)
-    g = (
-        d.groupBy("lang", F.array_sort("toks").alias("_skey"))
+    # 0. one representative per unique (lang, token set); null-keyed
+    # rows pass through as singleton groups (see docstring)
+    nullkey = F.col("lang").isNull() | F.col("toks").isNull()
+    grouped = (
+        d.where(~nullkey)
+        .groupBy("lang", F.array_sort("toks").alias("_skey"))
         .agg(
             F.min("doc_id").alias("gid"),
             F.collect_list("doc_id").alias("members"),
             F.first("toks").alias("toks"),
         )
         .drop("_skey")
-        .localCheckpoint(eager=True)  # feeds freq, prefix, verify ×2, expand ×3
     )
-    reps = g.select(F.col("gid").alias("doc_id"), "lang", "toks")
+    singletons = d.where(nullkey).select(
+        "lang",
+        F.col("doc_id").alias("gid"),
+        F.array("doc_id").alias("members"),
+        "toks",
+    )
+    g = grouped.unionByName(singletons).localCheckpoint(
+        eager=True
+    )  # feeds freq, prefix, verify ×2, expand ×3
+    reps = g.where(~nullkey).select(F.col("gid").alias("doc_id"), "lang", "toks")
     tok = reps.select(
         "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("t")
     )
@@ -1498,7 +1516,14 @@ def llm_dedup_editdist(spark, sf_dir):
     """
     d = tables.load(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    b = d.select(
+    # NULL text/lang rows never pair in the unquotiented kernel (every
+    # equi-join conjunct with a NULL key is UNKNOWN) and the oracle's
+    # join drops them the same way — but groupBy treats NULLs as EQUAL,
+    # so without this filter two null-text docs would form one identity
+    # group and the within-group expansion would invent a distance-0
+    # pair neither reference emits. Filtering them out is exactly the
+    # original semantics: null-keyed docs simply never appear in pairs.
+    b = d.where(F.col("text").isNotNull() & F.col("lang").isNotNull()).select(
         "doc_id",
         "lang",
         F.substring("text", 1, 64).alias("t64"),

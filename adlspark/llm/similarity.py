@@ -215,13 +215,18 @@ def llm_sim_threshold_join(spark, sf_dir):
         "sim",
     )
     # zero-norm (and NaN) embeddings never emit pairs in the direct
-    # computation (their normalized sims are NaN) — excluded here too
+    # computation (their normalized sims are NaN) — excluded here too.
+    # The NaN case needs its own predicate: Spark SQL orders NaN above
+    # every numeric, so `NaN > 0` is TRUE and the positivity guard
+    # alone would let a NaN-element group emit sim-1.0 within pairs.
     sq_norm = F.expr(
         "aggregate(embedding, cast(0 as double),"
         " (a, x) -> a + cast(x as double) * cast(x as double))"
     )
     within = chunked_self_pairs(
-        g.where((F.size("members") >= 2) & (sq_norm > 0)).select("members"),
+        g.where(
+            (F.size("members") >= 2) & (sq_norm > 0) & ~F.isnan(sq_norm)
+        ).select("members"),
         "members",
         "id1",
         "id2",
@@ -1071,9 +1076,15 @@ def llm_ann_ivf_pq(spark, sf_dir):
         for pi in range(len(pids)):
             # deterministic count-aware keep: order by (dist, neighbor
             # gid); keep every group whose strictly-better expanded
-            # count is < 10 (covers the block's expanded top-10)
-            order = np.lexsort((nids, dist[pi]))
-            ds = dist[pi][order]
+            # count is < 10 (covers the block's expanded top-10).
+            # The keep MUST be decided on the 6-decimal ROUNDED dists —
+            # the global keep and the final rank order rounded values,
+            # so a keep on raw dists could drop a group whose raw dist
+            # loses in-block but whose rounded dist ties (and then wins
+            # on the neighbor-id tiebreak) in the final order.
+            dist_r = np_round_half_away(dist[pi], 6)
+            order = np.lexsort((nids, dist_r))
+            ds = dist_r[order]
             cum = np.cumsum(ncnt[order])
             first_eq = np.searchsorted(ds, ds, side="left")
             better = np.where(first_eq > 0, cum[first_eq - 1], 0)
@@ -1083,7 +1094,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
                     {
                         "probe_id": pids[pi],
                         "neighbor_id": nids[keep],
-                        "adc_dist": np_round_half_away(dist[pi][keep], 6),
+                        "adc_dist": dist_r[keep],
                     }
                 )
             )

@@ -88,6 +88,20 @@ _VERIFY_WINDOW = [
     "llm_ann_ivf",
     "llm_ann_ivf_pq",
     "llm_graph_pagerank",
+    #   code-review fixes (round-7 continuation): null-keyed docs become
+    #   singleton identity groups in prefix_filter_pairs (they never
+    #   pair — SQL null-join semantics; previously a merged null group
+    #   could emit spurious within-pairs / components), the same null
+    #   guard in the editdist blocker, a NaN-norm guard in the
+    #   threshold-join within path, and the ann_ivf_pq in-block keep now
+    #   decides on the 6-decimal ROUNDED ADC distances the global rank
+    #   uses. Fixture outputs bit-identical (null/NaN-free corpus);
+    #   dup-density + oracle gates re-passed in-session. The affected
+    #   keys above stay in the window; these three are prefix_filter_
+    #   pairs consumers not already listed:
+    "llm_dedup_cluster",
+    "llm_dedup_canonical",
+    "llm_graph_triangles",
     # (c) staleness rotation: the r1-era keys
     "scan_project",
     "scan_all_tables_counts",
@@ -121,16 +135,15 @@ _VERIFY_WINDOW = [
     "agg_percentile",
     "agg_rollup",
     "agg_cube",
-    "agg_grouping_sets",
     "agg_conditional",
-    "agg_pivot",
-    "agg_unpivot",
-    # (win_* / win_ntile_pct / llm_text_stats / llm_top_terms /
-    # llm_tfidf / llm_lang_partition_pipeline / llm_langid rotated out
-    # to make room for the twelve (b) re-entries; they rejoin the
-    # staleness rotation next round. Older comment kept for context:
-    # for the six (b) re-entries — the driver verifies 50 keys/round;
-    # they rejoin the staleness rotation next round.)
+    # Slot arithmetic (the driver verifies the FIRST 50 keys): 1 failed
+    # (a) + 16 code-changed re-entries (b) + 33 staleness keys (c) = 50.
+    # The win_* family, llm_text_stats / llm_top_terms / llm_tfidf /
+    # llm_lang_partition_pipeline / llm_langid, and (this continuation)
+    # agg_grouping_sets / agg_pivot / agg_unpivot were rotated out to
+    # make room for the (b) re-entries; they rejoin the staleness
+    # rotation next round — `python tools/verification_debt.py` prints
+    # the oldest-verdict ranking to fill (c) mechanically.
 ]
 
 

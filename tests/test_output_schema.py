@@ -21,13 +21,12 @@ import pytest
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 from adlspark import registry
+from tests.conftest import SF_DIR  # honors ADLSPARK_TEST_SF_DIR like every suite
 
 # key -> reason; empty today and should stay that way. A key may be
 # whitelisted ONLY if the driver harness itself grows complex-type
 # support (it has not), never for convenience.
 _COMPLEX_OUTPUT_WHITELIST: dict[str, str] = {}
-
-SF_DIR = "/root/testdata/sf0.001"
 
 
 def _registry_keys():
