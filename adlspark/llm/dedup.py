@@ -213,24 +213,7 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True):
     # expansion inside ONE Generate task — the 100× stress corpus has a
     # 23k-member identity group whose 269M within-pairs pinned a single
     # core for minutes while 31 sat idle; chunked_* bounds per-task work)
-    cross_src = (
-        rep_pairs.join(
-            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
-            "id1",
-        )
-        .join(
-            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
-            "id2",
-        )
-        .select("jaccard", "mem_a", "mem_b")
-    )
-    cross = chunked_cartesian(
-        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("jaccard",)
-    ).select(
-        F.least("_m1", "_m2").alias("id1"),
-        F.greatest("_m1", "_m2").alias("id2"),
-        "jaccard",
-    )
+    cross = expand_member_pairs(rep_pairs, g, ("jaccard",), "id1", "id2")
     within = chunked_self_pairs(
         g.where((F.size("members") >= 2) & (F.size("toks") > 0)).select("members"),
         "members",
@@ -310,6 +293,81 @@ def chunked_cartesian(df, arr_a, arr_b, out_a, out_b, payload=(), chunk=PAIR_CHU
         .repartition(p)
         .select(*payload, F.explode("_ca").alias(out_a), "_cb")
         .select(*payload, out_a, F.explode("_cb").alias(out_b))
+    )
+
+
+def expand_member_pairs(rep_pairs, g, payload, out_a, out_b):
+    """Representative pairs → member pairs: the shared CROSS-GROUP
+    expansion tail of every quotiented pair kernel. ``rep_pairs`` has
+    (id1, id2, *payload) keyed by group gid; ``g`` carries (gid,
+    members). Joins both member lists in, runs the chunked cartesian,
+    and re-orients each pair by value — columns (out_a, out_b,
+    *payload) with out_a < out_b, exactly the rows of the naive
+    per-member join. One definition so a fix to the expansion (chunk
+    size, orientation, a null guard) cannot drift across kernels.
+    """
+    payload = list(payload)
+    cross_src = (
+        rep_pairs.join(
+            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
+            "id1",
+        )
+        .join(
+            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
+            "id2",
+        )
+        .select(*payload, "mem_a", "mem_b")
+    )
+    return chunked_cartesian(
+        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=payload
+    ).select(
+        F.least("_m1", "_m2").alias(out_a),
+        F.greatest("_m1", "_m2").alias(out_b),
+        *payload,
+    )
+
+
+def band_bucket_pairs(df, id_col, payload=(), sig_prefix="sig", n_bands=4):
+    """Distinct co-bucketed pairs under 2-rows-per-band MinHash banding —
+    the one definition of the md5-signature LSH candidate generator
+    (the graph builders and the estimate kernel previously each inlined
+    it, so the band count / row layout could drift between the kernels
+    and the expanded-graph references verified against them).
+
+    ``df`` carries ``id_col`` plus columns {sig_prefix}0..{2·n_bands-1};
+    rows sharing BOTH signature values of any band pair up. Returns
+    (id1, id2) with id1 < id2, plus ``{x}1``/``{x}2`` for each payload
+    column x (taken from the id1/id2 side respectively). NULL signature
+    rows pair with nothing (equi-join semantics) — pre-filter them only
+    as an optimization.
+    """
+    payload = list(payload)
+    bands = None
+    for b in range(n_bands):
+        part = df.select(
+            id_col,
+            *payload,
+            F.lit(b).alias("_band"),
+            F.col(f"{sig_prefix}{2 * b}").alias("_bk1"),
+            F.col(f"{sig_prefix}{2 * b + 1}").alias("_bk2"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, c = bands.alias("a"), bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a._band") == F.col("c._band"))
+            & (F.col("a._bk1") == F.col("c._bk1"))
+            & (F.col("a._bk2") == F.col("c._bk2"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"c.{id_col}").alias("id2"),
+            *[F.col(f"a.{x}").alias(f"{x}1") for x in payload],
+            *[F.col(f"c.{x}").alias(f"{x}2") for x in payload],
+        )
+        .distinct()
     )
 
 
@@ -420,24 +478,7 @@ def llm_dedup_minhash(spark, sf_dir):
         .where(F.col("jaccard_dist") <= 0.2)
         .select("id1", "id2", "jaccard_dist")
     )
-    cross_src = (
-        rep_pairs.join(
-            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
-            "id1",
-        )
-        .join(
-            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
-            "id2",
-        )
-        .select("jaccard_dist", "mem_a", "mem_b")
-    )
-    cross = chunked_cartesian(
-        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("jaccard_dist",)
-    ).select(
-        F.least("_m1", "_m2").alias("id1"),
-        F.greatest("_m1", "_m2").alias("id2"),
-        "jaccard_dist",
-    )
+    cross = expand_member_pairs(rep_pairs, g, ("jaccard_dist",), "id1", "id2")
     within = chunked_self_pairs(
         g.where(F.size("members") >= 2).select("members"), "members", "id1", "id2"
     ).select("id1", "id2", F.lit(0.0).alias("jaccard_dist"))
@@ -988,27 +1029,7 @@ def llm_minhash_estimate(spark, sf_dir):
         )
         .localCheckpoint(eager=True)  # feeds banding + both expansions
     )
-    bands = None
-    for b in range(4):
-        part = g.select(
-            "gid",
-            F.lit(b).alias("band"),
-            F.col(sig_cols[2 * b]).alias("k1"),
-            F.col(sig_cols[2 * b + 1]).alias("k2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a, c = bands.alias("a"), bands.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.k1") == F.col("c.k1"))
-            & (F.col("a.k2") == F.col("c.k2"))
-            & (F.col("a.gid") < F.col("c.gid")),
-        )
-        .select(F.col("a.gid").alias("id1"), F.col("c.gid").alias("id2"))
-        .distinct()
-    )
+    cand = band_bucket_pairs(g, "gid")
     sa = g.alias("sa")
     sb = g.alias("sb")
     n_agree = None
@@ -1555,24 +1576,7 @@ def llm_dedup_editdist(spark, sf_dir):
             dist.cast("long").alias("edit_dist"),
         )
     )
-    cross_src = (
-        rep_pairs.join(
-            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
-            "id1",
-        )
-        .join(
-            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
-            "id2",
-        )
-        .select("edit_dist", "mem_a", "mem_b")
-    )
-    cross = chunked_cartesian(
-        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("edit_dist",)
-    ).select(
-        F.least("_m1", "_m2").alias("doc_a"),
-        F.greatest("_m1", "_m2").alias("doc_b"),
-        "edit_dist",
-    )
+    cross = expand_member_pairs(rep_pairs, g, ("edit_dist",), "doc_a", "doc_b")
     within = chunked_self_pairs(
         g.where(F.size("members") >= 2).select("members"),
         "members",

@@ -27,30 +27,11 @@ def _band_edges(spark, sf_dir):
     """Undirected candidate edges: docs sharing any MinHash band bucket
     (4 bands x 2 rows over the 8 salted-md5 signatures). Linear in corpus
     size; bucket self-join only pairs docs inside a bucket."""
-    from adlspark.llm.dedup import llm_minhash_signature
+    from adlspark.llm.dedup import band_bucket_pairs, llm_minhash_signature
 
     sig = llm_minhash_signature(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.col(f"sig{2 * b}").alias("k1"),
-            F.col(f"sig{2 * b + 1}").alias("k2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    c = bands.alias("c")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.k1") == F.col("c.k1"))
-            & (F.col("a.k2") == F.col("c.k2"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("c.doc_id").alias("dst"))
-        .distinct()
+    pairs = band_bucket_pairs(sig, "doc_id").select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
     )
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -72,7 +53,7 @@ def llm_graph_pagerank(spark, sf_dir):
     one-time node count). Rank partitioning is node-keyed and stable
     across rounds; localCheckpoint truncates the lineage each round.
     """
-    from adlspark.llm.dedup import llm_minhash_signature
+    from adlspark.llm.dedup import band_bucket_pairs, llm_minhash_signature
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
@@ -100,32 +81,16 @@ def llm_graph_pagerank(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    bands = None
-    for b in range(4):
-        part = g.where(F.col(sig_cols[2 * b]).isNotNull()).select(
-            "gid",
-            "k",
-            F.lit(b).alias("band"),
-            F.col(sig_cols[2 * b]).alias("k1"),
-            F.col(sig_cols[2 * b + 1]).alias("k2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a, c = bands.alias("a"), bands.alias("c")
-    rep_pairs = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.k1") == F.col("c.k1"))
-            & (F.col("a.k2") == F.col("c.k2"))
-            & (F.col("a.gid") < F.col("c.gid")),
-        )
-        .select(
-            F.col("a.gid").alias("src"),
-            F.col("c.gid").alias("dst"),
-            F.col("a.k").alias("ksrc"),
-            F.col("c.k").alias("kdst"),
-        )
-        .distinct()
+    # shared banding helper — NULL-signature classes (docs absent from
+    # the signature table) pair with nothing either way; the pre-filter
+    # just keeps their rows out of the bucket join
+    rep_pairs = band_bucket_pairs(
+        g.where(F.col(sig_cols[0]).isNotNull()), "gid", payload=("k",)
+    ).select(
+        F.col("id1").alias("src"),
+        F.col("id2").alias("dst"),
+        F.col("k1").alias("ksrc"),
+        F.col("k2").alias("kdst"),
     )
     # per-member degree of class g: (k_g - 1) internal + Σ_adj k_h
     nbk = (

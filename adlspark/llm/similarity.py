@@ -122,7 +122,7 @@ def llm_sim_threshold_join(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from adlspark.llm.dedup import chunked_cartesian, chunked_self_pairs
+    from adlspark.llm.dedup import chunked_self_pairs, expand_member_pairs
 
     # Block count scales with the CLUSTER, not the data: B(B+1)/2 block-
     # pair groups should cover the available parallelism, so B ≈
@@ -196,24 +196,7 @@ def llm_sim_threshold_join(spark, sf_dir):
     )
     # representative pairs → member pairs (pure output work, chunked so
     # a mega-group's k² never serializes one Generate task)
-    cross_src = (
-        rep_pairs.join(
-            g.select(F.col("gid").alias("id1"), F.col("members").alias("mem_a")),
-            "id1",
-        )
-        .join(
-            g.select(F.col("gid").alias("id2"), F.col("members").alias("mem_b")),
-            "id2",
-        )
-        .select("sim", "mem_a", "mem_b")
-    )
-    cross = chunked_cartesian(
-        cross_src, "mem_a", "mem_b", "_m1", "_m2", payload=("sim",)
-    ).select(
-        F.least("_m1", "_m2").alias("id1"),
-        F.greatest("_m1", "_m2").alias("id2"),
-        "sim",
-    )
+    cross = expand_member_pairs(rep_pairs, g, ("sim",), "id1", "id2")
     # zero-norm (and NaN) embeddings never emit pairs in the direct
     # computation (their normalized sims are NaN) — excluded here too.
     # The NaN case needs its own predicate: Spark SQL orders NaN above
