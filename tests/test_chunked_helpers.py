@@ -1,0 +1,159 @@
+"""Direct unit bars for the shared pair-expansion / banding helpers.
+
+Every quotiented pair kernel now routes through ``chunked_self_pairs``,
+``chunked_cartesian``, ``expand_member_pairs``, and (for the signature
+family) ``band_bucket_pairs`` (adlspark/llm/dedup.py), so these helpers
+are the single point of failure for the whole family. The kernels test
+them transitively through DuckDB oracles on realistic corpora; these
+tests pin the helper ALGEBRA itself against naive constructions over
+randomized inputs, including the chunk-boundary cases the fixtures
+never hit (chunk sizes 1/2/3 around array lengths, empty arrays,
+single-element groups, bucket collisions).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from adlspark.llm.dedup import (
+    band_bucket_pairs,
+    chunked_cartesian,
+    chunked_self_pairs,
+    expand_member_pairs,
+)
+
+
+def _member_rows(seed, n_rows, max_len):
+    """Disjoint member lists whose ids INTERLEAVE across rows — a
+    consecutive-range layout would make least/greatest re-orientation
+    vacuous (every cross-row pair already ordered by construction)."""
+    rng = random.Random(seed)
+    sizes = [rng.randint(0, max_len) for _ in range(n_rows)]
+    ids = list(range(sum(sizes)))
+    rng.shuffle(ids)
+    rows, pos = [], 0
+    for k in sizes:
+        rows.append(sorted(ids[pos : pos + k]))
+        pos += k
+    return rows
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("chunk", [1, 2, 3, 512])
+def test_chunked_self_pairs_equals_naive(spark, seed, chunk):
+    rows = _member_rows(seed, n_rows=6, max_len=7)
+    df = spark.createDataFrame(
+        [Row(tag=i, members=m) for i, m in enumerate(rows)]
+    )
+    got = sorted(
+        map(
+            tuple,
+            chunked_self_pairs(
+                df, "members", "a", "b", payload=("tag",), chunk=chunk
+            ).collect(),
+        )
+    )
+    want = sorted(
+        (i, a, b)
+        for i, m in enumerate(rows)
+        for a in m
+        for b in m
+        if a < b
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("chunk", [1, 2, 3, 512])
+def test_chunked_cartesian_equals_naive(spark, seed, chunk):
+    rng = random.Random(100 + seed)
+    rows = []
+    for i in range(5):
+        la = [rng.randint(0, 50) for _ in range(rng.randint(0, 5))]
+        lb = [rng.randint(60, 110) for _ in range(rng.randint(0, 5))]
+        rows.append((i, la, lb))
+    df = spark.createDataFrame(
+        [Row(tag=i, ma=a, mb=b) for i, a, b in rows]
+    )
+    got = sorted(
+        map(
+            tuple,
+            chunked_cartesian(
+                df, "ma", "mb", "x", "y", payload=("tag",), chunk=chunk
+            ).collect(),
+        )
+    )
+    want = sorted((i, x, y) for i, a, b in rows for x in a for y in b)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_expand_member_pairs_equals_naive_double_join(spark, seed):
+    groups = [m for m in _member_rows(200 + seed, n_rows=7, max_len=5) if m]
+    g = spark.createDataFrame(
+        [Row(gid=min(m), members=m) for m in groups]
+    )
+    gids = [min(m) for m in groups]
+    rng = random.Random(300 + seed)
+    rep_pairs_py = [
+        (a, b, round(rng.random(), 3))
+        for a in gids
+        for b in gids
+        if a < b and rng.random() < 0.5
+    ]
+    if not rep_pairs_py:
+        rep_pairs_py = [(gids[0], gids[1], 0.5)]
+    rp = spark.createDataFrame(
+        [Row(id1=a, id2=b, score=s) for a, b, s in rep_pairs_py]
+    )
+    got = sorted(
+        map(
+            tuple,
+            expand_member_pairs(rp, g, ("score",), "da", "db").collect(),
+        )
+    )
+    by_gid = {min(m): m for m in groups}
+    want = sorted(
+        (min(x, y), max(x, y), s)
+        for a, b, s in rep_pairs_py
+        for x in by_gid[a]
+        for y in by_gid[b]
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_band_bucket_pairs_equals_naive(spark, seed):
+    rng = random.Random(400 + seed)
+    # tiny signature domain forces real bucket collisions; some NULL
+    # signature rows must pair with nothing (equi-join semantics)
+    rows = []
+    for i in range(12):
+        if rng.random() < 0.15:
+            sigs = [None] * 8
+        else:
+            sigs = [rng.randint(0, 2) for _ in range(8)]
+        rows.append((i, sigs))
+    df = spark.createDataFrame(
+        [Row(nid=i, **{f"sig{j}": s[j] for j in range(8)}) for i, s in rows]
+    )
+    got = sorted(
+        map(
+            tuple,
+            band_bucket_pairs(df, "nid", payload=("sig0",)).collect(),
+        )
+    )
+    want = set()
+    for i, si in rows:
+        for j, sj in rows:
+            if i >= j or si[0] is None or sj[0] is None:
+                continue
+            for b in range(4):
+                if si[2 * b] == sj[2 * b] and si[2 * b + 1] == sj[2 * b + 1]:
+                    want.add((i, j, si[0], sj[0]))
+                    break
+    assert got == sorted(want)
