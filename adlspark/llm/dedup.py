@@ -1039,22 +1039,10 @@ def llm_minhash_estimate(spark, sf_dir):
     rep_pairs = (
         cand.join(sa, cand.id1 == F.col("sa.gid"))
         .join(sb, cand.id2 == F.col("sb.gid"))
-        .select(
-            "id1",
-            "id2",
-            n_agree.alias("n_agree"),
-            F.col("sa.members").alias("mem_a"),
-            F.col("sb.members").alias("mem_b"),
-        )
+        .select("id1", "id2", n_agree.alias("n_agree"))
         .where(F.col("n_agree") >= 4)
     )
-    cross = chunked_cartesian(
-        rep_pairs, "mem_a", "mem_b", "_m1", "_m2", payload=("n_agree",)
-    ).select(
-        F.least("_m1", "_m2").alias("doc_a"),
-        F.greatest("_m1", "_m2").alias("doc_b"),
-        "n_agree",
-    )
+    cross = expand_member_pairs(rep_pairs, g, ("n_agree",), "doc_a", "doc_b")
     within = chunked_self_pairs(
         g.where(F.size("members") >= 2).select("members"),
         "members",
@@ -1259,13 +1247,19 @@ def llm_substring_dedup(spark, sf_dir):
     the final equi-join carries only hashes with ≥2 distinct docs, a
     vanishing fraction of window volume on real corpora."""
     d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # guard: Spark sequence(1, 0) is DESCENDING [1, 0], not empty like
+    # DuckDB generate_series — a ≤7-token (or NULL-text) doc would emit
+    # two phantom md5('') windows and diverge from the oracle's zero
     wins = d.withColumn("_toks", F.split("text", " ")).select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(_toks) - 7, 0)),"
-                " i -> md5(concat_ws(' ', slice(_toks, i, 8))))"
-            )
+            F.when(
+                F.size(F.col("_toks")) >= 8,
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 7),"
+                    " i -> md5(concat_ws(' ', slice(_toks, i, 8))))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
         ).alias("wh"),
     )
     dup = (

@@ -71,18 +71,32 @@ def llm_graph_pagerank(spark, sf_dir):
     # ranks are exactly their class rank, expanded at the end.
     sig_cols = [f"sig{i}" for i in range(8)]
     sig = llm_minhash_signature(spark, sf_dir)
-    g = (
-        docs.join(sig, "doc_id", "left")
+    joined = docs.join(sig, "doc_id", "left")
+    # Sig-less docs (left-join miss) become SINGLETON classes, never one
+    # merged all-NULL class: groupBy treats NULL keys as equal, and a
+    # merged class of k ≥ 2 would get an internal self-edge — cycling
+    # rank mass between docs that are ISOLATED dangling nodes in the
+    # expanded graph. Unreachable today (every doc, even NULL text,
+    # yields the [''] shingle and thus a signature — probed), but the
+    # defensive path must be correct, not merely present.
+    grouped = (
+        joined.where(F.col(sig_cols[0]).isNotNull())
         .groupBy(*sig_cols)
         .agg(
             F.min("doc_id").alias("gid"),
             F.sort_array(F.collect_list("doc_id")).alias("members"),
             F.count(F.lit(1)).alias("k"),
         )
-        .localCheckpoint()
     )
-    # shared banding helper — NULL-signature classes (docs absent from
-    # the signature table) pair with nothing either way; the pre-filter
+    lone = joined.where(F.col(sig_cols[0]).isNull()).select(
+        *sig_cols,
+        F.col("doc_id").alias("gid"),
+        F.array("doc_id").alias("members"),
+        F.lit(1).cast("long").alias("k"),
+    )
+    g = grouped.unionByName(lone).localCheckpoint()
+    # shared banding helper — the sig-less singletons carry NULL band
+    # keys and could never match the equi-join anyway; the pre-filter
     # just keeps their rows out of the bucket join
     rep_pairs = band_bucket_pairs(
         g.where(F.col(sig_cols[0]).isNotNull()), "gid", payload=("k",)

@@ -78,8 +78,19 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
        round({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.4
+  AND NOT isnan({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))
 """,
 )
+# The NOT isnan conjunct states the operator contract explicitly:
+# NaN-element and zero-norm vectors (sim = NaN) never pair. SQL engines
+# order NaN ABOVE every numeric, so a bare `sim >= 0.4` would EMIT every
+# NaN pair in DuckDB (and Spark SQL) while the kernel's numpy matmul
+# drops them (NaN comparisons are false in IEEE semantics) — the guard
+# makes oracle and kernel agree on the IEEE reading. Observation-
+# equivalent on the NaN-free fixtures; exercised with true-NaN vectors
+# by tests/test_null_robustness.py (mutation-checked in both
+# directions: deleting either this conjunct or the kernel's
+# ~isnan(sq_norm) guard fails the gate).
 def llm_sim_threshold_join(spark, sf_dir):
     """All vector pairs with cosine ≥ 0.4 (similarity self-join).
 

@@ -876,10 +876,19 @@ def llm_entropy_filter(spark, sf_dir):
     |alphabet| rows per doc regardless of document length.
     """
     d = tables.load(spark, sf_dir, "documents")
+    # guard: Spark sequence(1, 0) is DESCENDING [1, 0], not empty like
+    # DuckDB generate_series — an empty-text doc would emit two phantom
+    # '' chars (entropy-0 row) where the oracle emits no row at all
     ch = d.select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+            F.when(
+                F.length("text") >= 1,
+                F.expr(
+                    "transform(sequence(1, length(text)),"
+                    " i -> substring(text, i, 1))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
         ).alias("c"),
     )
     cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))

@@ -102,6 +102,14 @@ _VERIFY_WINDOW = [
     "llm_dedup_cluster",
     "llm_dedup_canonical",
     "llm_graph_triangles",
+    #   second review wave: sequence(1, 0)-descending guards (a ≤7-token
+    #   doc invented phantom md5('') windows in substring_dedup; an
+    #   empty-text doc invented a phantom entropy-0 row in
+    #   entropy_filter — both diverge from DuckDB's empty
+    #   generate_series and are pinned by the new short/empty-text
+    #   corpus in tests/test_null_robustness.py):
+    "llm_substring_dedup",
+    "llm_entropy_filter",
     # (c) staleness rotation: the r1-era keys
     "scan_project",
     "scan_all_tables_counts",
@@ -133,17 +141,16 @@ _VERIFY_WINDOW = [
     "agg_approx_distinct",
     "agg_having",
     "agg_percentile",
-    "agg_rollup",
-    "agg_cube",
     "agg_conditional",
     # Slot arithmetic (the driver verifies the FIRST 50 keys): 1 failed
-    # (a) + 16 code-changed re-entries (b) + 33 staleness keys (c) = 50.
+    # (a) + 18 code-changed re-entries (b) + 31 staleness keys (c) = 50.
     # The win_* family, llm_text_stats / llm_top_terms / llm_tfidf /
     # llm_lang_partition_pipeline / llm_langid, and (this continuation)
-    # agg_grouping_sets / agg_pivot / agg_unpivot were rotated out to
-    # make room for the (b) re-entries; they rejoin the staleness
-    # rotation next round — `python tools/verification_debt.py` prints
-    # the oldest-verdict ranking to fill (c) mechanically.
+    # agg_grouping_sets / agg_pivot / agg_unpivot / agg_rollup /
+    # agg_cube were rotated out to make room for the (b) re-entries;
+    # they rejoin the staleness rotation next round — `python
+    # tools/verification_debt.py` prints the oldest-verdict ranking to
+    # fill (c) mechanically.
 ]
 
 

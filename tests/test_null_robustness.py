@@ -12,12 +12,13 @@ emits; two NaN-embedding rows emitted a sim-1.0 within pair.
 
 These tests build corpora that CONTAIN such rows and re-run the exact
 driver compare (hash parity vs the DuckDB oracle), so the null paths
-stay load-bearing. NULL-TEXT rows are excluded from the shingle-based
-keys (ngram_jaccard / containment): their builders map NULL text to the
-``['']`` shingle set on the Spark side — a known, fixture-guarded
-engine divergence documented in test_fixture_invariants.py — so those
-keys are gated on the null-LANG corpus only, where shingles are equal
-and non-null and the lang key carries the null.
+stay load-bearing. The shingle family turned out to AGREE on NULL text
+(both engines' concat_ws swallows NULLs into the [''] shingle set —
+probed empirically, round-7 continuation), so those keys are pinned on
+the null-text corpus too. The third corpus covers EMPTY and SHORT
+texts: Spark's ``sequence(1, 0)`` is descending [1, 0] where DuckDB's
+generate_series is empty, which invented phantom windows/chars in
+llm_substring_dedup and llm_entropy_filter until guarded.
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ SLICE = 60  # base rows kept (oracle cost control)
 
 
 def _corpus(tmp_path_factory, sf_dir, name, mutate_documents=None,
-            mutate_embeddings=None):
+            mutate_embeddings_tbl=None):
     d = tmp_path_factory.mktemp(name)
     for t in adl_tables.TABLES:
         tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
@@ -49,13 +50,11 @@ def _corpus(tmp_path_factory, sf_dir, name, mutate_documents=None,
             tbl = pa.Table.from_pandas(
                 df, schema=tbl.schema, preserve_index=False
             )
-        if t == "embeddings" and mutate_embeddings is not None:
-            df = tbl.to_pandas()
-            df = df[df["vec_id"] < SLICE].reset_index(drop=True)
-            df = mutate_embeddings(df)
-            tbl = pa.Table.from_pandas(
-                df, schema=tbl.schema, preserve_index=False
-            )
+        if t == "embeddings" and mutate_embeddings_tbl is not None:
+            # arrow-level mutation: pandas round-trips silently convert
+            # NaN list elements to NULL (this fixture originally shipped
+            # a NaN-free "NaN corpus" that way — reviewer-caught)
+            tbl = mutate_embeddings_tbl(tbl)
         pq.write_table(tbl, str(d / f"{t}.parquet"))
     return str(d)
 
@@ -104,26 +103,40 @@ def null_lang_dir(tmp_path_factory, sf_dir):
 
 @pytest.fixture(scope="module")
 def nan_embed_dir(tmp_path_factory, sf_dir):
-    """Two identical NaN-element embeddings and two identical zero-norm
-    embeddings: with `NaN > 0` TRUE in Spark, an unguarded within-group
-    expansion emits sim-1.0 pairs the direct computation never does."""
+    """Two identical TRUE-NaN-element embeddings and two identical
+    zero-norm embeddings: with `NaN > 0` TRUE in Spark SQL (and
+    `NaN >= 0.4` TRUE in DuckDB), an unguarded within-group expansion
+    or an unguarded oracle WHERE emits pairs the IEEE reading never
+    does. Built at the arrow level so the NaN survives the parquet
+    write; the test asserts its presence."""
 
-    def mut(df):
-        dim = len(df.loc[0, "embedding"])
-        nan_vec = np.zeros(dim, dtype=np.float32)
-        nan_vec[0] = np.nan
-        zero_vec = np.zeros(dim, dtype=np.float32)
-        extra = pd.DataFrame(
-            {
-                "vec_id": [920001, 920002, 920011, 920012],
-                "embedding": [nan_vec, nan_vec.copy(), zero_vec,
-                              zero_vec.copy()],
-                "label": np.int32([0, 0, 1, 1]),
-            }
+    def mut_tbl(tbl):
+        import pyarrow.compute as pc
+
+        base = tbl.filter(pc.less(tbl["vec_id"], SLICE)).replace_schema_metadata(
+            None
         )
-        return pd.concat([df, extra], ignore_index=True)
+        dim = len(base["embedding"][0])
+        nan_vec = [float("nan")] + [0.0] * (dim - 1)
+        zero_vec = [0.0] * dim
+        sch = base.schema
+        extra = pa.table(
+            {
+                "vec_id": pa.array(
+                    [920001, 920002, 920011, 920012], sch.field("vec_id").type
+                ),
+                "embedding": pa.array(
+                    [nan_vec, nan_vec, zero_vec, zero_vec],
+                    sch.field("embedding").type,
+                ),
+                "label": pa.array([0, 0, 1, 1], sch.field("label").type),
+            }
+        ).select(base.column_names)
+        return pa.concat_tables([base, extra.cast(sch)])
 
-    return _corpus(tmp_path_factory, sf_dir, "nanembed", mutate_embeddings=mut)
+    return _corpus(
+        tmp_path_factory, sf_dir, "nanembed", mutate_embeddings_tbl=mut_tbl
+    )
 
 
 def _ddb(corpus_dir):
@@ -143,6 +156,20 @@ NULL_TEXT_KEYS = [
     "llm_dedup_canonical",
     "llm_graph_triangles",
     "llm_dedup_editdist",
+    # the shingle family maps NULL text to the [''] shingle set on BOTH
+    # engines (concat_ws swallows NULLs identically; probed round-7
+    # continuation) — these pins hold that agreement in place
+    "llm_minhash_signature",
+    "llm_minhash_estimate",
+    "llm_ngram_jaccard",
+    "llm_containment_dedup",
+    "llm_prefix_dedup",
+    "llm_paragraph_dedup",
+    "llm_winnow_fingerprint",
+    "llm_simhash",
+    # sequence(1, 0) descending-trap guards (fixed round-7 continuation)
+    "llm_substring_dedup",
+    "llm_entropy_filter",
 ]
 
 NULL_LANG_KEYS = [
@@ -182,6 +209,21 @@ def test_null_lang_parity(spark, null_lang_dir, key):
 def test_nan_zero_norm_embedding_parity(spark, nan_embed_dir):
     from adlspark.testing import compare
 
+    # the corpus must actually CONTAIN a NaN — a pandas round-trip
+    # silently degrades NaN list elements to NULL, which exercises the
+    # null path instead of the NaN ordering trap under test
+    flat = (
+        pq.read_table(
+            f"{nan_embed_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .column("embedding")
+        .combine_chunks()
+        .flatten()
+    )
+    vals = flat.to_numpy(zero_copy_only=False)
+    assert np.isnan(vals).sum() == 2, "fixture lost its NaN elements"
+    assert flat.null_count == 0
+
     con = _ddb(nan_embed_dir)
     try:
         df = all_queries()["llm_sim_threshold_join"](spark, nan_embed_dir)
@@ -189,6 +231,63 @@ def test_nan_zero_norm_embedding_parity(spark, nan_embed_dir):
             df, con, all_oracles()["llm_sim_threshold_join"],
             key="llm_sim_threshold_join",
         )
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def edge_text_dir(tmp_path_factory, sf_dir):
+    """EMPTY and SHORT texts — the other fixture blind spot: Spark's
+    ``sequence(1, 0)`` is DESCENDING [1, 0] while DuckDB's
+    generate_series(1, 0) is empty, so an unguarded window/char builder
+    emits phantom rows for docs below its window size (llm_substring_
+    dedup: ≤7 tokens; llm_entropy_filter: empty text). Identical-pair
+    copies make the phantom rows count as duplicates, the loudest
+    divergence."""
+
+    def mut(df):
+        extra = pd.DataFrame(
+            {
+                "doc_id": [930001, 930002, 930011, 930012, 930021, 930022],
+                "text": ["", "", "just three tokens", "just three tokens",
+                         "exactly eight tokens are in this very text",
+                         "exactly eight tokens are in this very text"],
+                "lang": ["en"] * 6,
+                "source": ["edgetest"] * 6,
+                "n_chars": [0, 0, 17, 17, 42, 42],
+            }
+        )
+        return pd.concat([df, extra], ignore_index=True)
+
+    return _corpus(tmp_path_factory, sf_dir, "edgetext", mutate_documents=mut)
+
+
+EDGE_TEXT_KEYS = [
+    "llm_substring_dedup",
+    "llm_entropy_filter",
+    "llm_dedup_exact",
+    "llm_near_dup_pairs",
+    "llm_dedup_editdist",
+    "llm_ngram_jaccard",
+    "llm_minhash_signature",
+    "llm_minhash_estimate",
+    "llm_containment_dedup",
+    "llm_prefix_dedup",
+    "llm_paragraph_dedup",
+    "llm_winnow_fingerprint",
+    "llm_simhash",
+    "llm_dedup_cluster",
+]
+
+
+@pytest.mark.parametrize("key", EDGE_TEXT_KEYS)
+def test_edge_text_parity(spark, edge_text_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(edge_text_dir)
+    try:
+        df = all_queries()[key](spark, edge_text_dir)
+        compare(df, con, all_oracles()[key], key=key)
     finally:
         con.close()
 
