@@ -562,10 +562,17 @@ def llm_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fp_md5"),
-        F.md5(
-            F.concat_ws(
-                " ", F.sort_array(F.array_distinct(F.split("text", " ")))
-            ).cast("binary")
+        # NULL text -> NULL fingerprint on BOTH columns: concat_ws would
+        # swallow the NULL into md5('') here while DuckDB's
+        # array_to_string(NULL) stays NULL — no content, no fingerprint
+        F.when(
+            F.col("text").isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.md5(
+                F.concat_ws(
+                    " ", F.sort_array(F.array_distinct(F.split("text", " ")))
+                ).cast("binary")
+            )
         ).alias("fp_tokens"),
     )
 

@@ -237,8 +237,13 @@ def mm_phash_dedup(spark, sf_dir):
             # First 128 CHARACTERS (not bytes): the oracle's
             # substring(text,1,128) is character-based, and the two only
             # coincide while fixtures stay ASCII-prefixed.
+            # NULL payload -> NULL phash (bytes(None) raises); both
+            # engines then group the NULL-phash rows into one window
+            # partition, matching the oracle's PARTITION BY on NULL
             out["phash"] = [
-                int(
+                None
+                if p is None
+                else int(
                     _hl.sha256(
                         bytes(p).decode("utf-8")[:128].encode("utf-8")
                     ).hexdigest()[:4],

@@ -1059,9 +1059,13 @@ WITH tok AS (
 ), feat AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
-         CAST(list_sum(list_transform(toks, x ->
+         -- empty-vs-null split: DuckDB list_sum([]) is NULL where
+         -- Spark's aggregate seeds 0L, so an EMPTY-token doc coalesces
+         -- to margin 0 — but a NULL-text doc stays NULL on both sides
+         CAST(CASE WHEN toks IS NULL THEN NULL
+              ELSE coalesce(list_sum(list_transform(toks, x ->
            (CAST('0x' || substring(md5(x), 1, 15) AS BIGINT) % 1024)
-             * 2654435761 % 2001 - 1000)) AS BIGINT) AS margin
+             * 2654435761 % 2001 - 1000)), 0) END AS BIGINT) AS margin
   FROM tok
 )
 SELECT doc_id, n_tokens, margin,
@@ -1181,8 +1185,12 @@ def llm_text_normalize(spark, sf_dir):
 WITH f AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-         CAST(list_sum(list_transform(list_filter(string_split(text, ' '),
-           x -> x <> ''), x -> len(x))) AS BIGINT) AS sum_word_len,
+         -- empty-vs-null split: DuckDB list_sum([]) is NULL where
+         -- Spark's aggregate seeds 0L, so an EMPTY-token doc sums to 0
+         -- — but a NULL-text doc stays NULL on both sides
+         CAST(CASE WHEN text IS NULL THEN NULL
+              ELSE coalesce(list_sum(list_transform(list_filter(string_split(text, ' '),
+           x -> x <> ''), x -> len(x))), 0) END AS BIGINT) AS sum_word_len,
          len(list_filter(string_split(text, ' '),
            x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')))
            AS n_stop,

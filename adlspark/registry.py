@@ -110,6 +110,16 @@ _VERIFY_WINDOW = [
     #   corpus in tests/test_null_robustness.py):
     "llm_substring_dedup",
     "llm_entropy_filter",
+    #   third wave (full document-reading-key sweep over the null/edge
+    #   corpora): NULL-text fingerprint NULLs both columns, NULL payload
+    #   phash is NULL instead of a worker crash, and the two quality
+    #   oracles coalesce DuckDB's list_sum([])=NULL to Spark's seeded 0
+    #   (oracle-only edits for those two, observation-equivalent on the
+    #   empty-free fixtures):
+    "llm_fingerprint",
+    "mm_phash_dedup",
+    "llm_quality_classifier",
+    "llm_gopher_rules",
     # (c) staleness rotation: the r1-era keys
     "scan_project",
     "scan_all_tables_counts",
@@ -137,20 +147,17 @@ _VERIFY_WINDOW = [
     "join_skew_salted",
     "agg_group_q1",
     "agg_global",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_percentile",
     "agg_conditional",
     # Slot arithmetic (the driver verifies the FIRST 50 keys): 1 failed
-    # (a) + 18 code-changed re-entries (b) + 31 staleness keys (c) = 50.
+    # (a) + 22 code-changed re-entries (b) + 27 staleness keys (c) = 50.
     # The win_* family, llm_text_stats / llm_top_terms / llm_tfidf /
     # llm_lang_partition_pipeline / llm_langid, and (this continuation)
     # agg_grouping_sets / agg_pivot / agg_unpivot / agg_rollup /
-    # agg_cube were rotated out to make room for the (b) re-entries;
-    # they rejoin the staleness rotation next round — `python
-    # tools/verification_debt.py` prints the oldest-verdict ranking to
-    # fill (c) mechanically.
+    # agg_cube / agg_count_distinct / agg_approx_distinct / agg_having /
+    # agg_percentile were rotated out to make room for the (b)
+    # re-entries; they rejoin the staleness rotation next round —
+    # `python tools/verification_debt.py` prints the oldest-verdict
+    # ranking to fill (c) mechanically.
 ]
 
 

@@ -170,6 +170,16 @@ NULL_TEXT_KEYS = [
     # sequence(1, 0) descending-trap guards (fixed round-7 continuation)
     "llm_substring_dedup",
     "llm_entropy_filter",
+    # full document-reading-key sweep finds (round-7 continuation):
+    # NULL text -> NULL fingerprint (concat_ws would md5('') where
+    # DuckDB's array_to_string(NULL) stays NULL); NULL payload -> NULL
+    # phash (bytes(None) crashed the worker)
+    "llm_fingerprint",
+    "mm_phash_dedup",
+    # empty-vs-null split in the quality oracles: coalesce only inside
+    # non-null text, NULL-text rows stay NULL on both sides
+    "llm_quality_classifier",
+    "llm_gopher_rules",
 ]
 
 NULL_LANG_KEYS = [
@@ -277,6 +287,11 @@ EDGE_TEXT_KEYS = [
     "llm_winnow_fingerprint",
     "llm_simhash",
     "llm_dedup_cluster",
+    # full-sweep finds: DuckDB list_sum([]) is NULL where Spark's
+    # aggregate seeds 0 — the quality oracles now coalesce to 0
+    "llm_quality_classifier",
+    "llm_gopher_rules",
+    "llm_fingerprint",
 ]
 
 
