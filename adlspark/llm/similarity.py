@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from adlspark import tables
 from adlspark.llm.vector import (
+    O_EMB_WHERE,
     cosine,
     dot,
+    load_embeddings,
     norm,
     np_round_half_away,
     o_cosine,
@@ -29,8 +31,8 @@ from adlspark.registry import query
     "llm_sim_topk",
     oracle=f"""
 WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-           WHERE vec_id < 5),
-     c AS (SELECT vec_id, embedding FROM embeddings)
+           WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
+     c AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)
 SELECT probe_id, neighbor_id, sim, rnk FROM (
   SELECT p.probe_id, c.vec_id AS neighbor_id,
          {o_cosine('p.pe', 'c.embedding')} AS sim,
@@ -49,7 +51,7 @@ def llm_sim_topk(spark, sf_dir):
     big side; ranking is on the ROUNDED similarity (both engines) so rank
     order is stable cross-engine, with vec_id as tiebreak.
     """
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
@@ -73,6 +75,7 @@ def llm_sim_topk(spark, sf_dir):
 WITH n AS (
   SELECT vec_id, embedding, sqrt({o_dot('embedding', 'embedding')}) AS nrm
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 )
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        round({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS sim
@@ -148,7 +151,7 @@ def llm_sim_threshold_join(spark, sf_dir):
         if env_blocks
         else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
     )
-    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     g = (
         e.groupBy("embedding")
         .agg(
@@ -232,8 +235,8 @@ def llm_sim_threshold_join(spark, sf_dir):
     "llm_knn_label",
     oracle=f"""
 WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-           WHERE vec_id % 100 = 0),
-     c AS (SELECT vec_id, embedding, label FROM embeddings),
+           WHERE vec_id % 100 = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
+     c AS (SELECT vec_id, embedding, label FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
      nn AS (
        SELECT probe_id, label FROM (
          SELECT p.probe_id, c.label,
@@ -279,7 +282,7 @@ def llm_knn_label(spark, sf_dir):
     """
     from adlspark.llm.dedup import chunked_cartesian
 
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     g = e.groupBy("embedding", "label").agg(
         F.min("vec_id").alias("gid"),
         F.sort_array(F.collect_list("vec_id")).alias("members"),
@@ -346,9 +349,15 @@ WITH expl AS (
          generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 ), cent AS (
   SELECT label, pos,
-         round(CAST(sum(CAST(val AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+         -- isnan guard: Spark's NaN→DECIMAL cast is silently NULL (the
+         -- element drops out of the exact sum but stays in count(*));
+         -- DuckDB's would ERROR, so it takes the same NULL explicitly
+         round(CAST(sum(CASE WHEN isnan(val) THEN NULL
+                             ELSE CAST(val AS DECIMAL(38,10)) END)
+                    AS DOUBLE) / count(*), 6)
            AS centroid
   FROM expl GROUP BY label, pos
 )
@@ -362,7 +371,7 @@ def llm_embed_centroids(spark, sf_dir):
     """Per-label centroid (element-wise mean via posexplode + decimal-exact
     average) + the centroid's L2 norm. The explode is the scalable form:
     (N·64)-row shuffle keyed by (label, pos), perfectly parallel."""
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     expl = e.select("label", F.posexplode("embedding")).select(
         "label", "pos", F.col("col").cast("double").alias("val")
     )
@@ -387,12 +396,15 @@ def llm_embed_centroids(spark, sf_dir):
 @query(
     "llm_multimodal_struct",
     oracle=f"""
-WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+WITH probe AS (SELECT embedding AS pe FROM embeddings
+               WHERE vec_id = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
      m AS (
        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
               e.embedding, e.label, probe.pe
        FROM documents d
-         JOIN embeddings e ON d.doc_id = e.vec_id
+         JOIN embeddings e
+           ON d.doc_id = e.vec_id AND e.embedding IS NOT NULL
+          AND len(e.embedding) > 0
          CROSS JOIN probe
      )
 SELECT doc_id, lang, n_chars, label,
@@ -407,7 +419,7 @@ def llm_multimodal_struct(spark, sf_dir):
     predicate. The oracle checks the flat projection; Spark routes every
     output through the struct to exercise nested access."""
     d = tables.load(spark, sf_dir, "documents")
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     probe = F.broadcast(
         e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pe"))
     )
@@ -447,7 +459,7 @@ def llm_ann_ivf(spark, sf_dir):
     side is scanned once for assignment (a narrow map), and the search
     join hits only cell partitions — candidate count scales with
     N·nprobe/ncells instead of N."""
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     expl = e.select("label", F.posexplode("embedding")).select(
         "label", "pos", F.col("col").cast("double").alias("val")
     )
@@ -556,6 +568,7 @@ def llm_ann_ivf(spark, sf_dir):
 WITH n AS (
   SELECT vec_id, embedding, sqrt({o_dot('embedding', 'embedding')}) AS nrm
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 ), pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          round({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)
@@ -608,6 +621,7 @@ WITH q AS (
          list_transform(embedding,
            x -> greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)) AS clipped
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 )
 SELECT vec_id,
        array_to_string(codes, ' ') AS codes_str,
@@ -628,7 +642,7 @@ def llm_embed_quantize(spark, sf_dir):
     (driver canonicalizer cannot hash array cells) and the per-vector L2
     reconstruction error uses the engine-identical left-to-right
     summation from vector.py's discipline."""
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     clipped = F.transform(
         F.col("embedding"),
         lambda x: F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)),
@@ -706,6 +720,7 @@ WITH q AS (
            x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127
                            + 0.5) AS BIGINT)) AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 ), planes AS (
   SELECT vec_id, p,
          CAST(list_sum(list_transform(generate_series(1, len(qv)), i ->
@@ -744,7 +759,7 @@ def llm_srp_bits(spark, sf_dir):
     the only shuffle is the bucket-size window keyed by the 16-bit code,
     which is the same shuffle an ANN bucket join would pay anyway.
     """
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     coded = srp_codes(e)
     w = Window.partitionBy("srp_code")
     return coded.select(
@@ -767,7 +782,7 @@ def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
     map-side-combinable aggregate shuffling k*dim cells. Nothing else
     touches the driver.
     """
-    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     init = e.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in init]
     inertia = []
@@ -835,6 +850,7 @@ WITH q AS (
            x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127
                            + 0.5) AS BIGINT)) AS qv
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 ), planes AS (
   SELECT vec_id, p,
          CAST(list_sum(list_transform(generate_series(1, len(qv)), i ->
@@ -870,7 +886,7 @@ def llm_semantic_dedup(spark, sf_dir):
     reduction pays. At corpus scale buckets are bounded by the code
     space, so no reducer sees more than corpus/65536-ish rows under
     uniform hashing."""
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     coded = srp_codes(e)
     w = Window.partitionBy("srp_code")
     canonical = F.min("vec_id").over(w)
@@ -902,7 +918,7 @@ def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=None):
     """
     import numpy as np
 
-    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     if sample_mod is None:
         n_total = e.count()
         # Floor of 4 keeps the toy fixtures exercising the sampled path.
@@ -991,7 +1007,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
     codebook, sub = pq_fit(spark, sf_dir)
     cb = np.asarray(codebook)  # (m, k, sub)
     m = cb.shape[0]
-    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
 
     # QUOTIENTED scan (the llm_knn_label pattern): encoding and ADC
     # distance depend on a row only through its embedding, and the probe
@@ -1148,7 +1164,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
     "llm_hard_negative_mine",
     oracle=f"""
 WITH p AS (SELECT vec_id AS probe_id, label AS probe_label, embedding AS pe
-           FROM embeddings WHERE vec_id < 10)
+           FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) > 0)
 SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim, rnk FROM (
   SELECT p.probe_id, p.probe_label, c.vec_id AS neighbor_id,
          c.label AS neighbor_label,
@@ -1158,7 +1174,8 @@ SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim, rnk FROM (
            ORDER BY {o_cosine('p.pe', 'c.embedding')} DESC, c.vec_id
          ) AS rnk
   FROM p JOIN embeddings c
-    ON c.label <> p.probe_label
+    ON c.label <> p.probe_label AND c.embedding IS NOT NULL
+   AND len(c.embedding) > 0
 ) t WHERE rnk <= 5
 """,
 )
@@ -1179,7 +1196,7 @@ def llm_hard_negative_mine(spark, sf_dir):
     is a window over probe_id, shuffled by probe — bounded by
     |probes|·k, never by corpus size.
     """
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = load_embeddings(spark, sf_dir)
     probes = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"),
         F.col("label").alias("probe_label"),
@@ -1229,7 +1246,7 @@ def llm_pca_power(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    e = tables.load(spark, sf_dir, "embeddings").select("embedding")
+    e = load_embeddings(spark, sf_dir).select("embedding")
     d = len(e.head(1)[0]["embedding"])
 
     def partials(batches):
@@ -1274,7 +1291,7 @@ def llm_pca_power(spark, sf_dir):
     "llm_knn_graph",
     oracle=f"""
 WITH n AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
 )
 SELECT vec_id, neighbor_id, sim, rnk FROM (
   SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -1284,6 +1301,11 @@ SELECT vec_id, neighbor_id, sim, rnk FROM (
            ORDER BY {o_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
          ) AS rnk
   FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  -- NaN/zero-norm pairs have no similarity: DuckDB ranks NaN ABOVE
+  -- every real cosine (and NULL /0 below), while the numpy kernel's
+  -- NaN rows never reach a top-k — exclude them before ranking
+  WHERE {o_cosine('a.embedding', 'b.embedding')} IS NOT NULL
+    AND NOT isnan({o_cosine('a.embedding', 'b.embedding')})
 ) t WHERE rnk <= 5
 """,
 )
@@ -1325,7 +1347,7 @@ def llm_knn_graph(spark, sf_dir):
         if env_blocks
         else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
     )
-    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     # QUOTIENTED by identical embedding (the dedup-kernel pattern): both
     # the probe side and the corpus side scale with N, so duplicate
     # density makes the block matmul quadratic in copies (the 100×
@@ -1390,15 +1412,24 @@ def llm_knn_graph(spark, sf_dir):
             # expanded-row count is < K+1
             rows, cols, vals = [], [], []
             for i in range(len(src_ids)):
-                order = np.lexsort((dst_ids, -sm[i]))
-                neg = -sm[i][order]  # ascending
-                cum = np.cumsum(dst_cnt[order])
+                # NaN sims (zero-norm or NaN-element vectors) have no
+                # similarity and never enter a top-k — mirror the
+                # oracle's NOT isnan / IS NOT NULL pre-rank filter
+                fin = np.flatnonzero(np.isfinite(sm[i]))
+                if fin.size == 0:
+                    continue
+                d_ids, d_cnt, s_row = dst_ids[fin], dst_cnt[fin], sm[i][fin]
+                order = np.lexsort((d_ids, -s_row))
+                neg = -s_row[order]  # ascending
+                cum = np.cumsum(d_cnt[order])
                 first_eq = np.searchsorted(neg, neg, side="left")
                 better = np.where(first_eq > 0, cum[first_eq - 1], 0)
                 keep = order[better < K + 1]
                 rows.append(np.full(len(keep), src_ids[i], dtype=np.int64))
-                cols.append(dst_ids[keep])
-                vals.append(sm[i][keep])
+                cols.append(d_ids[keep])
+                vals.append(s_row[keep])
+            if not rows:
+                return empty
             return pd.DataFrame(
                 {
                     "vec_id": np.concatenate(rows),
@@ -1492,7 +1523,7 @@ def llm_mmr_diverse_sample(spark, sf_dir):
     import numpy as np
 
     K, LAM = 8, 0.7
-    e = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     # centroid: posexplode -> per-dimension avg — map-side-combinable,
     # driver receives dim rows (the model), never the vectors
     cent_rows = (

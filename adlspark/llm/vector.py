@@ -29,7 +29,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, ndigits: int = 4) -> Column:
-    return F.round(dot(a, b) / (norm(a) * norm(b)), ndigits)
+    # try_divide: a zero-norm vector has no cosine — NULL on both
+    # engines (DuckDB /0 is NULL; Spark's ANSI `/` would abort the
+    # job). Downstream `sim >= t` / rank filters drop NULLs, the same
+    # outcome as the oracle's.
+    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), ndigits)
 
 
 def o_dot(a: str, b: str) -> str:
@@ -74,3 +78,34 @@ def np_round_half_away(x, ndigits: int = 4):
     np.copysign(out, s, out=out)
     out /= scale
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vector-domain contract (round-7 wave 5)
+# ---------------------------------------------------------------------------
+# A row whose embedding is NULL or empty is NOT a vector: it cannot
+# participate in dot products, quantization, SRP codes, or k-NN, and
+# letting it reach an Arrow batch makes the batch RAGGED — np.asarray
+# over mixed-length rows raises on the executor (reproduced via the
+# NULL/empty-embedding corpus in tests/test_embed_robustness.py).
+# Every vector operator loads the table through load_embeddings(), and
+# each paired oracle carries the identical WHERE (O_EMB_WHERE), so both
+# engines agree the row is out of domain. Remaining input contract,
+# asserted implicitly by the fixed-width matmul kernels: all non-empty
+# embeddings share one dimension, and |x| stays within DECIMAL(38,10)
+# whenever a key uses exact decimal summation (~1e27 headroom).
+
+O_EMB_WHERE = "embedding IS NOT NULL AND len(embedding) > 0"
+
+
+def valid_embedding(col: Column) -> Column:
+    """Spark twin of O_EMB_WHERE."""
+    return col.isNotNull() & (F.size(col) > 0)
+
+
+def load_embeddings(spark, sf_dir):
+    """The embeddings table restricted to its vector domain."""
+    from adlspark import tables
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    return e.where(valid_embedding(F.col("embedding")))

@@ -741,13 +741,19 @@ def agg_median(spark, sf_dir):
     oracle="""
 WITH ranked AS (
   SELECT user_id, event_id, event_type,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY value DESC, event_id DESC) AS r_top,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+         row_number() OVER (PARTITION BY coalesce(user_id, -1)
+                            ORDER BY coalesce(value,
+                                              '-infinity'::DOUBLE) DESC,
+                                     event_id DESC) AS r_top,
+         row_number() OVER (PARTITION BY coalesce(user_id, -1)
+                            ORDER BY coalesce(CAST(ts AS TIMESTAMP),
+                                              TIMESTAMP '1900-01-01') ASC,
+                                     event_id ASC)
            AS r_first,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+         row_number() OVER (PARTITION BY coalesce(user_id, -1)
+                            ORDER BY coalesce(CAST(ts AS TIMESTAMP),
+                                              TIMESTAMP '1900-01-01') DESC,
+                                     event_id DESC)
            AS r_last
   FROM events
 )
@@ -1049,9 +1055,11 @@ WITH a AS (
   ) GROUP BY value
 ), cum AS (
   SELECT value,
-         CAST(sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+         CAST(sum(ca) OVER (ORDER BY coalesce(value, '-infinity'::DOUBLE)
+                            ROWS UNBOUNDED PRECEDING)
               AS BIGINT) AS cum_a,
-         CAST(sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+         CAST(sum(cb) OVER (ORDER BY coalesce(value, '-infinity'::DOUBLE)
+                            ROWS UNBOUNDED PRECEDING)
               AS BIGINT) AS cum_b
   FROM pooled
 ), tot AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb)
@@ -1108,8 +1116,16 @@ def agg_ks_test(spark, sf_dir):
             F.col("na").alias("n_before"),
             F.col("nb").alias("n_after"),
             "d_scaled",
+            # try_divide: one empty sample (na·nb = 0, e.g. a drift
+            # window with no post-cut clicks) is NULL-ks on both
+            # engines — DuckDB division by zero yields NULL, Spark's
+            # ANSI `/` would abort the job instead
             F.round(
-                F.col("d_scaled").cast("double") / (F.col("na") * F.col("nb")), 6
+                F.try_divide(
+                    F.col("d_scaled").cast("double"),
+                    F.col("na") * F.col("nb"),
+                ),
+                6,
             ).alias("ks_d"),
         )
     )
@@ -1128,8 +1144,10 @@ cx AS (SELECT dow, CAST(count(*) AS DOUBLE) AS c FROM j GROUP BY 1),
 tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j)
 SELECT round(sum((o - r * c / n) * (o - r * c / n) / (r * c / n)), 4)
          AS chi2,
-       CAST((SELECT count(*) FROM rx) - 1 AS BIGINT)
-         * CAST((SELECT count(*) FROM cx) - 1 AS BIGINT) AS dof
+       CAST((SELECT count(*) FROM rx WHERE event_type IS NOT NULL) - 1
+            AS BIGINT)
+         * CAST((SELECT count(*) FROM cx WHERE dow IS NOT NULL) - 1
+                AS BIGINT) AS dof
 FROM cells JOIN rx USING (event_type) JOIN cx USING (dow) CROSS JOIN tot
 """,
 )

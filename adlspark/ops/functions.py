@@ -228,24 +228,37 @@ SELECT vec_id,
        len(list_transform(embedding, x -> x * 2)) AS doubled_len,
        round(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1], 6) AS doubled_first,
        list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos,
-       len(list_distinct([label % 3, label % 2, 0])) AS n_distinct_small,
+       -- list_distinct DROPS NULLs where Spark's array_distinct keeps
+       -- one: add it back for a NULL label ([NULL, NULL, 0] has two
+       -- distinct members on the Spark side)
+       len(list_distinct([label % 3, label % 2, 0]))
+         + CASE WHEN label IS NULL THEN 1 ELSE 0 END AS n_distinct_small,
        round(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[1], 6) AS min_elem
 FROM embeddings
 """,
 )
 def fn_array(spark, sf_dir):
     """Array family over the embedding vector column. Element access is
-    1-based in both engines (Spark element_at / DuckDB [i])."""
+    1-based in both engines; out-of-bounds / empty-array access is NULL
+    on both (DuckDB's [i] is natively NULL there, Spark needs
+    try_element_at — ANSI element_at aborts the job)."""
     e = tables.load(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
         "vec_id",
         F.size(emb).cast("long").alias("dim"),
-        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_elem"),
-        F.round(F.element_at(emb, 64).cast("double"), 6).alias("last_elem"),
+        F.round(
+            F.try_element_at(emb, F.lit(1)).cast("double"), 6
+        ).alias("first_elem"),
+        F.round(
+            F.try_element_at(emb, F.lit(64)).cast("double"), 6
+        ).alias("last_elem"),
         F.size(F.transform(emb, lambda x: x * 2)).cast("long").alias("doubled_len"),
         F.round(
-            F.element_at(F.transform(emb, lambda x: x.cast("double") * 2), 1), 6
+            F.try_element_at(
+                F.transform(emb, lambda x: x.cast("double") * 2), F.lit(1)
+            ),
+            6,
         ).alias("doubled_first"),
         F.array_contains(F.transform(emb, lambda x: x > 0), True).alias("has_pos"),
         F.size(
@@ -258,7 +271,10 @@ def fn_array(spark, sf_dir):
         .cast("long")
         .alias("n_distinct_small"),
         F.round(
-            F.element_at(F.sort_array(F.transform(emb, lambda x: x.cast("double"))), 1),
+            F.try_element_at(
+                F.sort_array(F.transform(emb, lambda x: x.cast("double"))),
+                F.lit(1),
+            ),
             6,
         ).alias("min_elem"),
     )
@@ -294,18 +310,28 @@ def fn_explode(spark, sf_dir):
     oracle="""
 SELECT k_val, count(*) AS n, count(DISTINCT user_id) AS n_users
 FROM (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, user_id
+  SELECT CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k_val, user_id
   FROM events
 )
 GROUP BY k_val
 """,
 )
 def fn_json(spark, sf_dir):
-    """JSON extraction from the props string column + group on it."""
+    """JSON extraction from the props string column + group on it.
+
+    Malformed / non-numeric payloads are NULL keys on both engines:
+    Spark's get_json_object is already NULL on bad JSON but its ANSI
+    cast would abort on a non-numeric extract (try_cast instead), and
+    DuckDB's json_extract_string ERRORS on bad JSON (json_valid guard)
+    while its CAST errors on non-numeric strings (TRY_CAST)."""
     ev = tables.load(spark, sf_dir, "events")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+            F.get_json_object("props", "$.k")
+            .try_cast("long")
+            .alias("k_val"),
             "user_id",
         )
         .groupBy("k_val")
@@ -320,23 +346,36 @@ def fn_json(spark, sf_dir):
     "fn_map",
     oracle="""
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
-       1 AS n_keys,
-       'k' AS first_key
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+       END AS k_from_map,
+       CASE WHEN json_valid(props)
+            THEN CAST(len(json_keys(props)) AS BIGINT)
+       END AS n_keys,
+       CASE WHEN json_valid(props) THEN json_keys(props)[1] END AS first_key
 FROM events
 """,
 )
 def fn_map(spark, sf_dir):
     """MapType surface: props JSON parsed into a MapType column, then
-    map_keys/size/element access (oracle = flat JSON extraction, since
-    DuckDB has no MAP from JSON)."""
+    map_keys/size/element access (oracle = DuckDB json functions, since
+    DuckDB has no MAP from JSON).
+
+    Robust-input semantics, identical on both engines: NULL / empty /
+    malformed props → all-NULL outputs (from_json is NULL there;
+    json_valid guards DuckDB, whose json functions ERROR on bad JSON);
+    a non-numeric value under 'k' → NULL k_from_map but keys still
+    counted (hence map<string,string> + try_cast, NOT
+    map<string,bigint>, which would null the WHOLE map and hide the
+    keys); an empty map → try_element_at NULL first_key where ANSI
+    element_at(…, 1) on a 0-element array aborts the job."""
     ev = tables.load(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
+    m = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.element_at(m, "k").alias("k_from_map"),
-        F.size(m).alias("n_keys"),
-        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.try_element_at(m, F.lit("k")).try_cast("long").alias("k_from_map"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.try_element_at(F.map_keys(m), F.lit(1)).alias("first_key"),
     )
 
 
@@ -529,14 +568,27 @@ WITH e AS (
   FROM embeddings
 )
 SELECT vec_id,
-       round(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]),
-                         (a, b) -> a + b), 6) AS dot_self,
+       -- empty/NULL-vector discipline: list_reduce ERRORS on an empty
+       -- list and a CASE does NOT protect it against parquet-sourced
+       -- rows (DuckDB 1.0 evaluates the reduce before the branch
+       -- resolves), so the list is made never-empty by PREPENDING the
+       -- fold seed — list_prepend(0.0, products) is exactly Spark's
+       -- aggregate(…, 0.0, +) IEEE sequence, and empty folds to the
+       -- seed on both engines. The NULL-v CASE stays (prepend onto
+       -- NULL yields [0.0] here where Spark's aggregate(NULL) is NULL)
+       CASE WHEN v IS NULL THEN NULL
+            ELSE round(list_reduce(
+                   list_prepend(0.0, list_transform(list_zip(v, v),
+                                                    p -> p[1] * p[2])),
+                   (a, b) -> a + b), 6) END AS dot_self,
        CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
        list_contains(list_transform(v, x -> x > 0.5), true) AS any_gt_half,
        NOT list_contains(list_transform(v, x -> x >= -1.0), false)
          AS all_ge_neg1,
-       round(list_reduce(v, (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6)
-         AS max_elem
+       -- list_aggregate('max') is NULL on both empty and NULL lists,
+       -- order-independent, and ranks NaN greatest — the exact
+       -- semantics of Spark's guarded when(x > acc) fold
+       round(CAST(list_aggregate(v, 'max') AS DOUBLE), 6) AS max_elem
 FROM e
 """,
 )
@@ -557,19 +609,28 @@ def fn_higher_order(spark, sf_dir):
     dot = F.aggregate(
         F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
+    # Empty-vector semantics pinned against the oracle: the dot fold
+    # seeds 0.0, so an empty vector's dot_self is 0.0 on both engines
+    # (the oracle prepends the same seed); the max fold has no seed —
+    # NULL on empty/NULL vectors (oracle: list_aggregate 'max'), with
+    # try_element_at so the guarded branch can't abort on index 1.
+    nonempty = F.size(v) >= 1
     return e.select(
         "vec_id",
         F.round(dot, 6).alias("dot_self"),
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
         F.exists(v, lambda x: x > 0.5).alias("any_gt_half"),
         F.forall(v, lambda x: x >= -1.0).alias("all_ge_neg1"),
-        F.round(
-            F.aggregate(
-                v,
-                F.element_at(v, 1),
-                lambda acc, x: F.when(x > acc, x).otherwise(acc),
+        F.when(
+            nonempty,
+            F.round(
+                F.aggregate(
+                    v,
+                    F.try_element_at(v, F.lit(1)),
+                    lambda acc, x: F.when(x > acc, x).otherwise(acc),
+                ),
+                6,
             ),
-            6,
         ).alias("max_elem"),
     )
 

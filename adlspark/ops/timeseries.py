@@ -26,12 +26,17 @@ SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
        count(*) AS n,
        CAST(sum(CAST(value AS {O_DEC})) AS DOUBLE) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
 def ts_tumbling(spark, sf_dir):
     """Tumbling 1-hour window per event_type. F.window with epoch-aligned
-    1-hour buckets ≡ date_trunc('hour') — map-side combinable."""
+    1-hour buckets ≡ date_trunc('hour') — map-side combinable.
+
+    Null-ts rows are OUT of the domain: Spark's F.window silently drops
+    them (a timeless event belongs to no window), so the oracle filters
+    them explicitly rather than keeping DuckDB's NULL-bucket group."""
     ev = tables.events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -50,6 +55,7 @@ WITH e AS (
   SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT)
            AS t30, value
   FROM events
+  WHERE ts IS NOT NULL
 ), w AS (
   SELECT t30 AS w_epoch, value FROM e
   UNION ALL
@@ -82,15 +88,16 @@ def ts_sliding(spark, sf_dir):
     oracle="""
 WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE ts IS NOT NULL
 ), g AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
               THEN 1 ELSE 0 END AS new_s
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM e WINDOW w AS (PARTITION BY coalesce(user_id, -1) ORDER BY ts)
 ), s AS (
   SELECT user_id, ts,
-         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(new_s) OVER (PARTITION BY coalesce(user_id, -1) ORDER BY ts
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM g
 ), per AS (
@@ -132,9 +139,13 @@ SELECT event_id, user_id, event_type,
 FROM (
   SELECT event_id, user_id, event_type, ts,
          row_number() OVER (
-           PARTITION BY user_id, event_type,
-                        date_trunc('minute', CAST(ts AS TIMESTAMP))
-           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+           PARTITION BY coalesce(user_id, -1),
+                        coalesce(event_type, chr(1)),
+                        date_trunc('minute',
+                                   coalesce(CAST(ts AS TIMESTAMP),
+                                            TIMESTAMP '1900-01-01'))
+           ORDER BY coalesce(CAST(ts AS TIMESTAMP), TIMESTAMP '1900-01-01'),
+                    event_id) AS rn
   FROM events
 ) t WHERE rn = 1
 """,
@@ -142,7 +153,17 @@ FROM (
 def ts_dedup(spark, sf_dir):
     """Keep-first dedup on (user_id, event_type, minute) — deterministic
     row_number form, unlike dropDuplicates' arbitrary tie choice (the
-    idempotent re-ingest primitive)."""
+    idempotent re-ingest primitive).
+
+    Oracle null-key sentinels: DuckDB 1.0's parallel window sort is
+    UNSTABLE when a PARTITION BY / ORDER BY key is NULL (null groups
+    split per chunk and can corrupt neighboring partition boundaries —
+    reproduced: 200k rows, partition counts vary per run). Every
+    nullable window key in the events-family oracles is coalesced to an
+    out-of-domain sentinel (user -1 / chr(1) / 1900 timestamps), which
+    is the identity on the null-free driver fixtures and reproduces
+    Spark's null placement (ASC NULLS FIRST, DESC NULLS LAST) exactly
+    on the null corpora in tests/test_null_robustness.py."""
     ev = tables.events(spark, sf_dir).withColumn(
         "minute_bucket", F.date_trunc("minute", F.col("ts"))
     )
@@ -264,10 +285,15 @@ WITH e AS (
   FROM events
 ), r AS (
   SELECT user_id, day, value,
-         row_number() OVER (PARTITION BY user_id, day
-                            ORDER BY ts, event_id) AS rn_a,
-         row_number() OVER (PARTITION BY user_id, day
-                            ORDER BY ts DESC, event_id DESC) AS rn_d
+         row_number() OVER (
+           PARTITION BY coalesce(user_id, -1),
+                        coalesce(day, DATE '1900-01-01')
+           ORDER BY coalesce(ts, TIMESTAMP '1900-01-01'), event_id) AS rn_a,
+         row_number() OVER (
+           PARTITION BY coalesce(user_id, -1),
+                        coalesce(day, DATE '1900-01-01')
+           ORDER BY coalesce(ts, TIMESTAMP '1900-01-01') DESC,
+                    event_id DESC) AS rn_d
   FROM e
 )
 SELECT user_id, day,
@@ -403,9 +429,15 @@ def ts_anomaly_zscore(spark, sf_dir):
         dsum(F.col("value") * F.col("value")).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    # try_divide: a single-event type (n=1) or a zero-variance type
+    # (all values equal — ties fixture) has no z-score; DuckDB's /0
+    # yields NULL and the |z|>3 filter drops the rows on both engines,
+    # where Spark's ANSI `/` would abort the whole job
     z = F.round(
-        (F.col("value") - sx / n)
-        / F.sqrt((sxx - (sx * sx) / n) / (n - F.lit(1.0))),
+        F.try_divide(
+            F.col("value") - sx / n,
+            F.sqrt(F.try_divide(sxx - (sx * sx) / n, n - F.lit(1.0))),
+        ),
         6,
     )
     return (
@@ -480,12 +512,15 @@ def ts_trend_slope(spark, sf_dir):
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, sxy = F.col("sy"), F.col("sxy")
+    # try_divide: a user whose events all share one timestamp has zero
+    # x-variance — slope undefined, NULL on both engines (DuckDB /0 is
+    # NULL; Spark's ANSI `/` would abort the job)
     return s.select(
         "user_id",
         n.cast("long").alias("n_events"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6).alias(
-            "slope_per_day"
-        ),
+        F.round(
+            F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx) * 86400.0, 6
+        ).alias("slope_per_day"),
     )
 
 
@@ -503,8 +538,8 @@ WITH h AS (
   FROM h GROUP BY event_type, hr
 ), r AS (
   SELECT event_type, hr, n, sum_value,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY n DESC, hr) AS rk
+         row_number() OVER (PARTITION BY coalesce(event_type, chr(1))
+                            ORDER BY n DESC, coalesce(hr, -1)) AS rk
   FROM p
 )
 SELECT event_type, hr, n, sum_value, (rk = 1) AS is_peak_hour
@@ -656,6 +691,7 @@ WITH RECURSIVE s AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
 ), r(user_id, rn, event_id, value, ewma) AS (
   SELECT user_id, rn, event_id, value, value FROM s WHERE rn = 1
   UNION ALL
@@ -736,8 +772,18 @@ def ts_ewma(spark, sf_dir):
                 }
             )
 
+    # Domain: observed values only — non-null (user_id, ts, value). A
+    # null user has no series, a null ts has no position in it, and a
+    # null value would poison every later step of the recurrence (as
+    # NaN here, as NULL in the oracle — permanently divergent shapes).
+    # Both sides filter identically; the kernel's null-user raise below
+    # stays as the executor-side invariant check behind this filter.
     ev = tables.events(spark, sf_dir).select(
         "user_id", "event_id", "ts", "value"
+    ).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
     )
     return (
         ev.repartition("user_id")
@@ -868,12 +914,16 @@ def ts_interpolate(spark, sf_dir):
     "ts_autocorr",
     oracle=f"""
 WITH daily AS (
-  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+  SELECT event_type,
+         coalesce(event_type, chr(1)) AS et_k,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         date_trunc('day', coalesce(CAST(ts AS TIMESTAMP),
+                                    TIMESTAMP '1900-01-01')) AS d_k,
          {o_dsum('value')} AS total
-  FROM events GROUP BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+  FROM events GROUP BY 1, 2, 3, 4
 ), lagged AS (
   SELECT event_type, total,
-         lag(total) OVER (PARTITION BY event_type ORDER BY d) AS prev
+         lag(total) OVER (PARTITION BY et_k ORDER BY d_k) AS prev
   FROM daily
 )
 SELECT event_type,
@@ -913,8 +963,9 @@ def ts_autocorr(spark, sf_dir):
     oracle="""
 SELECT event_id, user_id, value,
        round(quantile_cont(value, 0.5) OVER (
-         PARTITION BY user_id
-         ORDER BY CAST(ts AS TIMESTAMP), event_id
+         PARTITION BY coalesce(user_id, -1)
+         ORDER BY coalesce(CAST(ts AS TIMESTAMP), TIMESTAMP '1900-01-01'),
+                  event_id
          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
        ), 6) AS med7
 FROM events
@@ -946,8 +997,16 @@ def ts_rolling_median(spark, sf_dir):
     lower = F.element_at(vals, ((n + 1) / 2).cast("int"))
     upper = F.element_at(vals, (n / 2).cast("int") + 1)
     med = lower + (upper - lower) * F.lit(0.5)
+    # collect_list skips NULL values, so an all-null frame (e.g. a
+    # user's first event carrying a null value) is EMPTY — element_at
+    # index 0 is an ANSI error, where DuckDB's quantile_cont over the
+    # same all-null frame yields NULL. CASE evaluates the guarded
+    # branch only, so the n>=1 arm never touches index 0.
     return ev.select(
-        "event_id", "user_id", "value", F.round(med, 6).alias("med7")
+        "event_id",
+        "user_id",
+        "value",
+        F.when(n >= 1, F.round(med, 6)).alias("med7"),
     )
 
 
@@ -959,7 +1018,10 @@ WITH seq AS (
          string_agg(CASE event_type
                       WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                       WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
-                      ELSE 'e' END, '' ORDER BY ts, event_id) AS s
+                      ELSE 'e' END, ''
+                    ORDER BY coalesce(CAST(ts AS TIMESTAMP),
+                                      TIMESTAMP '1900-01-01'),
+                             event_id) AS s
   FROM events GROUP BY user_id
 )
 SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
@@ -1023,18 +1085,25 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ), dev AS (
   SELECT user_id, day,
-         CAST(sum(xdec) OVER (PARTITION BY user_id ORDER BY day
+         CAST(sum(xdec) OVER (PARTITION BY coalesce(user_id, -1)
+                              ORDER BY coalesce(day, DATE '1900-01-01')
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS DOUBLE)
-         - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS DOUBLE)
-           * (CAST(sum(xdec) OVER (PARTITION BY user_id) AS DOUBLE)
-              / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE)) AS d,
-         count(*) OVER (PARTITION BY user_id) AS n_days
+         - CAST(row_number() OVER (PARTITION BY coalesce(user_id, -1)
+                                   ORDER BY coalesce(day, DATE '1900-01-01'))
+                AS DOUBLE)
+           * (CAST(sum(xdec) OVER (PARTITION BY coalesce(user_id, -1))
+                   AS DOUBLE)
+              / CAST(count(*) OVER (PARTITION BY coalesce(user_id, -1))
+                     AS DOUBLE)) AS d,
+         count(*) OVER (PARTITION BY coalesce(user_id, -1)) AS n_days
   FROM daily
 ), ranked AS (
   SELECT user_id, day, round(abs(d), 6) AS abs_dev, n_days,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY round(abs(d), 6) DESC, day) AS rn
+         row_number() OVER (
+           PARTITION BY coalesce(user_id, -1)
+           ORDER BY coalesce(round(abs(d), 6), '-infinity'::DOUBLE) DESC,
+                    coalesce(day, DATE '1900-01-01')) AS rn
   FROM dev
 )
 SELECT user_id, day AS cp_day, abs_dev AS max_abs_cusum,
@@ -1112,7 +1181,8 @@ WITH daily AS (
          CAST(sum(y * y) OVER w AS BIGINT) AS syy,
          CAST(sum(x * y) OVER w AS BIGINT) AS sxy
   FROM daily
-  WINDOW w AS (PARTITION BY user_id ORDER BY day
+  WINDOW w AS (PARTITION BY coalesce(user_id, -1)
+               ORDER BY coalesce(day, DATE '1900-01-01')
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, day, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
@@ -1252,7 +1322,9 @@ WITH ordered AS (
                          THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
            OVER w AS touch_ts
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+  WINDOW w AS (PARTITION BY coalesce(user_id, -1)
+               ORDER BY coalesce(CAST(ts AS TIMESTAMP),
+                                 TIMESTAMP '1900-01-01'), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
@@ -1324,10 +1396,12 @@ WITH daily AS (
   FROM events GROUP BY event_type, day
 ), base AS (
   SELECT event_type, day, n,
-         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+         CAST(sum(n) OVER (PARTITION BY coalesce(event_type, chr(1))
+                           ORDER BY coalesce(day, DATE '1900-01-01')
                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
               AS BIGINT) AS sum7,
-         count(*) OVER (PARTITION BY event_type ORDER BY day
+         count(*) OVER (PARTITION BY coalesce(event_type, chr(1))
+                        ORDER BY coalesce(day, DATE '1900-01-01')
                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS days7
   FROM daily
 )
@@ -1519,13 +1593,16 @@ WITH e AS (
   FROM events WHERE event_type = 'purchase'
 )
 SELECT event_id, user_id,
-       CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+       CAST(count(*) OVER (PARTITION BY coalesce(user_id, -1)
+            ORDER BY coalesce(us, -1)
             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
             AS BIGINT) AS n_1h,
-       CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+       CAST(count(*) OVER (PARTITION BY coalesce(user_id, -1)
+            ORDER BY coalesce(us, -1)
             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
             AS BIGINT) AS n_24h,
-       CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+       CAST(count(*) OVER (PARTITION BY coalesce(user_id, -1)
+            ORDER BY coalesce(us, -1)
             RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
             AS BIGINT) AS n_7d
 FROM e
@@ -1579,14 +1656,19 @@ WITH e AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
                  THEN 1 ELSE 0 END AS new_s
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM e WINDOW w AS (PARTITION BY coalesce(user_id, -1)
+                      ORDER BY coalesce(ts, TIMESTAMP '1900-01-01'), event_id)
 ), s AS (
-  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  SELECT *, CAST(sum(new_s) OVER (
+              PARTITION BY coalesce(user_id, -1)
+              ORDER BY coalesce(ts, TIMESTAMP '1900-01-01'), event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM g
 ), paths AS (
   SELECT user_id, sid,
-         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         string_agg(coalesce(event_type, ''), '>'
+                    ORDER BY coalesce(ts, TIMESTAMP '1900-01-01'), event_id)
+           AS path,
          count(*) AS path_len
   FROM s GROUP BY user_id, sid
 )
@@ -1626,13 +1708,17 @@ def ts_event_paths(spark, sf_dir):
         "sid",
         F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # NULL event_type renders as the empty step on BOTH engines:
+    # array_join would silently SKIP a null element (dropping its '>'
+    # separator) while string_agg of an all-NULL session is NULL, not
+    # '' — coalesce to '' before joining keeps path/step-count parity.
     paths = s.groupBy("user_id", "sid").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct("ts", "event_id", "event_type"))
                 ),
-                lambda x: x["event_type"],
+                lambda x: F.coalesce(x["event_type"], F.lit("")),
             ),
             ">",
         ).alias("path"),

@@ -107,7 +107,8 @@ SELECT event_id, user_id, value,
        lead(value) OVER w AS next_value,
        lag(value, 2, -1.0) OVER w AS prev2_value
 FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY coalesce(user_id, -1)
+             ORDER BY coalesce(ts, TIMESTAMP '1900-01-01'), event_id)
 """,
 )
 def win_lag_lead(spark, sf_dir):
@@ -333,7 +334,9 @@ WITH d AS (
   FROM events WHERE user_id < 50
 ), g AS (
   SELECT user_id, day,
-         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+         day - CAST(row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY coalesce(day, DATE '1900-01-01'))
                     AS INTEGER) AS grp
   FROM d
 ), s AS (
@@ -341,8 +344,10 @@ WITH d AS (
   FROM g GROUP BY user_id, grp
 ), r AS (
   SELECT user_id, streak_len, streak_start,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY streak_len DESC, streak_start) AS rk
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY streak_len DESC,
+                    coalesce(streak_start, DATE '1900-01-01')) AS rk
   FROM s
 )
 SELECT user_id, streak_len AS longest_streak_days, streak_start
@@ -395,10 +400,11 @@ WITH e AS (
          CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS d,
          user_id
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 )
 SELECT DISTINCT event_type, d AS day,
        CAST(count(DISTINCT user_id) OVER (
-         PARTITION BY event_type ORDER BY d
+         PARTITION BY coalesce(event_type, chr(1)) ORDER BY d
          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS cum_distinct_users
 FROM e
@@ -422,7 +428,15 @@ def win_distinct_running(spark, sf_dir):
     hash shuffles. This is how cumulative-uniques dashboards are
     actually computed at 100 TB.
     """
-    ev = tables.events(spark, sf_dir).select(
+    # Domain: non-null (user_id, ts) — "cumulative distinct USERS by
+    # DAY" is undefined for a userless or timeless event. Without the
+    # filter the rewrite's per-day new-user count would count a NULL
+    # user (count(1) over the first-day groups) where the oracle's
+    # count(DISTINCT user_id) ignores it, and a NULL day would ride
+    # Spark's NULLS-FIRST running frame vs DuckDB's NULLS-LAST.
+    ev = tables.events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("d"),
         "user_id",
@@ -435,11 +449,25 @@ def win_distinct_running(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # eqNullSafe on event_type: a NULL type is one group to groupBy,
+    # to DISTINCT, and to the oracle's PARTITION BY — but a plain
+    # equi-join would drop it (NULL != NULL), zeroing the null group's
+    # running count. The join stays broadcastable either way (both
+    # sides are (type, day)-sized).
+    npd = (
+        new_per_day.withColumnRenamed("event_type", "et_r")
+        .withColumnRenamed("d", "d_r")
+    )
     return (
-        days.join(new_per_day, ["event_type", "d"], "left")
+        days.join(
+            npd,
+            days["event_type"].eqNullSafe(npd["et_r"])
+            & (days["d"] == npd["d_r"]),
+            "left",
+        )
         .select(
-            "event_type",
-            F.col("d").alias("day"),
+            days["event_type"],
+            days["d"].alias("day"),
             F.sum(F.coalesce("n_new", F.lit(0))).over(w)
             .cast("long")
             .alias("cum_distinct_users"),
@@ -452,7 +480,8 @@ def win_distinct_running(spark, sf_dir):
     oracle="""
 SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
        CAST(count(*) OVER (
-         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+         PARTITION BY coalesce(user_id, -1)
+         ORDER BY coalesce(CAST(ts AS TIMESTAMP), TIMESTAMP '1900-01-01')
          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS n_last_hour
 FROM events

@@ -120,6 +120,47 @@ _VERIFY_WINDOW = [
     "mm_phash_dedup",
     "llm_quality_classifier",
     "llm_gopher_rules",
+    #   fourth wave (events-family null/tie sweep, 55 oracle keys ×
+    #   null + tie corpora, 0 divergences ×3 runs — pinned in
+    #   tests/test_event_null_robustness.py). Kernel-changed keys
+    #   re-enter (ts_ewma is already above): empty-frame guard
+    #   (rolling_median), try_divide for degenerate denominators
+    #   (ks_test, anomaly_zscore, trend_slope), try_cast/try_element_at
+    #   + map<string,string> parse (fn_json, fn_map), eqNullSafe
+    #   day-grid join (win_distinct_running), NULL-type path steps
+    #   (ts_event_paths). All hash-passed sf0.01 driver sim
+    #   post-change.
+    "ts_rolling_median",
+    "agg_ks_test",
+    "ts_anomaly_zscore",
+    "ts_trend_slope",
+    "fn_json",
+    "fn_map",
+    "win_distinct_running",
+    "ts_event_paths",
+    #   fifth wave (embeddings-family NaN/zero-norm/NULL/empty sweep,
+    #   18 oracle keys, 0 divergences — pinned in
+    #   tests/test_embed_robustness.py). The vector-domain loader
+    #   (load_embeddings) and the try_divide cosine touch every vector
+    #   kernel, so all embedding keys not already above re-enter; the
+    #   knn_graph local top-k additionally masks non-finite sims, and
+    #   fn_array/fn_higher_order moved to try_element_at /
+    #   prepended-seed folds. All hash-passed sf0.01 driver sim
+    #   post-change (rows-only keys re-passed their pytest parity
+    #   bars).
+    "llm_sim_topk",
+    "llm_embed_centroids",
+    "llm_multimodal_struct",
+    "llm_embed_near_dup",
+    "llm_embed_quantize",
+    "llm_srp_bits",
+    "llm_semantic_dedup",
+    "llm_hard_negative_mine",
+    "llm_kmeans",
+    "llm_pca_power",
+    "llm_mmr_diverse_sample",
+    "fn_array",
+    "fn_higher_order",
     # (c) staleness rotation: the r1-era keys
     "scan_project",
     "scan_all_tables_counts",
@@ -127,37 +168,21 @@ _VERIFY_WINDOW = [
     "ingest_csv_header",
     "sink_parquet_roundtrip",
     "stream_file_source",
-    "ingest_partitioned_prune",
-    "ingest_idempotent",
-    "project_compute",
-    "filter_pred",
-    "filter_null_3vl",
-    "distinct_rows",
-    "filter_dynamic_rule",
-    "join_inner",
-    "join_broadcast",
-    "join_multikey",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_interval",
-    "join_skew_salted",
-    "agg_group_q1",
-    "agg_global",
-    "agg_conditional",
     # Slot arithmetic (the driver verifies the FIRST 50 keys): 1 failed
-    # (a) + 22 code-changed re-entries (b) + 27 staleness keys (c) = 50.
+    # (a) + 43 code-changed re-entries (b) + 6 staleness keys (c) = 50.
     # The win_* family, llm_text_stats / llm_top_terms / llm_tfidf /
     # llm_lang_partition_pipeline / llm_langid, and (this continuation)
     # agg_grouping_sets / agg_pivot / agg_unpivot / agg_rollup /
     # agg_cube / agg_count_distinct / agg_approx_distinct / agg_having /
-    # agg_percentile were rotated out to make room for the (b)
-    # re-entries; they rejoin the staleness rotation next round —
-    # `python tools/verification_debt.py` prints the oldest-verdict
-    # ranking to fill (c) mechanically.
+    # agg_percentile / join_semi / join_anti / join_cross /
+    # join_interval / join_skew_salted / agg_group_q1 / agg_global /
+    # agg_conditional / ingest_partitioned_prune / ingest_idempotent /
+    # project_compute / filter_pred / filter_null_3vl / distinct_rows /
+    # filter_dynamic_rule / join_inner / join_broadcast / join_multikey
+    # / join_left / join_right / join_full were rotated out to make
+    # room for the (b) re-entries; they rejoin the staleness rotation
+    # next round — `python tools/verification_debt.py` prints the
+    # oldest-verdict ranking to fill (c) mechanically.
 ]
 
 

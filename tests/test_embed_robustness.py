@@ -1,0 +1,146 @@
+"""NaN / zero-norm / NULL / empty-embedding robustness gates for the
+vector-operator family (round-7 wave 5 — the embeddings twin of
+tests/test_event_null_robustness.py).
+
+The fixtures carry only well-formed fixed-dimension vectors, so these
+seams were unverified until this corpus:
+
+- A NULL or EMPTY embedding is not a vector (the domain contract in
+  adlspark/llm/vector.py): letting one reach an Arrow batch makes the
+  batch RAGGED and np.asarray raises on the executor. Every vector
+  operator loads through load_embeddings(); every oracle carries
+  O_EMB_WHERE.
+- A zero-norm vector has no cosine: vector.cosine() uses try_divide
+  (NULL, like DuckDB's /0) where Spark's ANSI `/` aborted the job.
+- NaN similarities never enter a top-k: DuckDB ranks NaN ABOVE every
+  real cosine while numpy kernels drop them — the knn_graph oracle
+  excludes NaN/NULL sims before ranking and the block-matmul local
+  top-k masks non-finite sims.
+- Spark silently casts NaN→DECIMAL to NULL where DuckDB ERRORS — the
+  centroid oracle takes the same NULL explicitly, so a NaN element
+  drops out of the exact sum but stays in count(*) on both engines.
+- DuckDB's list_reduce ERRORS on an empty list and a CASE guard does
+  NOT protect it over parquet-sourced rows — fn_higher_order prepends
+  the fold seed instead (exactly Spark's aggregate seed semantics);
+  fn_array uses try_element_at (ANSI element_at aborts on [] and on
+  out-of-range indices where DuckDB's [i] is NULL).
+
+Remaining input contract, stated not tested: non-empty embeddings
+share one dimension, and |x| stays within DECIMAL(38,10) exact-sum
+headroom (~1e27) for the decimal-disciplined keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from adlspark import tables as adl_tables
+from adlspark.registry import all_oracles, all_queries
+
+SLICE = 80
+
+
+@pytest.fixture(scope="module")
+def edge_embed_dir(tmp_path_factory, sf_dir):
+    """Arrow-level mutation (pandas would degrade NaN to NULL): two
+    identical NaN-element vectors, two identical zero vectors, a NULL
+    embedding, an EMPTY embedding, and two identical huge-norm (1e6,
+    within decimal headroom) vectors — with NULL labels mixed in."""
+    d = tmp_path_factory.mktemp("edgeembed")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "embeddings":
+            import pyarrow.compute as pc
+
+            base = tbl.filter(
+                pc.less(tbl["vec_id"], SLICE)
+            ).replace_schema_metadata(None)
+            dim = len(base["embedding"][0])
+            sch = base.schema
+            nan_vec = [float("nan")] + [0.25] * (dim - 1)
+            zero_vec = [0.0] * dim
+            big_vec = [1e6] + [0.0] * (dim - 1)
+            extra = pa.table({
+                "vec_id": pa.array(
+                    [980001, 980002, 980011, 980012, 980021,
+                     980031, 980041, 980042],
+                    sch.field("vec_id").type),
+                "embedding": pa.array(
+                    [nan_vec, nan_vec, zero_vec, zero_vec, None,
+                     [], big_vec, big_vec],
+                    sch.field("embedding").type),
+                "label": pa.array(
+                    [0, 0, 1, 1, None, 2, None, 2],
+                    sch.field("label").type),
+            }).select(base.column_names)
+            tbl = pa.concat_tables([base, extra.cast(sch)])
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _ddb(corpus_dir):
+    con = duckdb.connect()
+    for t in adl_tables.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{corpus_dir}/{t}.parquet')"
+        )
+    return con
+
+
+EMBED_ORACLE_KEYS = [
+    "llm_sim_threshold_join", "llm_knn_label", "llm_knn_graph",
+    "llm_sim_topk", "llm_embed_centroids", "llm_multimodal_struct",
+    "llm_embed_near_dup", "llm_embed_quantize", "llm_srp_bits",
+    "llm_semantic_dedup", "llm_hard_negative_mine",
+    "scan_all_tables_counts", "fn_array", "fn_explode",
+    "fn_higher_order",
+]
+
+
+@pytest.mark.parametrize("key", EMBED_ORACLE_KEYS)
+def test_edge_embed_parity(spark, edge_embed_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(edge_embed_dir)
+    try:
+        df = all_queries()[key](spark, edge_embed_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+def test_fixture_contains_true_nan(edge_embed_dir):
+    """The corpus must actually CONTAIN NaN elements — a pandas
+    round-trip silently degrades them to NULL, which would test the
+    null path instead of the NaN ordering/casting traps."""
+    flat = (
+        pq.read_table(
+            f"{edge_embed_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .column("embedding")
+        .combine_chunks()
+        .flatten()
+    )
+    vals = flat.to_numpy(zero_copy_only=False)
+    assert np.isnan(vals).sum() == 2
+
+
+def test_invalid_vectors_outside_domain(spark, edge_embed_dir):
+    """Direct statement of the domain: NULL/empty embeddings never
+    reach a vector kernel (no output rows carry their ids), while the
+    NaN / zero-norm ones are in-domain but never pair."""
+    rows = all_queries()["llm_knn_graph"](spark, edge_embed_dir).collect()
+    ids = {r.vec_id for r in rows} | {r.neighbor_id for r in rows}
+    assert ids.isdisjoint({980021, 980031}), "out-of-domain vector leaked"
+    assert ids.isdisjoint({980001, 980002, 980011, 980012}), (
+        "NaN/zero-norm vector acquired neighbors"
+    )
+    sims = [r.sim for r in rows]
+    assert all(s is not None and not np.isnan(s) for s in sims)

@@ -1,0 +1,207 @@
+"""Null/tie robustness gates for the EVENTS-reading keys (round-7
+wave 4 — the events twin of tests/test_null_robustness.py's document
+corpora).
+
+The standard fixtures carry no NULL user_id / ts / value / event_type
+/ props and no duplicate timestamps, so none of the following seams
+were load-bearing until this sweep built corpora that contain them:
+
+- Spark's F.window / session_window silently DROP null-ts rows where
+  DuckDB's date_trunc(NULL) keeps a NULL bucket (ts_tumbling /
+  ts_sliding / ts_session pin the drop as the documented domain).
+- Spark ASC ordering is NULLS FIRST; DuckDB's is NULLS LAST — and in
+  DuckDB 1.0 a NULL window PARTITION/ORDER key is outright
+  NONDETERMINISTIC (the parallel window sort splits null groups per
+  chunk and can corrupt neighboring partitions; reproduced at 200k
+  rows with partition counts varying per run). The oracles therefore
+  coalesce every nullable window key to an out-of-domain sentinel
+  (user -1, chr(1), 1900 timestamps) — ALWAYS wrapping the RAW column
+  (coalesce over a date_trunc RESULT hits a second DuckDB 1.0 bug: the
+  derived vector's validity mask is corrupted and coalesce returns
+  NULL for NULL input even with a constant fallback).
+- ANSI Spark aborts the job where DuckDB yields NULL: get_json_object
+  + cast on a non-numeric extract (fn_json), element_at on an empty
+  map/array (fn_map), element_at index 0 on an all-null rolling frame
+  (ts_rolling_median), and x/0 for degenerate drift / variance /
+  slope denominators (agg_ks_test, ts_anomaly_zscore, ts_trend_slope
+  — the ties corpus makes x-variance exactly 0). try_divide /
+  try_element_at / try_cast give DuckDB's NULL semantics.
+- groupBy treats NULL keys as equal but an equi-join drops them: the
+  win_distinct_running rewrite joins day-grids back on event_type and
+  needs eqNullSafe or the NULL type's running count is zeroed.
+
+Each test re-runs the EXACT driver compare (hash parity vs the DuckDB
+oracle) on a corpus that contains the hostile rows, so the fixed
+semantics stay load-bearing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from adlspark import tables as adl_tables
+from adlspark.registry import all_oracles, all_queries
+
+SLICE = 400  # base event rows kept (oracle cost control)
+
+
+def _corpus(tmp_path_factory, sf_dir, name, mutate_events):
+    d = tmp_path_factory.mktemp(name)
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "events":
+            df = tbl.to_pandas().iloc[:SLICE].reset_index(drop=True)
+            df = mutate_events(df)
+            tbl = pa.Table.from_pandas(
+                df, schema=tbl.schema, preserve_index=False
+            )
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory, sf_dir):
+    """NULL user_id / ts / event_type / value / props rows, including a
+    user whose events are ALL null-ts (99) and a user mixing real and
+    null timestamps (7, 8) — the shapes that flipped window frames,
+    dropped join keys, and crashed ANSI expressions. NOTE pandas→arrow
+    degrades float('nan') cells to NULL here (the documented fixture
+    trap), so this corpus exercises NULL values, not true NaN."""
+
+    def mut(df):
+        base_ts = df["ts"].iloc[0]
+        extra = pd.DataFrame({
+            "event_id": [990001, 990002, 990003, 990011, 990012,
+                         990021, 990022, 990031, 990032, 990041,
+                         990042, 990051, 990052],
+            "ts": [base_ts + pd.Timedelta(seconds=s) for s in
+                   (11, 22, 33, 44, 55, 66, 77)] + [pd.NaT] * 6,
+            "user_id": [None, None, 7, 7, 8, 9, 9, 7, None, 8, 8,
+                        99, 99],
+            "event_type": [None, "", "click", None, "", "view", "view",
+                           "click", "view", None, "click", "view",
+                           "view"],
+            "value": [1.5, 2.5, None, None, 3.5, None, None,
+                      4.5, 5.5, None, 6.5, 7.5, 8.5],
+            "props": [None, "", "{not json", '{"k": null}', '{"k": 1}',
+                      None, "{}", '{"k": "v"}', None, "{broken",
+                      '{"k": 2}', "{}", '{"k": 3}'],
+        })
+        extra["user_id"] = extra["user_id"].astype("object")
+        return pd.concat([df, extra], ignore_index=True)
+
+    return _corpus(tmp_path_factory, sf_dir, "nullevents", mut)
+
+
+@pytest.fixture(scope="module")
+def tie_events_dir(tmp_path_factory, sf_dir):
+    """Exact-duplicate timestamps within a user (3-way and 2-way ties,
+    the 2-way with equal values too) — every ordered operator must
+    resolve them by the event_id tiebreaker identically on both
+    engines, and zero x-variance groups must yield NULL statistics,
+    not a division error."""
+
+    def mut(df):
+        base_ts = df["ts"].iloc[0]
+        t1 = base_ts + pd.Timedelta(seconds=101)
+        t2 = base_ts + pd.Timedelta(seconds=202)
+        extra = pd.DataFrame({
+            "event_id": [991001, 991002, 991003, 991011, 991012],
+            "ts": [t1, t1, t1, t2, t2],
+            "user_id": [41, 41, 41, 42, 42],
+            "event_type": ["click", "view", "click", "buy", "buy"],
+            "value": [1.0, 2.0, 3.0, 4.0, 4.0],
+            "props": ["{}"] * 5,
+        })
+        return pd.concat([df, extra], ignore_index=True)
+
+    return _corpus(tmp_path_factory, sf_dir, "tieevents", mut)
+
+
+def _ddb(corpus_dir):
+    con = duckdb.connect()
+    for t in adl_tables.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{corpus_dir}/{t}.parquet')"
+        )
+    return con
+
+
+# Every events-reading key with a value oracle (the full sweep surface).
+EVENTS_ORACLE_KEYS = [
+    "ts_ewma", "scan_all_tables_counts", "stream_file_source",
+    "ingest_partitioned_prune", "join_skew_salted", "agg_conditional",
+    "catalog_search_tokens", "lake_gdpr_delete", "fn_json", "fn_map",
+    "ts_tumbling", "ts_sliding", "ts_session", "ts_dedup", "ts_gap_fill",
+    "ts_funnel", "ts_resample_ohlc", "ts_retention", "ts_anomaly_zscore",
+    "ts_trend_slope", "ts_seasonality", "ts_interpolate", "ts_autocorr",
+    "ts_rolling_median", "ts_pattern_match", "ts_cusum_changepoint",
+    "ts_rolling_corr", "ts_outlier_mad", "ts_attribution",
+    "ts_burst_detect", "ts_active_users", "ts_forecast_naive",
+    "ts_velocity_features", "ts_event_paths", "ts_drift_psi",
+    "catalog_entries", "catalog_persistent", "join_dpp_prune",
+    "join_theta_range", "join_asof", "join_interval_bucketed",
+    "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
+    "agg_collect_sorted", "agg_heavy_hitters_cms", "agg_first_last_by",
+    "agg_cohort_overlap", "agg_ks_test", "agg_chi2_independence",
+    "win_lag_lead", "win_streak", "win_distinct_running",
+    "win_time_range", "stream_checkpoint_recovery",
+]
+
+# Order/tie-sensitive subset for the ties corpus (keys with windows,
+# ordered aggregation, as-of semantics, or variance denominators).
+TIE_SENSITIVE_KEYS = [
+    "ts_ewma", "ts_dedup", "ts_session", "ts_resample_ohlc",
+    "ts_rolling_median", "ts_pattern_match", "ts_event_paths",
+    "ts_attribution", "ts_velocity_features", "ts_funnel",
+    "ts_anomaly_zscore", "ts_trend_slope", "ts_autocorr",
+    "ts_cusum_changepoint", "ts_rolling_corr", "ts_burst_detect",
+    "join_asof", "join_asof_forward", "join_asof_nearest",
+    "join_asof_tolerance", "agg_collect_sorted", "agg_first_last_by",
+    "agg_ks_test", "win_lag_lead", "win_streak", "win_time_range",
+    "win_distinct_running",
+]
+
+
+@pytest.mark.parametrize("key", EVENTS_ORACLE_KEYS)
+def test_null_events_parity(spark, null_events_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(null_events_dir)
+    try:
+        df = all_queries()[key](spark, null_events_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("key", TIE_SENSITIVE_KEYS)
+def test_tie_events_parity(spark, tie_events_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(tie_events_dir)
+    try:
+        df = all_queries()[key](spark, tie_events_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+def test_ewma_domain_excludes_null_rows(spark, null_events_dir):
+    """Direct statement of the ts_ewma domain: rows lacking user_id,
+    ts, or value are not observations — absent from the output, and
+    the all-null-ts user (99) contributes no series at all."""
+    rows = all_queries()["ts_ewma"](spark, null_events_dir).collect()
+    uids = {r.user_id for r in rows}
+    assert None not in uids
+    assert 99 not in uids
+    eids = {r.event_id for r in rows}
+    assert eids.isdisjoint({990001, 990002, 990031, 990032,
+                            990041, 990051, 990052})
