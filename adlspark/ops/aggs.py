@@ -188,7 +188,11 @@ def agg_stats(spark, sf_dir):
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sp, spp, spx = F.col("sp"), F.col("spp"), F.col("spx")
     sd, st, sdt = F.col("sd"), F.col("st"), F.col("sdt")
-    var_qty = (sxx - (sx * sx) / n) / (n - F.lit(1.0))
+    # try_divide throughout: a single-row group (n=1, e.g. one lineitem
+    # with a NULL returnflag forming its own group) has no sample
+    # variance/corr/covar — DuckDB's /0 yields NULL, Spark's ANSI `/`
+    # would abort the job
+    var_qty = F.try_divide(sxx - (sx * sx) / n, n - F.lit(1.0))
     return suff.select(
         "l_returnflag",
         F.sqrt(var_qty).alias("std_qty"),
@@ -198,11 +202,15 @@ def agg_stats(spark, sf_dir):
         # 6 digits (drift ~1e-16 relative; boundary odds ~1e-12). The other
         # three stats are bit-identical closed forms, left unrounded.
         F.round(
-            (n * spx - sp * sx)
-            / (F.sqrt(n * spp - sp * sp) * F.sqrt(n * sxx - sx * sx)),
+            F.try_divide(
+                n * spx - sp * sx,
+                F.sqrt(n * spp - sp * sp) * F.sqrt(n * sxx - sx * sx),
+            ),
             6,
         ).alias("corr_price_qty"),
-        ((sdt - (sd * st) / n) / (n - F.lit(1.0))).alias("covar_disc_tax"),
+        F.try_divide(sdt - (sd * st) / n, n - F.lit(1.0)).alias(
+            "covar_disc_tax"
+        ),
     )
 
 
@@ -258,10 +266,13 @@ def agg_skew_kurt(spark, sf_dir):
         + (((F.lit(6.0) * sx) * sx) * sxx) / (n * n)
         - (((F.lit(3.0) * sx) * sx) * sx * sx) / ((n * n) * n)
     ) / n
+    # try_divide: a zero-variance group (n=1 or all-equal values) has
+    # no skew/kurtosis — NULL on both engines (DuckDB /0 is NULL)
     return suff.select(
         "l_returnflag",
-        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_qty"),
-        (F.round(m4 / F.pow(m2, F.lit(2.0)), 6) - F.lit(3.0)).alias("kurt_qty"),
+        F.round(F.try_divide(m3, F.pow(m2, F.lit(1.5))), 6).alias("skew_qty"),
+        (F.round(F.try_divide(m4, F.pow(m2, F.lit(2.0))), 6) - F.lit(3.0))
+        .alias("kurt_qty"),
     )
 
 

@@ -520,11 +520,15 @@ WITH ch AS (
                 OR lag(o_orderpriority) OVER w <> o_orderpriority
               THEN 1 ELSE 0 END AS chg
   FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  WINDOW w AS (PARTITION BY coalesce(o_custkey, -1)
+               ORDER BY coalesce(o_orderdate, TIMESTAMP '1900-01-01'),
+                        o_orderkey)
 ), ver AS (
   SELECT o_custkey, o_orderdate, o_orderpriority,
-         CAST(sum(chg) OVER (PARTITION BY o_custkey
-                        ORDER BY o_orderdate, o_orderkey
+         CAST(sum(chg) OVER (PARTITION BY coalesce(o_custkey, -1)
+                        ORDER BY coalesce(o_orderdate,
+                                          TIMESTAMP '1900-01-01'),
+                                 o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM ch
 ), v AS (
@@ -534,9 +538,11 @@ WITH ch AS (
   FROM ver GROUP BY o_custkey, version
 )
 SELECT custkey, version, priority, valid_from,
-       lead(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+       lead(valid_from) OVER (PARTITION BY coalesce(custkey, -1)
+                              ORDER BY version)
          AS valid_to,
-       lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL
+       lead(valid_from) OVER (PARTITION BY coalesce(custkey, -1)
+                              ORDER BY version) IS NULL
          AS is_current
 FROM v
 """,

@@ -22,17 +22,23 @@ from adlspark.registry import query
     "udf_python",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       CASE WHEN l_extendedprice * (1 - l_discount) > 30000 THEN 'high'
+       CASE WHEN l_extendedprice IS NULL OR l_discount IS NULL THEN NULL
+            WHEN l_extendedprice * (1 - l_discount) > 30000 THEN 'high'
             WHEN l_extendedprice * (1 - l_discount) > 10000 THEN 'mid'
             ELSE 'low' END AS band
 FROM lineitem
 """,
 )
 def udf_python(spark, sf_dir):
-    """Row-at-a-time Python UDF (the slow path, kept off hot loops)."""
+    """Row-at-a-time Python UDF (the slow path, kept off hot loops).
+    NULL-in-NULL-out: a row UDF receives Python None for SQL NULL, and
+    unguarded arithmetic on it kills the worker — an unknown price has
+    an unknown band on both engines."""
 
     @F.udf(StringType())
     def band(price: float, discount: float) -> str:
+        if price is None or discount is None:
+            return None
         dp = price * (1 - discount)
         return "high" if dp > 30000 else ("mid" if dp > 10000 else "low")
 

@@ -24,8 +24,10 @@ from adlspark.registry import query
     "win_rownum",
     oracle="""
 SELECT c_custkey, c_nationkey, c_acctbal,
-       row_number() OVER (PARTITION BY c_nationkey
-                          ORDER BY c_acctbal DESC, c_custkey) AS rn
+       row_number() OVER (PARTITION BY coalesce(c_nationkey, -1)
+                          ORDER BY coalesce(c_acctbal,
+                                            '-infinity'::DOUBLE) DESC,
+                                   c_custkey) AS rn
 FROM customer
 """,
 )
@@ -44,10 +46,13 @@ def win_rownum(spark, sf_dir):
     oracle="""
 SELECT c_custkey, c_nationkey,
        CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket,
-       rank() OVER (PARTITION BY c_nationkey
-                    ORDER BY CAST(floor(c_acctbal / 100) AS BIGINT) DESC) AS rnk,
-       dense_rank() OVER (PARTITION BY c_nationkey
-                          ORDER BY CAST(floor(c_acctbal / 100) AS BIGINT) DESC) AS drnk
+       rank() OVER (PARTITION BY coalesce(c_nationkey, -1)
+                    ORDER BY CAST(floor(coalesce(c_acctbal, -1e15) / 100)
+                                  AS BIGINT) DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY coalesce(c_nationkey, -1)
+                          ORDER BY CAST(floor(coalesce(c_acctbal, -1e15)
+                                              / 100)
+                                        AS BIGINT) DESC) AS drnk
 FROM customer
 """,
 )
@@ -77,8 +82,10 @@ def win_rank_dense(spark, sf_dir):
     oracle="""
 SELECT * FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY c_mktsegment
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         row_number() OVER (PARTITION BY coalesce(c_mktsegment, chr(1))
+                            ORDER BY coalesce(o_totalprice,
+                                              '-infinity'::DOUBLE) DESC,
+                                     o_orderkey) AS rn
   FROM orders JOIN customer ON o_custkey = c_custkey
 ) t WHERE rn <= 3
 """,
@@ -129,8 +136,9 @@ def win_lag_lead(spark, sf_dir):
     oracle="""
 SELECT o_orderkey, o_custkey,
        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-              OVER (PARTITION BY o_custkey
-                    ORDER BY o_orderdate, o_orderkey
+              OVER (PARTITION BY coalesce(o_custkey, -1)
+                    ORDER BY coalesce(o_orderdate, TIMESTAMP '1900-01-01'),
+                             o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_spend
 FROM orders
@@ -159,7 +167,9 @@ SELECT o_orderkey, o_custkey,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
              / count(*) OVER w, 6) AS mavg
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+WINDOW w AS (PARTITION BY coalesce(o_custkey, -1)
+             ORDER BY coalesce(o_orderdate, TIMESTAMP '1900-01-01'),
+                      o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
 )
@@ -185,7 +195,8 @@ def win_moving_avg(spark, sf_dir):
     "win_range_frame",
     oracle="""
 SELECT o_orderkey, o_orderstatus, o_totalprice,
-       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+       count(*) OVER (PARTITION BY coalesce(o_orderstatus, chr(1))
+                      ORDER BY coalesce(o_totalprice, -1e15)
                       RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
          AS n_near
 FROM orders
@@ -215,7 +226,7 @@ SELECT c_custkey,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cdist
 FROM customer
-WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (ORDER BY coalesce(c_acctbal, '-infinity'::DOUBLE), c_custkey)
 """,
 )
 def win_ntile_pct(spark, sf_dir):
@@ -236,7 +247,9 @@ SELECT c_custkey, c_nationkey,
        first_value(c_custkey) OVER w AS richest,
        last_value(c_custkey) OVER w AS poorest
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+WINDOW w AS (PARTITION BY coalesce(c_nationkey, -1)
+             ORDER BY coalesce(c_acctbal, '-infinity'::DOUBLE) DESC,
+                      c_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 )
@@ -260,11 +273,15 @@ def win_first_last(spark, sf_dir):
     oracle="""
 SELECT c_custkey, c_nationkey,
        nth_value(c_custkey, 2) OVER w AS second_richest,
-       lag(c_custkey, 1) OVER (PARTITION BY c_nationkey
-                               ORDER BY c_acctbal DESC, c_custkey)
+       lag(c_custkey, 1) OVER (PARTITION BY coalesce(c_nationkey, -1)
+                               ORDER BY coalesce(c_acctbal,
+                                                 '-infinity'::DOUBLE) DESC,
+                                        c_custkey)
          AS prev_in_rank
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+WINDOW w AS (PARTITION BY coalesce(c_nationkey, -1)
+             ORDER BY coalesce(c_acctbal, '-infinity'::DOUBLE) DESC,
+                      c_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 )
@@ -296,8 +313,9 @@ SELECT c_custkey, c_nationkey,
             AS DOUBLE) AS cume,
        CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey
-             ORDER BY CAST(floor(c_acctbal / 100) AS BIGINT), c_custkey)
+WINDOW w AS (PARTITION BY coalesce(c_nationkey, -1)
+             ORDER BY CAST(floor(coalesce(c_acctbal, -1e15) / 100)
+                           AS BIGINT), c_custkey)
 """,
 )
 def win_cume_pct(spark, sf_dir):

@@ -161,15 +161,21 @@ _VERIFY_WINDOW = [
     "llm_mmr_diverse_sample",
     "fn_array",
     "fn_higher_order",
+    #   sixth wave (TPC-H-table null sweep, 92 oracle keys, 0
+    #   divergences ×3 — pinned in tests/test_tpch_null_robustness.py).
+    #   Kernel-changed keys re-enter: try_divide for 1-row/zero-variance
+    #   groups (agg_stats, agg_skew_kurt), NULL-in-NULL-out row UDF
+    #   (udf_python). The win_*/lake_scd2 edits are oracle-only
+    #   sentinels, observation-equivalent on the null-free fixtures.
+    "agg_stats",
+    "agg_skew_kurt",
+    "udf_python",
     # (c) staleness rotation: the r1-era keys
     "scan_project",
     "scan_all_tables_counts",
     "ingest_validate_json",
-    "ingest_csv_header",
-    "sink_parquet_roundtrip",
-    "stream_file_source",
     # Slot arithmetic (the driver verifies the FIRST 50 keys): 1 failed
-    # (a) + 43 code-changed re-entries (b) + 6 staleness keys (c) = 50.
+    # (a) + 46 code-changed re-entries (b) + 3 staleness keys (c) = 50.
     # The win_* family, llm_text_stats / llm_top_terms / llm_tfidf /
     # llm_lang_partition_pipeline / llm_langid, and (this continuation)
     # agg_grouping_sets / agg_pivot / agg_unpivot / agg_rollup /
