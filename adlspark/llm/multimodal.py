@@ -59,7 +59,13 @@ def mm_binary_pipeline(spark, sf_dir):
     an image blob) + typed metadata struct → mapInPandas batch "decode"
     (stubbed) → per-lang feature aggregation.
     """
-    d = tables.load(spark, sf_dir, "documents").select(
+    # Domain: rows with a payload. A NULL-text doc has nothing to
+    # decode — a real pipeline routes it to quarantine rather than
+    # letting it kill the decode stage (the stub's NotImplementedError
+    # below stays as the executor-side invariant behind this filter).
+    d = tables.load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
         F.struct(
@@ -146,7 +152,11 @@ def mm_frame_sample(spark, sf_dir):
     Sampling is deterministic (fixed stride, content-derived features):
     re-runs and re-partitions produce identical results."""
     frame_bytes, stride = 32, 4
-    d = tables.load(spark, sf_dir, "documents").select(
+    # Domain: payload-bearing rows only (see mm_binary_pipeline) —
+    # a NULL payload has no frames and would kill the sampler.
+    d = tables.load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 

@@ -1246,7 +1246,12 @@ def llm_pca_power(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    e = load_embeddings(spark, sf_dir).select("embedding")
+    # Domain: NaN-free vectors — a single NaN element would poison the
+    # accumulated Gram matrix and the driver's eigensolver with it
+    # (numpy LinAlgError: eigenvalues did not converge)
+    e = load_embeddings(spark, sf_dir).where(
+        ~F.exists("embedding", lambda x: F.isnan(x.cast("double")))
+    ).select("embedding")
     d = len(e.head(1)[0]["embedding"])
 
     def partials(batches):
@@ -1523,7 +1528,20 @@ def llm_mmr_diverse_sample(spark, sf_dir):
     import numpy as np
 
     K, LAM = 8, 0.7
-    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    # Domain: unit-normalizable vectors — a zero-norm vector has no
+    # direction (its x/nrm would abort under ANSI) and a NaN element
+    # poisons every cosine it touches
+    _nrm0 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    e = load_embeddings(spark, sf_dir).where(
+        ~F.exists("embedding", lambda x: F.isnan(x.cast("double")))
+        & (_nrm0 > 0)
+    ).select("vec_id", "embedding")
     # centroid: posexplode -> per-dimension avg — map-side-combinable,
     # driver receives dim rows (the model), never the vectors
     cent_rows = (

@@ -170,12 +170,17 @@ _VERIFY_WINDOW = [
     "agg_stats",
     "agg_skew_kurt",
     "udf_python",
+    #   seventh wave (rows-only crash sweep — a worker crash is a
+    #   driver ERROR verdict even without an oracle; pinned in
+    #   tests/test_rows_only_crash_robustness.py): NULL payloads leave
+    #   the multimodal decode domain; pca filters NaN vectors, mmr
+    #   non-normalizable ones (both already re-entered above).
+    "mm_binary_pipeline",
+    "mm_frame_sample",
     # (c) staleness rotation: the r1-era keys
     "scan_project",
-    "scan_all_tables_counts",
-    "ingest_validate_json",
     # Slot arithmetic (the driver verifies the FIRST 50 keys): 1 failed
-    # (a) + 46 code-changed re-entries (b) + 3 staleness keys (c) = 50.
+    # (a) + 48 code-changed re-entries (b) + 1 staleness key (c) = 50.
     # The win_* family, llm_text_stats / llm_top_terms / llm_tfidf /
     # llm_lang_partition_pipeline / llm_langid, and (this continuation)
     # agg_grouping_sets / agg_pivot / agg_unpivot / agg_rollup /

@@ -1,0 +1,148 @@
+"""Crash-robustness gates for the ROWS-ONLY keys (no SQL oracle) on
+the hostile corpora (round-7 wave 7 — completes the program: the
+oracle keys get hash-parity gates in test_null_robustness /
+test_event_null_robustness / test_embed_robustness /
+test_tpch_null_robustness; the rows-only keys can still ERROR in the
+driver, which records a failed verdict).
+
+Found and fixed by this sweep: mm_binary_pipeline / mm_frame_sample
+killed the Python worker on a NULL payload (NULL-text docs are now
+out of the decode domain — a real pipeline quarantines them);
+llm_pca_power's driver eigensolver diverged on a NaN-poisoned Gram
+matrix (NaN vectors filtered); llm_mmr_diverse_sample aborted under
+ANSI normalizing a zero-norm vector (non-normalizable vectors
+filtered). Every other rows-only key ran clean on its hostile corpus
+— these tests keep it that way.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from adlspark import tables as adl_tables
+from adlspark.registry import all_oracles, all_queries
+
+
+def _write(tmp, mutate):
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        tbl = mutate(t, tbl)
+        pq.write_table(tbl, str(tmp / f"{t}.parquet"))
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def hostile_docs_dir(tmp_path_factory, sf_dir):
+    def mut(t, tbl):
+        if t != "documents":
+            return tbl
+        df = tbl.to_pandas()
+        extra = pd.DataFrame({
+            "doc_id": [900001, 900002, 900011],
+            "text": [None, "", "just three tokens"],
+            "lang": ["en", None, "de"],
+            "source": ["nulltest"] * 3,
+            "n_chars": [0, 0, 17],
+        })
+        df = pd.concat([df, extra], ignore_index=True)
+        return pa.Table.from_pandas(df, schema=tbl.schema,
+                                    preserve_index=False)
+    return _write(tmp_path_factory.mktemp("hostiledocs"), mut)
+
+
+@pytest.fixture(scope="module")
+def hostile_events_dir(tmp_path_factory, sf_dir):
+    def mut(t, tbl):
+        if t != "events":
+            return tbl
+        df = tbl.to_pandas().iloc[:400].reset_index(drop=True)
+        base_ts = df["ts"].iloc[0]
+        extra = pd.DataFrame({
+            "event_id": [990001, 990002, 990031, 990051],
+            "ts": [base_ts, base_ts + pd.Timedelta(seconds=9),
+                   pd.NaT, pd.NaT],
+            "user_id": [None, 7, 7, 99],
+            "event_type": [None, "", "click", "view"],
+            "value": [1.5, None, 4.5, 7.5],
+            "props": [None, "{not json", '{"k": "v"}', "{}"],
+        })
+        extra["user_id"] = extra["user_id"].astype("object")
+        df = pd.concat([df, extra], ignore_index=True)
+        return pa.Table.from_pandas(df, schema=tbl.schema,
+                                    preserve_index=False)
+    return _write(tmp_path_factory.mktemp("hostileevents"), mut)
+
+
+@pytest.fixture(scope="module")
+def hostile_embed_dir(tmp_path_factory, sf_dir):
+    def mut(t, tbl):
+        if t != "embeddings":
+            return tbl
+        import pyarrow.compute as pc
+        base = tbl.filter(pc.less(tbl["vec_id"], 80))
+        base = base.replace_schema_metadata(None)
+        dim = len(base["embedding"][0])
+        sch = base.schema
+        extra = pa.table({
+            "vec_id": pa.array([980001, 980011, 980021, 980031],
+                               sch.field("vec_id").type),
+            "embedding": pa.array(
+                [[float("nan")] + [0.25] * (dim - 1), [0.0] * dim,
+                 None, []],
+                sch.field("embedding").type),
+            "label": pa.array([0, 1, None, 2], sch.field("label").type),
+        }).select(base.column_names)
+        return pa.concat_tables([base, extra.cast(sch)])
+    return _write(tmp_path_factory.mktemp("hostileembed"), mut)
+
+
+def _rows_only(reading):
+    import inspect
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        if reading in src:
+            out.append(k)
+    return out
+
+
+EVENTS_ROWS_ONLY = _rows_only("events")
+DOC_ROWS_ONLY = [k for k in _rows_only("documents")
+                 if k not in EVENTS_ROWS_ONLY]
+EMBED_ROWS_ONLY = [k for k in _rows_only("embeddings")
+                   if k not in EVENTS_ROWS_ONLY + DOC_ROWS_ONLY]
+
+
+@pytest.mark.parametrize("key", EVENTS_ROWS_ONLY)
+def test_events_rows_only_no_crash(spark, hostile_events_dir, key):
+    n = all_queries()[key](spark, hostile_events_dir).count()
+    assert n >= 0
+
+
+@pytest.mark.parametrize("key", DOC_ROWS_ONLY)
+def test_docs_rows_only_no_crash(spark, hostile_docs_dir, key):
+    n = all_queries()[key](spark, hostile_docs_dir).count()
+    assert n >= 0
+
+
+@pytest.mark.parametrize("key", EMBED_ROWS_ONLY)
+def test_embed_rows_only_no_crash(spark, hostile_embed_dir, key):
+    n = all_queries()[key](spark, hostile_embed_dir).count()
+    assert n >= 0
+
+
+def test_surfaces_nonempty():
+    assert len(EVENTS_ROWS_ONLY) >= 17
+    assert len(DOC_ROWS_ONLY) >= 5
+    assert len(EMBED_ROWS_ONLY) >= 4
