@@ -94,14 +94,30 @@ def _ddb(corpus_dir):
     return con
 
 
-EMBED_ORACLE_KEYS = [
-    "llm_sim_threshold_join", "llm_knn_label", "llm_knn_graph",
-    "llm_sim_topk", "llm_embed_centroids", "llm_multimodal_struct",
-    "llm_embed_near_dup", "llm_embed_quantize", "llm_srp_bits",
-    "llm_semantic_dedup", "llm_hard_negative_mine",
-    "scan_all_tables_counts", "fn_array", "fn_explode",
-    "fn_higher_order",
-]
+# Derived from the registry so a NEW embeddings key automatically
+# enters these gates the day it is registered.
+def _embed_oracle_keys():
+    import inspect
+
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k not in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        if "embedding" in (src + " " + os_[k]):
+            out.append(k)
+    return out
+
+
+EMBED_ORACLE_KEYS = _embed_oracle_keys()
+
+
+def test_embed_surface_is_stable():
+    assert len(EMBED_ORACLE_KEYS) >= 15, len(EMBED_ORACLE_KEYS)
 
 
 @pytest.mark.parametrize("key", EMBED_ORACLE_KEYS)

@@ -134,26 +134,27 @@ def _ddb(corpus_dir):
     return con
 
 
-# Every events-reading key with a value oracle (the full sweep surface).
-EVENTS_ORACLE_KEYS = [
-    "ts_ewma", "scan_all_tables_counts", "stream_file_source",
-    "ingest_partitioned_prune", "join_skew_salted", "agg_conditional",
-    "catalog_search_tokens", "lake_gdpr_delete", "fn_json", "fn_map",
-    "ts_tumbling", "ts_sliding", "ts_session", "ts_dedup", "ts_gap_fill",
-    "ts_funnel", "ts_resample_ohlc", "ts_retention", "ts_anomaly_zscore",
-    "ts_trend_slope", "ts_seasonality", "ts_interpolate", "ts_autocorr",
-    "ts_rolling_median", "ts_pattern_match", "ts_cusum_changepoint",
-    "ts_rolling_corr", "ts_outlier_mad", "ts_attribution",
-    "ts_burst_detect", "ts_active_users", "ts_forecast_naive",
-    "ts_velocity_features", "ts_event_paths", "ts_drift_psi",
-    "catalog_entries", "catalog_persistent", "join_dpp_prune",
-    "join_theta_range", "join_asof", "join_interval_bucketed",
-    "join_asof_forward", "join_asof_nearest", "join_asof_tolerance",
-    "agg_collect_sorted", "agg_heavy_hitters_cms", "agg_first_last_by",
-    "agg_cohort_overlap", "agg_ks_test", "agg_chi2_independence",
-    "win_lag_lead", "win_streak", "win_distinct_running",
-    "win_time_range", "stream_checkpoint_recovery",
-]
+# Every events-reading key with a value oracle — derived from the
+# registry so a NEW events key automatically enters these gates the
+# day it is registered (a static list silently exempted new keys).
+def _events_oracle_keys():
+    import inspect
+
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k not in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        if "events" in (src + " " + os_[k]):
+            out.append(k)
+    return out
+
+
+EVENTS_ORACLE_KEYS = _events_oracle_keys()
 
 # Order/tie-sensitive subset for the ties corpus (keys with windows,
 # ordered aggregation, as-of semantics, or variance denominators).
@@ -168,6 +169,12 @@ TIE_SENSITIVE_KEYS = [
     "agg_ks_test", "win_lag_lead", "win_streak", "win_time_range",
     "win_distinct_running",
 ]
+
+
+def test_events_surface_is_stable():
+    """If the derived key list shrinks below the wave-4 surface, keys
+    silently left the gate."""
+    assert len(EVENTS_ORACLE_KEYS) >= 55, len(EVENTS_ORACLE_KEYS)
 
 
 @pytest.mark.parametrize("key", EVENTS_ORACLE_KEYS)
