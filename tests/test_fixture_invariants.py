@@ -58,3 +58,51 @@ def test_events_user_id_nonnull():
         "events.user_id grew NULLs — ts_ewma's run-detection kernel "
         "requires non-null user_id (adlspark/ops/timeseries.py)"
     )
+
+
+def test_oracle_sentinels_outside_fixture_domain():
+    """The hostile-corpus oracle sentinels (round-7 waves 4-6) coalesce
+    nullable window keys to out-of-domain values as a workaround for
+    DuckDB 1.0's nondeterministic window sort over NULL keys. If a
+    regenerated fixture ever CONTAINS a sentinel value, the oracle
+    would silently merge the sentinel group with real rows while Spark
+    keeps them apart — fail loudly here instead. Sentinels in use:
+    -1 (user_id / custkey / nationkey), chr(1) (event_type /
+    mktsegment / orderstatus), 1900-01-01 (ts / orderdate),
+    -infinity / -1e15 (value / totalprice / acctbal)."""
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    uid = ev.column("user_id").to_numpy(zero_copy_only=False)
+    assert uid.min() > -1, "events.user_id reached the -1 sentinel"
+    ets = set(ev.column("event_type").to_pylist())
+    assert "\x01" not in ets, "events.event_type contains chr(1)"
+    ts = ev.column("ts").to_numpy(zero_copy_only=False)
+    assert ts.min() > np.datetime64("1901-01-01"), (
+        "events.ts reached the 1900 sentinel era"
+    )
+
+    o = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice",
+                 "o_orderstatus"],
+    )
+    assert o.column("o_custkey").to_numpy(zero_copy_only=False).min() > -1
+    assert o.column(
+        "o_orderdate"
+    ).to_numpy(zero_copy_only=False).min() > np.datetime64("1901-01-01")
+    assert o.column(
+        "o_totalprice"
+    ).to_numpy(zero_copy_only=False).min() > -1e14
+    assert "\x01" not in set(o.column("o_orderstatus").to_pylist())
+
+    c = pq.read_table(
+        f"{SF_DIR}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    assert c.column("c_custkey").to_numpy(zero_copy_only=False).min() > -1
+    assert c.column("c_nationkey").to_numpy(zero_copy_only=False).min() > -1
+    assert np.isfinite(
+        c.column("c_acctbal").to_numpy(zero_copy_only=False)
+    ).all(), "c_acctbal contains non-finite values (the -inf sentinel)"
+    assert "\x01" not in set(c.column("c_mktsegment").to_pylist())
