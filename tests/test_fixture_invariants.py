@@ -106,3 +106,33 @@ def test_oracle_sentinels_outside_fixture_domain():
         c.column("c_acctbal").to_numpy(zero_copy_only=False)
     ).all(), "c_acctbal contains non-finite values (the -inf sentinel)"
     assert "\x01" not in set(c.column("c_mktsegment").to_pylist())
+
+
+def test_measure_columns_nan_free():
+    """Every decimal-exact oracle (o_dsum / o_davg) casts measures to
+    DECIMAL(38,6), and DuckDB ERRORS casting NaN to DECIMAL while
+    Spark silently yields NULL — a single NaN measure would crash
+    ~100 oracles with an asymmetric failure. The fixtures have never
+    shipped NaN; this fails loudly the round they do (then the fix is
+    an isnan guard inside o_dsum, proven observation-equivalent)."""
+    checks = [
+        ("events", ["value"]),
+        ("lineitem", ["l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax"]),
+        ("orders", ["o_totalprice"]),
+        ("customer", ["c_acctbal"]),
+    ]
+    for table, cols in checks:
+        t = pq.read_table(f"{SF_DIR}/{table}.parquet", columns=cols)
+        for col in cols:
+            arr = t.column(col).to_numpy(zero_copy_only=False).astype(
+                "float64"
+            )
+            # NULLs arrive as NaN through to_numpy; distinguish via
+            # arrow null_count — only TRUE NaN payloads should fail
+            n_null = t.column(col).null_count
+            n_nan = int(np.isnan(arr).sum())
+            assert n_nan == n_null, (
+                f"{table}.{col} contains {n_nan - n_null} true-NaN "
+                "values — o_dsum oracles will crash asymmetrically"
+            )
