@@ -254,7 +254,8 @@ WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
 SELECT probe_id, label AS pred_label, n_votes FROM (
   SELECT probe_id, label, n_votes,
          row_number() OVER (PARTITION BY probe_id
-                            ORDER BY n_votes DESC, label) AS r
+                            ORDER BY n_votes DESC,
+                                     coalesce(label, -1)) AS r
   FROM votes
 ) v WHERE r = 1
 """,
@@ -363,7 +364,8 @@ WITH expl AS (
 )
 SELECT label, pos, centroid,
        round(sqrt(sum(centroid * centroid)
-                    OVER (PARTITION BY label)), 6) AS label_norm
+                    OVER (PARTITION BY coalesce(label, -1))), 6)
+         AS label_norm
 FROM cent
 """,
 )

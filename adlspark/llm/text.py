@@ -68,7 +68,8 @@ def llm_text_stats(spark, sf_dir):
     oracle="""
 SELECT lang, w AS term, n, rnk FROM (
   SELECT lang, w, n,
-         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rnk
+         row_number() OVER (PARTITION BY coalesce(lang, chr(1))
+                            ORDER BY n DESC, w) AS rnk
   FROM (
     SELECT lang, w, count(*) AS n
     FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -653,7 +654,8 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, lang, n_tokens,
-         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         CAST(sum(n_tokens) OVER (PARTITION BY coalesce(lang, chr(1))
+                                  ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) - n_tokens
               AS BIGINT) AS off
   FROM t
@@ -1276,8 +1278,10 @@ WITH tok AS (
   GROUP BY tok.doc_id, tok.lang
 )
 SELECT doc_id, lang, avg_logprob,
-       CASE ntile(3) OVER (PARTITION BY lang
-                           ORDER BY avg_logprob DESC, doc_id)
+       CASE ntile(3) OVER (PARTITION BY coalesce(lang, chr(1))
+                           ORDER BY coalesce(avg_logprob,
+                                             '-infinity'::DOUBLE) DESC,
+                                    doc_id)
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM lp
 """,

@@ -149,47 +149,37 @@ def _ddb(corpus_dir):
     return con
 
 
-NULL_TEXT_KEYS = [
-    "llm_dedup_exact",
-    "llm_near_dup_pairs",
-    "llm_dedup_cluster",
-    "llm_dedup_canonical",
-    "llm_graph_triangles",
-    "llm_dedup_editdist",
-    # the shingle family maps NULL text to the [''] shingle set on BOTH
-    # engines (concat_ws swallows NULLs identically; probed round-7
-    # continuation) — these pins hold that agreement in place
-    "llm_minhash_signature",
-    "llm_minhash_estimate",
-    "llm_ngram_jaccard",
-    "llm_containment_dedup",
-    "llm_prefix_dedup",
-    "llm_paragraph_dedup",
-    "llm_winnow_fingerprint",
-    "llm_simhash",
-    # sequence(1, 0) descending-trap guards (fixed round-7 continuation)
-    "llm_substring_dedup",
-    "llm_entropy_filter",
-    # full document-reading-key sweep finds (round-7 continuation):
-    # NULL text -> NULL fingerprint (concat_ws would md5('') where
-    # DuckDB's array_to_string(NULL) stays NULL); NULL payload -> NULL
-    # phash (bytes(None) crashed the worker)
-    "llm_fingerprint",
-    "mm_phash_dedup",
-    # empty-vs-null split in the quality oracles: coalesce only inside
-    # non-null text, NULL-text rows stay NULL on both sides
-    "llm_quality_classifier",
-    "llm_gopher_rules",
-]
+# The FULL document-reading oracle surface, derived from the registry
+# (round-7: the static subsets silently exempted new keys AND the
+# keys outside them — llm_top_terms etc. had never seen a NULL lang).
+# Historic finds pinned by these corpora: NULL-text singleton identity
+# groups, the shingle-[''] agreement, the sequence(1,0) descending
+# trap (substring_dedup / entropy_filter), NULL-text fingerprints,
+# NULL-payload phash, and the empty-vs-null quality-margin split.
+def _document_oracle_keys():
+    import inspect
 
-NULL_LANG_KEYS = [
-    "llm_near_dup_pairs",
-    "llm_ngram_jaccard",
-    "llm_dedup_cluster",
-    "llm_dedup_canonical",
-    "llm_graph_triangles",
-    "llm_dedup_editdist",
-]
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k not in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        if "documents" in (src + " " + os_[k]):
+            out.append(k)
+    return out
+
+
+DOC_ORACLE_KEYS = _document_oracle_keys()
+NULL_TEXT_KEYS = DOC_ORACLE_KEYS
+NULL_LANG_KEYS = DOC_ORACLE_KEYS
+
+
+def test_document_surface_is_stable():
+    assert len(DOC_ORACLE_KEYS) >= 63, len(DOC_ORACLE_KEYS)
 
 
 @pytest.mark.parametrize("key", NULL_TEXT_KEYS)
@@ -272,27 +262,9 @@ def edge_text_dir(tmp_path_factory, sf_dir):
     return _corpus(tmp_path_factory, sf_dir, "edgetext", mutate_documents=mut)
 
 
-EDGE_TEXT_KEYS = [
-    "llm_substring_dedup",
-    "llm_entropy_filter",
-    "llm_dedup_exact",
-    "llm_near_dup_pairs",
-    "llm_dedup_editdist",
-    "llm_ngram_jaccard",
-    "llm_minhash_signature",
-    "llm_minhash_estimate",
-    "llm_containment_dedup",
-    "llm_prefix_dedup",
-    "llm_paragraph_dedup",
-    "llm_winnow_fingerprint",
-    "llm_simhash",
-    "llm_dedup_cluster",
-    # full-sweep finds: DuckDB list_sum([]) is NULL where Spark's
-    # aggregate seeds 0 — the quality oracles now coalesce to 0
-    "llm_quality_classifier",
-    "llm_gopher_rules",
-    "llm_fingerprint",
-]
+# Full document surface here too (historic finds: the sequence(1,0)
+# descending trap, DuckDB list_sum([])=NULL vs Spark's seeded 0).
+EDGE_TEXT_KEYS = DOC_ORACLE_KEYS
 
 
 @pytest.mark.parametrize("key", EDGE_TEXT_KEYS)
