@@ -131,8 +131,9 @@ def test_measure_columns_nan_free():
             # NULLs arrive as NaN through to_numpy; distinguish via
             # arrow null_count — only TRUE NaN payloads should fail
             n_null = t.column(col).null_count
-            n_nan = int(np.isnan(arr).sum())
-            assert n_nan == n_null, (
-                f"{table}.{col} contains {n_nan - n_null} true-NaN "
-                "values — o_dsum oracles will crash asymmetrically"
+            n_bad = int((~np.isfinite(arr)).sum())
+            assert n_bad == n_null, (
+                f"{table}.{col} contains {n_bad - n_null} non-finite "
+                "(NaN/inf) values — o_dsum oracles will crash "
+                "asymmetrically"
             )
