@@ -253,8 +253,16 @@ def chunked_self_pairs(df, arr, out_a, out_b, payload=(), chunk=PAIR_CHUNK):
     explicit-numPartitions shuffle, which AQE never re-coalesces) before
     the element-level explodes, so no task generates more than ~chunk²
     rows per chunk pair. Output: payload columns + (out_a, out_b) with
-    out_a < out_b by value — exactly the rows of the naive expansion,
-    only the physical distribution changes.
+    out_a < out_b by value — for DISTINCT-element arrays, exactly the
+    rows of the naive expansion; only the physical distribution changes.
+
+    Contract: ``arr`` must contain distinct elements (true for every
+    caller — all pass distinct member/doc-id lists built by
+    collect_list over a grouped key). With duplicate values the two
+    forms diverge: a value appearing in two different chunks reaches
+    the cross-chunk branch (``_i < _j``), where least/greatest emits an
+    (v, v) equal pair that the naive ``a < b`` expansion drops. Pinned
+    by tests/test_chunked_helpers.py::test_chunked_self_pairs_duplicate_divergence.
     """
     p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     payload = list(payload)
@@ -1027,7 +1035,15 @@ def llm_minhash_estimate(spark, sf_dir):
     # expansion (within a class n_agree is 8 by construction; a
     # cross-class pair inherits its representatives' n_agree verbatim).
     sig_cols = [f"sig{i}" for i in range(8)]
-    sig = llm_minhash_signature(spark, sf_dir)
+    # NULL-signature guard (the prefix_filter_pairs / pagerank pattern):
+    # a shingle-less doc has all-NULL sigs; the doc-level kernel never
+    # pairs it (NULL band keys don't equi-join), but groupBy treats NULL
+    # keys as equal and would merge every such doc into ONE quotient
+    # class whose `within` expansion invents n_agree=8 pairs. Drop them
+    # before quotienting — they can contribute no candidate by
+    # construction. Unreachable on current fixtures (every doc shingles
+    # to at least ['']); defensive against corpus drift.
+    sig = llm_minhash_signature(spark, sf_dir).where(F.col("sig0").isNotNull())
     g = (
         sig.groupBy(*sig_cols)
         .agg(

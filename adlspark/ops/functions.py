@@ -241,7 +241,16 @@ def fn_array(spark, sf_dir):
     """Array family over the embedding vector column. Element access is
     1-based in both engines; out-of-bounds / empty-array access is NULL
     on both (DuckDB's [i] is natively NULL there, Spark needs
-    try_element_at — ANSI element_at aborts the job)."""
+    try_element_at — ANSI element_at aborts the job).
+
+    NULL-element discipline (round-8 hardening, same class as
+    fn_higher_order): DuckDB's list_contains IGNORES null elements where
+    Spark's array_contains is 3VL-NULL when the value is absent and a
+    null is present, and DuckDB's list_sort puts NULLs LAST where
+    Spark's sort_array puts them FIRST (so [1] vs element 1 diverge) —
+    has_pos and min_elem therefore run on the null-filtered array.
+    Unreachable on the fixtures (no null elements); pinned by
+    tests/test_embed_robustness.py::test_null_element_parity."""
     e = tables.load(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
@@ -260,7 +269,12 @@ def fn_array(spark, sf_dir):
             ),
             6,
         ).alias("doubled_first"),
-        F.array_contains(F.transform(emb, lambda x: x > 0), True).alias("has_pos"),
+        F.array_contains(
+            F.filter(
+                F.transform(emb, lambda x: x > 0), lambda b: b.isNotNull()
+            ),
+            True,
+        ).alias("has_pos"),
         F.size(
             F.array_distinct(
                 F.array(
@@ -272,7 +286,12 @@ def fn_array(spark, sf_dir):
         .alias("n_distinct_small"),
         F.round(
             F.try_element_at(
-                F.sort_array(F.transform(emb, lambda x: x.cast("double"))),
+                F.sort_array(
+                    F.filter(
+                        F.transform(emb, lambda x: x.cast("double")),
+                        lambda x: x.isNotNull(),
+                    )
+                ),
                 F.lit(1),
             ),
             6,
@@ -606,27 +625,35 @@ def fn_higher_order(spark, sf_dir):
     shuffle, a pure narrow map over the vector column."""
     e = tables.load(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # NULL-element discipline: the oracle's list_aggregate('max') and
+    # list_contains both SKIP null elements, but a raw fold seeded with
+    # a NULL first element stays NULL forever (x > NULL → NULL →
+    # otherwise(acc)) and exists/forall return 3VL NULL where DuckDB's
+    # list_contains returns false/true — so max/exists/forall run on
+    # the null-filtered array. The dot fold stays on the raw array:
+    # both engines propagate NULL through the + fold identically.
+    vn = F.filter(v, lambda x: x.isNotNull())
     dot = F.aggregate(
         F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
     # Empty-vector semantics pinned against the oracle: the dot fold
     # seeds 0.0, so an empty vector's dot_self is 0.0 on both engines
     # (the oracle prepends the same seed); the max fold has no seed —
-    # NULL on empty/NULL vectors (oracle: list_aggregate 'max'), with
-    # try_element_at so the guarded branch can't abort on index 1.
-    nonempty = F.size(v) >= 1
+    # NULL on empty/NULL/all-null vectors (oracle: list_aggregate
+    # 'max'), with try_element_at so the guarded branch can't abort.
+    nonempty = F.size(vn) >= 1
     return e.select(
         "vec_id",
         F.round(dot, 6).alias("dot_self"),
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
-        F.exists(v, lambda x: x > 0.5).alias("any_gt_half"),
-        F.forall(v, lambda x: x >= -1.0).alias("all_ge_neg1"),
+        F.exists(vn, lambda x: x > 0.5).alias("any_gt_half"),
+        F.forall(vn, lambda x: x >= -1.0).alias("all_ge_neg1"),
         F.when(
             nonempty,
             F.round(
                 F.aggregate(
-                    v,
-                    F.try_element_at(v, F.lit(1)),
+                    vn,
+                    F.try_element_at(vn, F.lit(1)),
                     lambda acc, x: F.when(x > acc, x).otherwise(acc),
                 ),
                 6,

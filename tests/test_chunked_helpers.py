@@ -67,6 +67,36 @@ def test_chunked_self_pairs_equals_naive(spark, seed, chunk):
     assert got == want
 
 
+def test_chunked_self_pairs_duplicate_divergence(spark):
+    """Pin the documented DISTINCT-element contract (dedup.py): when an
+    array holds duplicate values that land in different chunks, the
+    cross-chunk branch emits (v, v) equal pairs the naive a < b
+    expansion drops. Callers all pass distinct collect_list-over-key
+    member lists, so this divergence is unreachable in the kernels; if
+    a future caller needs duplicate arrays this test is the reminder to
+    add an (out_a != out_b) guard instead of silently inheriting the
+    extra rows."""
+    df = spark.createDataFrame([Row(members=[5, 9, 5, 2])])
+    got = sorted(
+        map(tuple, chunked_self_pairs(df, "members", "a", "b", chunk=1).collect())
+    )
+    naive = sorted(
+        (min(a, b), max(a, b))
+        for i, a in enumerate([5, 9, 5, 2])
+        for b in [5, 9, 5, 2][i + 1 :]
+        if a != b
+    )
+    # chunk=1 puts each element in its own chunk: the duplicate 5s meet
+    # in the _i < _j branch and emit (5, 5) — naive never does
+    assert got == sorted(naive + [(5, 5)])
+    # and distinct-element arrays stay exactly naive (the contract)
+    df2 = spark.createDataFrame([Row(members=[5, 9, 2])])
+    got2 = sorted(
+        map(tuple, chunked_self_pairs(df2, "members", "a", "b", chunk=1).collect())
+    )
+    assert got2 == [(2, 5), (2, 9), (5, 9)]
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("chunk", [1, 2, 3, 512])
 def test_chunked_cartesian_equals_naive(spark, seed, chunk):

@@ -40,6 +40,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql.functions import col as F_col
+
 from adlspark import tables as adl_tables
 from adlspark.registry import all_oracles, all_queries
 
@@ -146,6 +148,73 @@ def test_fixture_contains_true_nan(edge_embed_dir):
     )
     vals = flat.to_numpy(zero_copy_only=False)
     assert np.isnan(vals).sum() == 2
+
+
+@pytest.fixture(scope="module")
+def null_elem_dir(tmp_path_factory, sf_dir):
+    """Vectors with NULL ELEMENTS (distinct from NULL/empty vectors):
+    a null first element (the fold-seed trap — a max fold seeded with
+    element 1 stays NULL forever), a null mid element, and an all-null
+    vector. Targeted at the fn_* array-surface keys, which read the
+    embedding column raw; the vector kernels exclude these through
+    their load_embeddings domain and are swept by edge_embed_dir."""
+    d = tmp_path_factory.mktemp("nullelem")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "embeddings":
+            import pyarrow.compute as pc
+
+            base = tbl.filter(
+                pc.less(tbl["vec_id"], SLICE)
+            ).replace_schema_metadata(None)
+            dim = len(base["embedding"][0])
+            sch = base.schema
+            null_first = [None, 0.5] + [0.25] * (dim - 2)
+            null_mid = [0.5] + [None] * 2 + [-0.75] * (dim - 3)
+            all_null = [None] * dim
+            extra = pa.table({
+                "vec_id": pa.array(
+                    [990001, 990002, 990003], sch.field("vec_id").type
+                ),
+                "embedding": pa.array(
+                    [null_first, null_mid, all_null],
+                    sch.field("embedding").type,
+                ),
+                "label": pa.array([0, 1, 2], sch.field("label").type),
+            }).select(base.column_names)
+            tbl = pa.concat_tables([base, extra.cast(sch)])
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("key", ["fn_higher_order", "fn_array"])
+def test_null_element_parity(spark, null_elem_dir, key):
+    """The round-8 advice fix: fn_higher_order's max fold must skip
+    null elements (oracle: list_aggregate 'max'), not go permanently
+    NULL off a NULL seed; exists/forall run on the null-filtered array
+    to match DuckDB's null-ignoring list_contains."""
+    from adlspark.testing import compare
+
+    con = _ddb(null_elem_dir)
+    try:
+        df = all_queries()[key](spark, null_elem_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+def test_null_element_max_is_real(spark, null_elem_dir):
+    """Direct statement of the fixed behavior: the null-first vector's
+    max_elem is the real max of its non-null elements, not NULL."""
+    rows = {
+        r.vec_id: r
+        for r in all_queries()["fn_higher_order"](spark, null_elem_dir)
+        .where(F_col("vec_id") >= 990001)
+        .collect()
+    }
+    assert rows[990001].max_elem == 0.5
+    assert rows[990002].max_elem == 0.5
+    assert rows[990003].max_elem is None
 
 
 def test_invalid_vectors_outside_domain(spark, edge_embed_dir):

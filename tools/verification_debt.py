@@ -33,8 +33,17 @@ def main() -> None:
     keys = list(registry.all_queries())
     oracles = registry.all_oracles()
 
+    def round_num(path: str) -> int:
+        # parse the round as an INT: a lexicographic sort would order
+        # r10 < r7 the moment the zero-padded rNN naming breaks, silently
+        # flipping both the latest-verdict overwrite and the staleness
+        # ranking below
+        return int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
+
     seen: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=round_num
+    ):
         rnd = os.path.basename(path)[len("CORRECTNESS_") : -len(".json")]
         with open(path) as f:
             verdicts = json.load(f)
@@ -67,7 +76,7 @@ def main() -> None:
     # broken by registry order so output is stable round over round
     order = {k: i for i, k in enumerate(keys)}
     verified = [k for k in keys if k in seen and not seen[k].startswith("FAILED")]
-    verified.sort(key=lambda k: (seen[k].rsplit("-r", 1)[-1], order[k]))
+    verified.sort(key=lambda k: (int(seen[k].rsplit("-r", 1)[-1]), order[k]))
     in_window = set(registry._VERIFY_WINDOW)
     print("\nStaleness ranking (oldest latest-verdict first; * = already in "
           "the current _VERIFY_WINDOW):")
