@@ -733,11 +733,25 @@ def llm_contamination_check(spark, sf_dir):
     benchmark-respecting training pipeline runs before a model sees the
     data. Splits come from the same md5-bucket primitive as
     llm_train_split, shingles from the same 3-gram construction as the
-    Jaccard kernel, so this is one inverted-index equi join between the
-    two sides' shingle tables keyed (shingle, lang) — at corpus scale the
-    production form routes candidate generation through the prefix-filter
-    kernel exactly as llm_ngram_jaccard does; the direct join here is the
-    oracle-checkable reference semantics."""
+    Jaccard kernel.
+
+    QUOTIENTED by identity group (the dedup-kernel pattern, round 8):
+    contamination is overlap ≥ 1, i.e. Jaccard τ → 0, where PPJoin's
+    prefix shrinks to the WHOLE set — prefix filtering cannot prune a
+    single-shared-shingle join, so the scale fix for duplicate-dense
+    corpora (exactly the corpora a contamination audit exists for) is
+    the identity-group quotient alone. Docs collapse to one class per
+    (lang, split, distinct shingle set); the inverted-index (shingle,
+    lang) join and both aggregations run once per CLASS PAIR; the
+    outputs expand back exactly because identity classes partition the
+    doc ids — a test class's n_train_docs is the sum of matched train
+    class sizes, and every shared shingle contributes (1 test shingle ×
+    class_size train docs) hits. A k-copy contaminated benchmark page
+    therefore costs one class, not k² join rows. Residual hot-shingle
+    fan-out ACROSS distinct classes is irreducible for exact
+    distinct-doc counts (the answer itself is that large); the
+    map-side-combinable count aggregate absorbs it.
+    Gated on the K=7 duplicate corpus by tests/test_dup_density.py."""
     d = tables.load(spark, sf_dir, "documents")
     bucket = (
         F.conv(
@@ -750,28 +764,63 @@ def llm_contamination_check(spark, sf_dir):
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    sh = d.withColumn("_toks", F.split("text", " ")).select(
-        "doc_id",
-        "lang",
-        split.alias("split"),
-        F.explode(
+    # NULL-key discipline: NULL lang joins nothing in the direct form
+    # (te.lang = tr.lang) and NULL text yields no exploded shingles —
+    # dropping those rows up front is observation-equivalent and keeps
+    # the groupBy from merging NULL keys into one spurious class.
+    docs = (
+        d.withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            "lang",
+            split.alias("split"),
             F.expr(
                 "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
                 " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
-            )
-        ).alias("s"),
-    )
-    te = sh.where(F.col("split") == "test").alias("te")
-    tr = sh.where(F.col("split") == "train").alias("tr")
-    return (
-        te.join(
-            tr,
-            (F.col("te.s") == F.col("tr.s")) & (F.col("te.lang") == F.col("tr.lang")),
+            ).alias("sh"),
         )
-        .groupBy(F.col("te.doc_id").alias("test_doc"))
+        .where(F.col("lang").isNotNull() & F.col("sh").isNotNull())
+    )
+    cls = (
+        docs.where(F.col("split").isin("test", "train"))
+        .groupBy("lang", "split", F.array_sort("sh").alias("sh"))
         .agg(
-            F.countDistinct(F.col("tr.doc_id")).alias("n_train_docs"),
-            F.count(F.lit(1)).alias("n_hits"),
+            F.collect_list("doc_id").alias("members"),
+            F.count(F.lit(1)).alias("csize"),
+            F.min("doc_id").alias("cid"),
+        )
+        .localCheckpoint(eager=True)  # feeds both join sides + expansion
+    )
+    te_sh = cls.where(F.col("split") == "test").select(
+        "lang", F.col("cid").alias("te_cid"), F.explode("sh").alias("s")
+    )
+    tr_sh = cls.where(F.col("split") == "train").select(
+        "lang",
+        F.col("cid").alias("tr_cid"),
+        F.col("csize").alias("tr_size"),
+        F.explode("sh").alias("s"),
+    )
+    per_te_cls = (
+        te_sh.join(tr_sh, ["s", "lang"])
+        # shingles are distinct within a class: count(*) per class pair
+        # IS the shared-shingle count
+        .groupBy("te_cid", "tr_cid", "tr_size")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .groupBy("te_cid")
+        .agg(
+            F.sum("tr_size").cast("long").alias("n_train_docs"),
+            F.sum(F.col("inter") * F.col("tr_size")).cast("long").alias("n_hits"),
+        )
+    )
+    return (
+        per_te_cls.join(
+            cls.where(F.col("split") == "test").select(
+                F.col("cid").alias("te_cid"), "members"
+            ),
+            "te_cid",
+        )
+        .select(
+            F.explode("members").alias("test_doc"), "n_train_docs", "n_hits"
         )
     )
 

@@ -103,6 +103,7 @@ ORACLE_KEYS = [
     "llm_ngram_jaccard",
     "llm_containment_dedup",
     "llm_dedup_exact",
+    "llm_contamination_check",
 ]
 
 
