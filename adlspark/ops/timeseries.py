@@ -1616,26 +1616,38 @@ def ts_velocity_features(spark, sf_dir):
     and anything simultaneous with it, so a feature never peeks at its
     own label event).
 
-    All three horizons ride ONE user-keyed shuffle and one ordered sort:
-    each is a RANGE frame over integer microseconds (exact boundaries —
-    the §1.3 µs discipline) with two-pointer O(1) state; adding a
-    horizon adds a window expression, never a pass. At 100 TB this is
-    the same plan per user-partition regardless of user count, and a
-    hot user costs one partition's linear scan (see win_time_range's
-    stress row for the identical shape under the 20%-hot-user set)."""
+    All six counts ride ONE user-keyed shuffle and one ordered sort.
+    Each horizon is computed as a DIFFERENCE of two unbounded-preceding
+    RANGE counts — count(us ≤ t−1) − count(us ≤ t−h−1) over exact
+    integer microseconds (the §1.3 µs discipline) — instead of one
+    bounded sliding frame [t−h, t−1]: Spark's sliding frame re-
+    aggregates the whole buffer every time the lower bound moves, so a
+    bounded range count costs O(rows × frame_size) per partition and
+    went SUPER-LINEAR on the round-8 50%-hot-user stress (5.8× wall
+    for 2.5× hot rows — at 100× duplicate time-density a 7-day frame
+    spans ~half the hot partition). Unbounded-preceding frames only
+    ever ADD rows (O(1) amortized per row), and the two prefix counts
+    subtract to exactly the sliding count, ties and all, because both
+    bounds are value-based on the same integer key. A hot user is then
+    one partition's linear scan, the irreducible PARTITION BY floor."""
     ev = tables.events(spark, sf_dir).where(
         F.col("event_type") == "purchase"
     ).select(
         "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us")
     )
 
-    def horizon(us_back):
+    def prefix_count(us_back):
+        # rows with order key ≤ current − us_back, i.e. strictly older
+        # than the frame start for the (us_back − 1)-deep horizon
         w = (
             Window.partitionBy("user_id")
             .orderBy("us")
-            .rangeBetween(-us_back, -1)
+            .rangeBetween(Window.unboundedPreceding, -us_back)
         )
-        return F.count(F.lit(1)).over(w).cast("long")
+        return F.count(F.lit(1)).over(w)
+
+    def horizon(us_back):
+        return (prefix_count(1) - prefix_count(us_back + 1)).cast("long")
 
     return ev.select(
         "event_id",

@@ -203,7 +203,18 @@ FROM orders
 """,
 )
 def win_range_frame(spark, sf_dir):
-    """Value-range frame: orders within ±1000 of each order's price."""
+    """Value-range frame: orders within ±1000 of each order's price.
+
+    Scale note (round-8 sliding-frame audit): Spark re-aggregates a
+    bounded sliding frame whenever its lower bound moves, so this costs
+    O(rows × frame) per status partition. The integer-key difference
+    rewrite (ts_velocity_features) does NOT apply here — the order key
+    is a continuous DOUBLE, where "strictly below p−1000" is not
+    expressible as an inclusive unbounded-preceding offset frame, so
+    the subtraction would drop exact-boundary ties. This key exists to
+    pin Spark's native RANGE-offset operator; a 100 TB deployment with
+    a dense price axis would bucket prices to integer cents first and
+    then use the prefix-difference form."""
     o = tables.load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_orderstatus")
@@ -516,9 +527,17 @@ def win_time_range(spark, sf_dir):
     equivalence — same native-vs-rewrite contract as
     ``win_distinct_running`` and ``subq_any_all``.
 
-    Scale shape: one hash shuffle by user, per-user time sort — the
-    same shape as every per-entity window here; frame state is a
-    two-pointer count, not a buffer of rows.
+    Scale shape: one hash shuffle by user, per-user time sort. Spark
+    re-aggregates a bounded sliding frame's buffer whenever its lower
+    bound moves — O(rows × frame_size) per partition — but at a 1-hour
+    horizon the frame stays small and the per-user SORT dominates
+    (measured linear on the round-8 50%-hot-user ladder: 2.44× wall for
+    2.5× hot rows). Keys whose frame grows with time-density (the 7-day
+    horizon in ts_velocity_features) use the difference-of-two-
+    unbounded-prefix-counts rewrite instead; it is NOT used here because
+    it is wall-clock neutral at this frame size and diverges on NULL-ts
+    peer groups (a trailing frame counts a null row's null peers; a
+    prefix difference counts none — the oracle pins the former).
     """
     ev = tables.events(spark, sf_dir)
     w = (

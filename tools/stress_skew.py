@@ -36,9 +36,17 @@ SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
 # the BASELINE.md first stress table's dataset shape)
 PLAIN = os.environ.get("STRESS_PLAIN", "") == "1"
 COPIES = int(os.environ.get("STRESS_COPIES", "10"))
+# Hot-user intensity: every event with event_id % STRESS_HOT_MOD == 0 is
+# remapped to the hot user — 5 gives the original ~20% hot user, 2 gives
+# the round-8 hot-KEY ladder's 50% (half of all events in ONE window
+# partition, the shape that exposes single-task stragglers in every
+# PARTITION BY user_id kernel).
+HOT_MOD = int(os.environ.get("STRESS_HOT_MOD", "5"))
 DST = os.environ.get(
     "STRESS_DST",
-    f"/tmp/sfx{COPIES}plain" if PLAIN else f"/tmp/sfx{COPIES}skew",
+    f"/tmp/sfx{COPIES}plain"
+    if PLAIN
+    else (f"/tmp/sfx{COPIES}skew" if HOT_MOD == 5 else f"/tmp/sfx{COPIES}hot{HOT_MOD}"),
 )
 HOT_USER = 7
 HOT_LANG = "en"
@@ -100,7 +108,7 @@ def build(spark):
     if not PLAIN:
         ev = ev.withColumn(
             "user_id",
-            F.when(F.col("event_id") % 5 == 0, F.lit(HOT_USER)).otherwise(
+            F.when(F.col("event_id") % HOT_MOD == 0, F.lit(HOT_USER)).otherwise(
                 F.col("user_id")
             ),
         )
