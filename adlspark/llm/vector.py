@@ -94,6 +94,15 @@ def np_round_half_away(x, ndigits: int = 4):
 # asserted implicitly by the fixed-width matmul kernels: all non-empty
 # embeddings share one dimension, and |x| stays within DECIMAL(38,10)
 # whenever a key uses exact decimal summation (~1e27 headroom).
+#
+# NULL ELEMENTS (round 8): also outside the vector domain by
+# convention. Arrow→pandas degrades a null float element to NaN, so a
+# null-element vector reaches every numpy kernel as the already-handled
+# NaN-element case — but DuckDB keeps NULL (≠ NaN), so the oracles
+# would diverge. The raw-column fn_array/fn_higher_order keys, which
+# are NOT vector kernels, handle null elements explicitly instead
+# (skip-null folds, gated by the null_elem corpus in
+# tests/test_embed_robustness.py).
 
 O_EMB_WHERE = "embedding IS NOT NULL AND len(embedding) > 0"
 

@@ -28,6 +28,17 @@ seams were unverified until this corpus:
 Remaining input contract, stated not tested: non-empty embeddings
 share one dimension, and |x| stays within DECIMAL(38,10) exact-sum
 headroom (~1e27) for the decimal-disciplined keys.
+
+NULL ELEMENTS (round 8): the raw-column fn_* array keys skip null
+elements explicitly and are gated below (null_elem_dir). For the
+VECTOR kernels the domain line is drawn differently: Arrow→pandas
+degrades a null float element to NaN, so a null-element vector reaches
+every numpy kernel as the NaN-element case the edge corpus already
+covers (filtered by the non-finite guards) — but DuckDB sees NULL, not
+NaN, so the ORACLES would diverge on such a corpus. Null-element
+vectors are therefore OUTSIDE the vector domain by convention (same
+tier as ragged dimensions), not swept; the fixtures have never carried
+them and vector.py documents the contract.
 """
 
 from __future__ import annotations
