@@ -19,6 +19,15 @@ the null-text corpus too. The third corpus covers EMPTY and SHORT
 texts: Spark's ``sequence(1, 0)`` is descending [1, 0] where DuckDB's
 generate_series is empty, which invented phantom windows/chars in
 llm_substring_dedup and llm_entropy_filter until guarded.
+
+The fourth corpus (round 8) is UNICODE/multibyte text: astral-plane
+emoji, spaceless CJK, NFC-vs-NFD combining marks, RTL Arabic, and an
+identical-emoji-text pair. Result: 63/63 oracle keys agree ×3 runs
+with ZERO kernel changes needed — Spark's UTF8String and DuckDB's
+UTF-8 strings both count codepoints for length/substring and hash
+UTF-8 bytes for md5, so the whole text surface is multibyte-safe
+as-built. The gates stay so a future kernel using byte-length or
+UTF-16 offsets (e.g. a Java-String-indexing UDF) fails loudly.
 """
 
 from __future__ import annotations
@@ -139,6 +148,52 @@ def nan_embed_dir(tmp_path_factory, sf_dir):
     )
 
 
+@pytest.fixture(scope="module")
+def unicode_text_dir(tmp_path_factory, sf_dir):
+    """Multibyte / non-ASCII texts (round 8 — the last unswept document
+    input class): Spark strings are UTF8String (length/substring count
+    CODEPOINTS) while DuckDB strings are UTF-8 (length/substring also
+    codepoints) — these gates prove the agreement holds across the
+    whole oracle surface for astral-plane emoji (4-byte UTF-8,
+    surrogate pairs in UTF-16), CJK with NO spaces (one giant token),
+    combining diacritics (NFC and NFD spellings are DIFFERENT byte
+    sequences — neither engine normalizes), RTL Arabic, and an
+    emoji-only doc. Two docs carry IDENTICAL emoji text in one lang so
+    the pair/identity-group kernels expand a unicode group; md5 runs
+    over UTF-8 bytes on both engines so hash keys stay comparable."""
+
+    def mut(df):
+        import unicodedata
+
+        nfc = unicodedata.normalize("NFC", "caf\u00e9 r\u00e9sum\u00e9 na\u00efve d\u00e9j\u00e0 vu")
+        nfd = unicodedata.normalize("NFD", nfc)
+        assert nfc != nfd and len(nfd) > len(nfc)  # combining marks real
+        texts = [
+            "😀🜁🀄 astral plane 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 tokens 🚀 mixed with ascii",
+            "😀🜁🀄 astral plane 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 tokens 🚀 mixed with ascii",
+            "漢字テキストにスペースがないので全体がひとつのトークンになります",
+            nfc,
+            nfd,
+            "النص العربي يُكتب من اليمين إلى اليسار مع تشكيل",
+            "😀😁😂🤣😃😄😅😆😉😊",
+        ]
+        extra = pd.DataFrame(
+            {
+                "doc_id": [930001, 930002, 930003, 930004, 930005,
+                           930006, 930007],
+                "text": texts,
+                "lang": ["en", "en", "ja", "fr", "fr", "ar", "en"],
+                "source": ["unicodetest"] * 7,
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        return pd.concat([df, extra], ignore_index=True)
+
+    return _corpus(
+        tmp_path_factory, sf_dir, "unicodetext", mutate_documents=mut
+    )
+
+
 def _ddb(corpus_dir):
     con = duckdb.connect()
     for t in adl_tables.TABLES:
@@ -176,6 +231,19 @@ def _document_oracle_keys():
 DOC_ORACLE_KEYS = _document_oracle_keys()
 NULL_TEXT_KEYS = DOC_ORACLE_KEYS
 NULL_LANG_KEYS = DOC_ORACLE_KEYS
+UNICODE_TEXT_KEYS = DOC_ORACLE_KEYS
+
+
+@pytest.mark.parametrize("key", UNICODE_TEXT_KEYS)
+def test_unicode_text_parity(spark, unicode_text_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(unicode_text_dir)
+    try:
+        df = all_queries()[key](spark, unicode_text_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
 
 
 def test_document_surface_is_stable():
