@@ -33,6 +33,16 @@ were load-bearing until this sweep built corpora that contain them:
 Each test re-runs the EXACT driver compare (hash parity vs the DuckDB
 oracle) on a corpus that contains the hostile rows, so the fixed
 semantics stay load-bearing.
+
+The third corpus (round 8) is TIMESTAMP EXTREMES: pre-epoch dates
+(negative unix microseconds), the epoch boundary ± 1 µs, a leap day,
+far-future, and session/lag deltas spanning the sign change. Result:
+55/55 oracle keys agree ×3 runs with zero kernel changes — both
+engines run proleptic-Gregorian µs timestamps and agree on window
+bucketing, date_trunc, dayofweek, and epoch arithmetic across every
+seam. The gates stay so a future kernel using truncating division on
+epoch arithmetic (which disagrees with floor for negative µs) fails
+loudly.
 """
 
 from __future__ import annotations
@@ -124,6 +134,45 @@ def tie_events_dir(tmp_path_factory, sf_dir):
     return _corpus(tmp_path_factory, sf_dir, "tieevents", mut)
 
 
+@pytest.fixture(scope="module")
+def extreme_ts_dir(tmp_path_factory, sf_dir):
+    """Calendar-seam timestamps (round 8 — the last unswept events
+    input class): pre-epoch (negative unix microseconds, where C-style
+    truncating division and floor division disagree on bucket
+    alignment), the exact epoch boundary and the microsecond before it,
+    a leap day, a far-future date, and two events one second apart
+    ACROSS the epoch so lag/session deltas span the sign change. Both
+    engines use the proleptic Gregorian calendar and µs precision; the
+    gates prove window bucketing, date_trunc, dayofweek, and epoch
+    arithmetic agree on every seam. 1900-01-01 itself is EXCLUDED —
+    it is the oracles' null-ts sentinel (fixture-invariant-guarded);
+    the pre-epoch rows use 1901/1969 instead."""
+
+    def mut(df):
+        extra = pd.DataFrame({
+            "event_id": [992001, 992002, 992003, 992004, 992005,
+                         992006, 992007, 992008],
+            "ts": [
+                pd.Timestamp("1901-06-15 12:00:00"),
+                pd.Timestamp("1969-12-31 23:59:59.999999"),
+                pd.Timestamp("1970-01-01 00:00:00"),
+                pd.Timestamp("1970-01-01 00:00:00.999999"),
+                pd.Timestamp("2024-02-29 23:30:00"),
+                pd.Timestamp("2100-01-01 00:00:01"),
+                pd.Timestamp("1969-12-31 23:59:30"),
+                pd.Timestamp("1970-01-01 00:00:29"),
+            ],
+            "user_id": [61, 61, 61, 61, 62, 62, 63, 63],
+            "event_type": ["click", "view", "click", "view", "buy",
+                           "click", "view", "view"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+            "props": ["{}"] * 8,
+        })
+        return pd.concat([df, extra], ignore_index=True)
+
+    return _corpus(tmp_path_factory, sf_dir, "extremets", mut)
+
+
 def _ddb(corpus_dir):
     con = duckdb.connect()
     for t in adl_tables.TABLES:
@@ -196,6 +245,18 @@ def test_tie_events_parity(spark, tie_events_dir, key):
     con = _ddb(tie_events_dir)
     try:
         df = all_queries()[key](spark, tie_events_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("key", EVENTS_ORACLE_KEYS)
+def test_extreme_ts_parity(spark, extreme_ts_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(extreme_ts_dir)
+    try:
+        df = all_queries()[key](spark, extreme_ts_dir)
         compare(df, con, all_oracles()[key], key=key)
     finally:
         con.close()
