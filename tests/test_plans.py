@@ -551,3 +551,29 @@ def test_tuple_in_subquery_is_one_semi_join(spark, sf_dir):
     # columns — never a per-row subquery or a cartesian
     assert "LeftSemi" in p or "Semi" in p
     assert "CartesianProduct" not in p
+
+
+def test_velocity_horizons_share_one_window(spark, sf_dir):
+    """The round-8 prefix-difference rewrite must not fragment the plan:
+    all six unbounded-preceding RANGE counts share ONE user-keyed
+    Exchange, ONE Sort, and ONE Window node (Spark evaluates multiple
+    frames inside a single Window operator when partition/order match).
+    A second Exchange or Sort here means a horizon drifted onto its own
+    shuffle — the exact cost the rewrite exists to avoid."""
+    import re
+
+    df = QUERIES["ts_velocity_features"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
+
+
+def test_contamination_quotient_no_cartesian(spark, sf_dir):
+    """The quotiented contamination check stays on equi joins (shingle,
+    lang) and class-id expansion — no cartesian, no broadcast nested
+    loop, and exactly one Generate-per-explode (class shingles × 2
+    sides + member expansion)."""
+    p = plan_of(spark, sf_dir, "llm_contamination_check")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
