@@ -433,15 +433,22 @@ def zorder_orders(spark, sf_dir):
         F.min("day_off").alias("lo_d"),
         F.max("day_off").alias("hi_d"),
     )
+    # day_off is a 32-bit datediff: the ×65535 scale must run in BIGINT
+    # or ANSI Spark overflows once the date range exceeds ~32k days
+    # (pre-epoch/far-future dates — caught by the round-8 extreme-date
+    # corpus; DuckDB auto-promotes the same expression, so the widened
+    # math is also what the oracle computes). o_custkey is already
+    # int64.
     n = d.crossJoin(F.broadcast(stats)).select(
         "o_custkey",
         "day_off",
         F.expr(
             "((o_custkey - lo_c) * 65535) div greatest(hi_c - lo_c, 1)"
         ).alias("cust_n"),
-        F.expr("((day_off - lo_d) * 65535) div greatest(hi_d - lo_d, 1)").alias(
-            "day_n"
-        ),
+        F.expr(
+            "((cast(day_off as bigint) - lo_d) * 65535)"
+            " div greatest(cast(hi_d as bigint) - lo_d, 1)"
+        ).alias("day_n"),
     )
     return n.select(
         "o_custkey", "day_off", zvalue(F.col("cust_n"), F.col("day_n")).alias("zval")

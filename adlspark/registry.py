@@ -69,6 +69,10 @@ _VERIFY_WINDOW = [
     #   whenever the lower bound moves; 52.7 -> 6.7 s at the 50%-hot
     #   user, exact on the integer microsecond key):
     "ts_velocity_features",
+    #   z-value day scale promoted to BIGINT (ANSI overflow crash once
+    #   the date range exceeds ~32k days — found by the round-8
+    #   extreme-date corpus; DuckDB auto-promotes the same math):
+    "lake_zorder_layout",
     #   All five HASH-PASSED the sf0.01 driver sim post-change and are
     #   bit-identical on the null-free fixtures (null/dup gates pinned
     #   in tests/test_embed_robustness.py, test_dup_density.py,
@@ -119,11 +123,12 @@ _VERIFY_WINDOW = [
     "win_moving_avg",
     "win_range_frame",
     "win_ntile_pct",
-    #   ...and the three oldest r02 keys to fill to exactly 50:
+    #   ...and the two oldest r02 keys to fill to exactly 50
+    #   (llm_tfidf gave its slot to the lake_zorder_layout re-entry;
+    #   it rejoins the r02 rotation next round):
     "llm_text_stats",
     "llm_top_terms",
-    "llm_tfidf",
-    # Slot arithmetic: 5 re-entries (b) + 42 r01 + 3 r02 = 50.
+    # Slot arithmetic: 6 re-entries (b) + 42 r01 + 2 r02 = 50.
 ]
 
 

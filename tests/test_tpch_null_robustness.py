@@ -16,6 +16,14 @@ Failure classes found and fixed:
 - Single-row / zero-variance groups crashed ANSI Spark where DuckDB's
   /0 is NULL: agg_stats and agg_skew_kurt now use try_divide (a NULL
   l_returnflag forms its own 1-row group with no sample variance).
+- Date extremes (round 8): the z-order day scale
+  ((day_off - lo_d) * 65535) overflowed 32-bit ANSI Spark once the
+  o_orderdate range exceeded ~32k days (pre-epoch/far-future rows) —
+  a worker crash, i.e. a driver ERROR verdict — while DuckDB silently
+  auto-promotes the same expression. lake_zorder_layout now widens to
+  BIGINT first; the extreme-date corpus below keeps the whole
+  orders/lineitem surface load-bearing across calendar seams (92/92
+  agree x3 post-fix, no other kernel needed changes).
 - A row-Python UDF receives None for SQL NULL and unguarded
   arithmetic kills the worker: udf_python is NULL-in-NULL-out on both
   engines.
@@ -88,6 +96,48 @@ def null_tpch_dir(tmp_path_factory, sf_dir):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def extreme_date_tpch_dir(tmp_path_factory, sf_dir):
+    """Date extremes for the orders/lineitem calendar seams (round 8,
+    the TPC-H twin of the events extreme-ts corpus): pre-epoch order
+    and ship dates (negative unix µs), the epoch boundary, a leap day,
+    and far-future — proving date_trunc / dayofweek(+1 convention) /
+    date arithmetic agree off the fixtures' generated range. 1900-01-01
+    is excluded (oracle null-date sentinel)."""
+    import pandas as _pd
+
+    dates = [
+        _pd.Timestamp("1901-06-15"),
+        _pd.Timestamp("1969-12-31"),
+        _pd.Timestamp("1970-01-01"),
+        _pd.Timestamp("2024-02-29"),
+        _pd.Timestamp("2100-01-01"),
+    ]
+    d = tmp_path_factory.mktemp("extremedatetpch")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "orders":
+            df = tbl.to_pandas()
+            base = df.iloc[: len(dates)].copy()
+            mk = int(df["o_orderkey"].max())
+            base["o_orderkey"] = [mk + i + 1 for i in range(len(dates))]
+            base["o_orderdate"] = dates
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        if t == "lineitem":
+            df = tbl.to_pandas()
+            base = df.iloc[: len(dates)].copy()
+            mk = int(df["l_orderkey"].max())
+            base["l_orderkey"] = [mk + i + 1 for i in range(len(dates))]
+            base["l_shipdate"] = dates
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
 def _tpch_oracle_keys():
     qs, os_ = all_queries(), all_oracles()
     out = []
@@ -119,6 +169,23 @@ def test_null_tpch_parity(spark, null_tpch_dir, key):
                 f" SELECT * FROM read_parquet('{null_tpch_dir}/{t}.parquet')"
             )
         df = all_queries()[key](spark, null_tpch_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("key", TPCH_ORACLE_KEYS)
+def test_extreme_date_tpch_parity(spark, extreme_date_tpch_dir, key):
+    from adlspark.testing import compare
+
+    con = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{extreme_date_tpch_dir}/{t}.parquet')"
+            )
+        df = all_queries()[key](spark, extreme_date_tpch_dir)
         compare(df, con, all_oracles()[key], key=key)
     finally:
         con.close()
