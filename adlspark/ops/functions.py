@@ -20,7 +20,10 @@ from adlspark.registry import query
 SELECT p_partkey,
        upper(p_name) AS up_name,
        lower(p_type) AS low_type,
-       trim(concat('  ', p_name, '  ')) AS trimmed,
+       -- || not concat(): DuckDB's concat() IGNORES NULL args (NULL
+       -- name -> '') where Spark's concat is NULL-propagating; || has
+       -- Spark's semantics on both engines
+       trim('  ' || p_name || '  ') AS trimmed,
        substring(p_name, 1, 5) AS pfx,
        length(p_name) AS name_len,
        concat_ws('/', p_type, p_brand) AS type_brand,

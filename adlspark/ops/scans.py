@@ -441,8 +441,17 @@ def ingest_csv_malformed(spark, sf_dir):
                 # wrong arity + non-numeric key: unparseable under the schema
                 f.write(f"oops_{r.s_suppkey},truncated\n")
             else:
+                # a NULL acctbal must write as an EMPTY field, not
+                # repr(None)='None' (unparseable as double → the row
+                # would be wrongly classed malformed; round-8 null-dim
+                # corpus find)
                 w.writerow(
-                    [r.s_suppkey, r.s_name, r.s_nationkey, repr(r.s_acctbal)]
+                    [
+                        r.s_suppkey,
+                        r.s_name,
+                        r.s_nationkey,
+                        "" if r.s_acctbal is None else repr(r.s_acctbal),
+                    ]
                 )
     schema = StructType(
         [

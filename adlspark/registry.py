@@ -73,6 +73,10 @@ _VERIFY_WINDOW = [
     #   the date range exceeds ~32k days — found by the round-8
     #   extreme-date corpus; DuckDB auto-promotes the same math):
     "lake_zorder_layout",
+    #   CSV fixture-writer: NULL acctbal now writes an empty field, not
+    #   repr(None)='None' (which parsed as malformed and dropped the
+    #   row — found by the round-8 null-dim corpus):
+    "ingest_csv_malformed",
     #   All five HASH-PASSED the sf0.01 driver sim post-change and are
     #   bit-identical on the null-free fixtures (null/dup gates pinned
     #   in tests/test_embed_robustness.py, test_dup_density.py,
@@ -123,12 +127,12 @@ _VERIFY_WINDOW = [
     "win_moving_avg",
     "win_range_frame",
     "win_ntile_pct",
-    #   ...and the two oldest r02 keys to fill to exactly 50
-    #   (llm_tfidf gave its slot to the lake_zorder_layout re-entry;
-    #   it rejoins the r02 rotation next round):
+    #   ...and the oldest r02 key to fill to exactly 50 (llm_tfidf and
+    #   llm_top_terms gave their slots to the lake_zorder_layout and
+    #   ingest_csv_malformed re-entries; they rejoin the r02 rotation
+    #   next round):
     "llm_text_stats",
-    "llm_top_terms",
-    # Slot arithmetic: 6 re-entries (b) + 42 r01 + 2 r02 = 50.
+    # Slot arithmetic: 7 re-entries (b) + 42 r01 + 1 r02 = 50.
 ]
 
 

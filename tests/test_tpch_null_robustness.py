@@ -24,6 +24,11 @@ Failure classes found and fixed:
   BIGINT first; the extreme-date corpus below keeps the whole
   orders/lineitem surface load-bearing across calendar seams (92/92
   agree x3 post-fix, no other kernel needed changes).
+- NULL dim attributes (round 8, part/supplier corpus): DuckDB's
+  concat() IGNORES NULL args where Spark's concat propagates — the
+  fn_string oracle now uses the null-propagating || operator; and the
+  ingest_csv_malformed fixture-writer wrote repr(None)='None' for a
+  NULL acctbal, wrongly classing the row malformed (empty field now).
 - A row-Python UDF receives None for SQL NULL and unguarded
   arithmetic kills the worker: udf_python is NULL-in-NULL-out on both
   engines.
@@ -136,6 +141,84 @@ def extreme_date_tpch_dir(tmp_path_factory, sf_dir):
                                        preserve_index=False)
         pq.write_table(tbl, str(d / f"{t}.parquet"))
     return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_dim_dir(tmp_path_factory, sf_dir):
+    """NULL attributes in the DIMENSION tables (part/supplier — the
+    last tables without a null sweep; round 8). Primary keys stay NOT
+    NULL per the schema contract; names, brands, types, sizes, prices,
+    balances, and the supplier→nation FK go null. Exercises: string/
+    regex functions over NULL names, set ops with NULL members (SQL
+    set semantics treat NULLs as equal on BOTH engines, unlike joins),
+    star joins with a NULL FK (row drops out on both), and grouping/
+    pivot over NULL dim attributes."""
+    d = tmp_path_factory.mktemp("nulldim")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "part":
+            df = tbl.to_pandas()
+            base = df.iloc[:5].copy()
+            mk = int(df["p_partkey"].max())
+            base["p_partkey"] = [mk + i + 1 for i in range(5)]
+            base.loc[base.index[0], "p_name"] = None
+            base.loc[base.index[1], "p_brand"] = None
+            base.loc[base.index[2], "p_type"] = None
+            base.loc[base.index[3], "p_size"] = None
+            base.loc[base.index[4], "p_retailprice"] = None
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        if t == "supplier":
+            df = tbl.to_pandas()
+            base = df.iloc[:3].copy()
+            mk = int(df["s_suppkey"].max())
+            base["s_suppkey"] = [mk + i + 1 for i in range(3)]
+            base.loc[base.index[0], "s_name"] = None
+            base.loc[base.index[1], "s_acctbal"] = None
+            base.loc[base.index[2], "s_nationkey"] = None
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _dim_oracle_keys():
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k not in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        blob = src + " " + os_[k]
+        if '"part"' in blob or '"supplier"' in blob or "FROM part" in blob \
+                or "FROM supplier" in blob:
+            out.append(k)
+    return out
+
+
+DIM_ORACLE_KEYS = _dim_oracle_keys()
+
+
+@pytest.mark.parametrize("key", DIM_ORACLE_KEYS)
+def test_null_dim_parity(spark, null_dim_dir, key):
+    from adlspark.testing import compare
+
+    con = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{null_dim_dir}/{t}.parquet')"
+            )
+        df = all_queries()[key](spark, null_dim_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
 
 
 def _tpch_oracle_keys():
