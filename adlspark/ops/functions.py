@@ -332,8 +332,14 @@ def fn_explode(spark, sf_dir):
     oracle="""
 SELECT k_val, count(*) AS n, count(DISTINCT user_id) AS n_users
 FROM (
+  -- integral-regex guard before the cast: DuckDB TRY_CAST ROUNDS
+  -- varchar floats ('1.5' -> 2, '200.0' -> 200) where Spark's
+  -- try_cast of a non-integral string is NULL (round-8 JSON-extremes
+  -- find); extraction itself agrees token-for-token on both engines
   SELECT CASE WHEN json_valid(props)
-              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              THEN TRY_CAST(CASE WHEN regexp_matches(
+                       json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+                     THEN json_extract_string(props, '$.k') END AS BIGINT)
          END AS k_val, user_id
   FROM events
 )
@@ -368,8 +374,12 @@ def fn_json(spark, sf_dir):
     "fn_map",
     oracle="""
 SELECT event_id,
+       -- integral-regex guard: see fn_json (DuckDB TRY_CAST rounds
+       -- varchar floats; Spark's is NULL for non-integral strings)
        CASE WHEN json_valid(props)
-            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+            THEN TRY_CAST(CASE WHEN regexp_matches(
+                     json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+                   THEN json_extract_string(props, '$.k') END AS BIGINT)
        END AS k_from_map,
        CASE WHEN json_valid(props)
             THEN CAST(len(json_keys(props)) AS BIGINT)

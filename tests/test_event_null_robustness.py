@@ -34,6 +34,14 @@ Each test re-runs the EXACT driver compare (hash parity vs the DuckDB
 oracle) on a corpus that contains the hostile rows, so the fixed
 semantics stay load-bearing.
 
+The fourth corpus (round 8) is JSON EXTREMES in props: int64
+boundary/overflow numbers, exponent notation, string-typed numbers,
+floats, booleans, nested values, unicode escapes, duplicate keys.
+Extraction agrees token-for-token (both take the FIRST duplicate key
+and serialize 2e2 as '200.0'), but DuckDB's TRY_CAST ROUNDS varchar
+floats to BIGINT ('1.5' -> 2) where Spark's try_cast is NULL — the
+fn_json/fn_map oracles now guard the cast with an integral regex.
+
 The third corpus (round 8) is TIMESTAMP EXTREMES: pre-epoch dates
 (negative unix microseconds), the epoch boundary ± 1 µs, a leap day,
 far-future, and session/lag deltas spanning the sign change. Result:
@@ -171,6 +179,60 @@ def extreme_ts_dir(tmp_path_factory, sf_dir):
         return pd.concat([df, extra], ignore_index=True)
 
     return _corpus(tmp_path_factory, sf_dir, "extremets", mut)
+
+
+@pytest.fixture(scope="module")
+def json_extreme_dir(tmp_path_factory, sf_dir):
+    """JSON extremes in props (round 8): int64 boundary and overflow
+    numbers, exponent notation, string-typed numbers, floats,
+    booleans, nested objects/arrays at $.k, unicode keys/values,
+    duplicate keys, and whitespace variants — the seams where Spark's
+    get_json_object + try_cast and DuckDB's json_extract_string +
+    TRY_CAST could disagree on number tokenization."""
+
+    def mut(df):
+        base_ts = df["ts"].iloc[0]
+        props = [
+            '{"k": 9223372036854775807}',    # int64 max — exact
+            '{"k": 9223372036854775808}',    # int64+1 — overflow
+            '{"k": -9223372036854775808}',   # int64 min
+            '{"k": 2e2}',                    # exponent notation
+            '{"k": "123"}',                  # string-typed number
+            '{"k": 1.5}',                    # non-integer float
+            '{"k": true}',                   # boolean
+            '{"k": {"x": 1}}',               # nested object
+            '{"k": [1, 2]}',                 # array
+            '{"k": "12\\u0033"}',            # unicode escape -> "123"
+            '{"k": 7, "k": 8}',              # duplicate key
+            '{ "k" :\t42 }',                 # whitespace variants
+            '{"к": 5, "k": 005}',            # unicode key + leading zeros (invalid JSON number)
+        ]
+        extra = pd.DataFrame({
+            "event_id": [993000 + i for i in range(len(props))],
+            "ts": [base_ts + pd.Timedelta(seconds=i) for i in range(len(props))],
+            "user_id": [71 + (i % 3) for i in range(len(props))],
+            "event_type": ["click"] * len(props),
+            "value": [float(i) for i in range(len(props))],
+            "props": props,
+        })
+        return pd.concat([df, extra], ignore_index=True)
+
+    return _corpus(tmp_path_factory, sf_dir, "jsonextreme", mut)
+
+
+JSON_KEYS = ["fn_json", "fn_map", "catalog_search_tokens", "stream_file_source"]
+
+
+@pytest.mark.parametrize("key", JSON_KEYS)
+def test_json_extreme_parity(spark, json_extreme_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(json_extreme_dir)
+    try:
+        df = all_queries()[key](spark, json_extreme_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
 
 
 def _ddb(corpus_dir):
