@@ -221,6 +221,80 @@ def test_null_dim_parity(spark, null_dim_dir, key):
         con.close()
 
 
+@pytest.fixture(scope="module")
+def null_tiny_dim_dir(tmp_path_factory, sf_dir):
+    """NULL attributes in the TINY dims (nation/region — the final
+    tables of the null-sweep program; every table now has one). Keys
+    stay NOT NULL; one nation gets a NULL name, one a NULL region FK
+    (drops out of star joins on both engines), one region a NULL name.
+    The interesting seam: a ROLLUP/GROUPING SETS subtotal row and a
+    genuinely-NULL group label both render as NULL name — both engines
+    must emit the same multiset (agg_grouping_flags separates them via
+    GROUPING())."""
+    d = tmp_path_factory.mktemp("nulltinydim")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "nation":
+            df = tbl.to_pandas()
+            base = df.iloc[:2].copy()
+            mk = int(df["n_nationkey"].max())
+            base["n_nationkey"] = [mk + 1, mk + 2]
+            base.loc[base.index[0], "n_name"] = None
+            base["n_regionkey"] = base["n_regionkey"].astype("object")
+            base.loc[base.index[1], "n_regionkey"] = None
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        if t == "region":
+            df = tbl.to_pandas()
+            base = df.iloc[:1].copy()
+            mk = int(df["r_regionkey"].max())
+            base["r_regionkey"] = [mk + 1]
+            base.loc[base.index[0], "r_name"] = None
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _tiny_dim_oracle_keys():
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k not in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        blob = src + " " + os_[k]
+        if '"nation"' in blob or '"region"' in blob or "FROM nation" in blob \
+                or "FROM region" in blob:
+            out.append(k)
+    return out
+
+
+TINY_DIM_ORACLE_KEYS = _tiny_dim_oracle_keys()
+
+
+@pytest.mark.parametrize("key", TINY_DIM_ORACLE_KEYS)
+def test_null_tiny_dim_parity(spark, null_tiny_dim_dir, key):
+    from adlspark.testing import compare
+
+    con = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{null_tiny_dim_dir}/{t}.parquet')"
+            )
+        df = all_queries()[key](spark, null_tiny_dim_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
 def _tpch_oracle_keys():
     qs, os_ = all_queries(), all_oracles()
     out = []
