@@ -30,7 +30,21 @@ import pytest
 from adlspark import tables as adl_tables
 from adlspark.registry import all_queries
 
-KEYS = ["llm_mmr_diverse_sample", "mm_frame_sample"]
+# Keys whose determinism is STRUCTURAL (hash keys, integer counts,
+# row-wise UDFs) — layout must not change a single value. Float-
+# aggregating rows-only kernels (kmeans, pca, pagerank, ann_ivf) are
+# deliberately absent: distributed float sums are last-bit
+# order-dependent by IEEE arithmetic, so bit-identity under reshuffle
+# is not their contract (their pytest parity bars allow tolerances).
+KEYS = [
+    "llm_mmr_diverse_sample",
+    "mm_frame_sample",
+    "llm_dedup_minhash",
+    "mm_binary_pipeline",
+    "ingest_validate_json",
+    "llm_bpe_learn",
+    "llm_bpe_encode",
+]
 LAYOUTS = (7, 13)
 
 
