@@ -312,3 +312,86 @@ def test_checkpoint_recovery_exactly_once_and_counterfactual(
     )
     resumed = spark.read.parquet(str(tmp_path / "sink1")).count()
     assert resumed == total - ev.where(F.col("event_id") % 2 == 1).count()
+
+
+def test_watermark_evicts_late_data_across_microbatches(spark, tmp_path):
+    """The single-batch availableNow harness can't see EVICTION (the
+    watermark only advances at batch boundaries), so this test feeds
+    four files as four micro-batches via maxFilesPerTrigger=1. Timing
+    nuance this pins: the OPERATIVE watermark lags one micro-batch (the
+    progress log displays the end-of-batch value), so a late row
+    arriving in the same batch where the watermark first passes its
+    window is still ABSORBED — batch 3's filler advances the operative
+    watermark past the 10:00 window, and only then is batch 4's late
+    10:05 row genuinely dropped (numRowsDroppedByWatermark) while the
+    batch groupBy over the same files keeps it. This is the late-data
+    contract every stream_* key relies on (SURVEY §2 K)."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+
+    def write_file(name, rows, mtime):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        os.rename(os.path.join(p, part), dst)
+        os.utime(dst, (mtime, mtime))  # file source orders by mtime
+
+    def ts(h, m):
+        return dt.datetime(2026, 1, 1, h, m, 0)
+
+    t0 = ts(10, 0)
+    now = time.time()
+    write_file("b1", [(ts(10, 0), 1, 1.0), (ts(10, 30), 1, 2.0)], now - 400)
+    write_file("b2", [(ts(12, 0), 2, 3.0)], now - 300)   # advances event time
+    write_file("b3", [(ts(12, 30), 2, 9.0)], now - 200)  # operative wm catches up
+    write_file("b4", [(ts(10, 5), 3, 4.0)], now - 100)   # LATE: must be dropped
+
+    schema = "ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "n", "total")
+    )
+    name = "wm_eviction_test"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not finish"
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, f"late row not dropped by watermark: {dropped}"
+    got = {r.ws: (r.n, r.total) for r in spark.table(name).collect()}
+    # the 10:00 window was finalized before the late row arrived and
+    # carries ONLY batch 1's rows
+    assert got[t0] == (2, 3.0), got
+    # batch semantics over the same files KEEP the late row
+    batch = (
+        spark.read.schema(schema).parquet(d)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("w.start") == F.lit(t0))
+        .collect()
+    )
+    assert batch[0].n == 3
