@@ -10,6 +10,17 @@ Watermark semantics: with a single availableNow batch over static data,
 the watermark only advances at batch boundaries — append-mode windows
 within watermark-distance of max event time stay in state and are not
 emitted (documented, per SURVEY §2 K late-data note).
+
+Multi-batch late-data contract (round 8, pinned by
+tests/test_streaming_equivalence.py::test_watermark_evicts_late_data_
+across_microbatches): the OPERATIVE watermark lags one micro-batch —
+the progress log displays the end-of-batch value — so a late row
+arriving in the very batch where the watermark first passes its window
+is still absorbed into the closing window; a late row arriving any
+batch after that is dropped (numRowsDroppedByWatermark) and the window
+emits with only its on-time rows. Capacity planning at 100 TB follows
+from this: state size is bounded by (watermark delay × event rate),
+never by history.
 """
 
 from __future__ import annotations
