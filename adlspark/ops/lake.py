@@ -384,9 +384,16 @@ def sink_csv_roundtrip(spark, sf_dir):
     out = _os.path.join(work_dir(sf_dir, "sink_csv"), "supplier_csv")
     sup = tables.load(spark, sf_dir, "supplier")
     sup.write.mode("overwrite").option("header", "true").csv(out)
+    # multiLine: Spark's writer QUOTES embedded newlines, but the
+    # default reader splits records on every newline regardless —
+    # a name containing one silently became two rows (round-8
+    # hostile-CSV corpus find). The trade is documented: multiLine
+    # reads each FILE as one unsplittable unit, so scan parallelism =
+    # file count — exactly the one-file-per-shuffle-partition layout
+    # the staged writer produces.
     back = spark.read.schema(
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
-    ).option("header", "true").csv(out)
+    ).option("header", "true").option("multiLine", "true").csv(out)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("s_acctbal").alias("sum_bal"),

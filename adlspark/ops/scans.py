@@ -408,7 +408,9 @@ def join_dpp_prune(spark, sf_dir):
 @query(
     "ingest_csv_malformed",
     oracle="""
-SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+SELECT s_suppkey,
+       replace(replace(s_name, chr(13), ' '), chr(10), ' ') AS s_name,
+       s_nationkey, s_acctbal
 FROM supplier WHERE s_suppkey % 7 <> 3
 """,
 )
@@ -444,11 +446,21 @@ def ingest_csv_malformed(spark, sf_dir):
                 # a NULL acctbal must write as an EMPTY field, not
                 # repr(None)='None' (unparseable as double → the row
                 # would be wrongly classed malformed; round-8 null-dim
-                # corpus find)
+                # corpus find). Names are LINE-ATOMIZED (newlines → a
+                # space, mirrored in the oracle): this key's contract
+                # is one record per line so the corrupt-row quarantine
+                # stays exact and the scan stays file-splittable —
+                # multiLine CSV both kills split parallelism at 100 TB
+                # and mis-resyncs after a wrong-arity junk line (a
+                # short row swallows the following good record; round-8
+                # hostile-CSV corpus find).
+                name = r.s_name
+                if name is not None:
+                    name = name.replace("\r", " ").replace("\n", " ")
                 w.writerow(
                     [
                         r.s_suppkey,
-                        r.s_name,
+                        name,
                         r.s_nationkey,
                         "" if r.s_acctbal is None else repr(r.s_acctbal),
                     ]
@@ -462,10 +474,17 @@ def ingest_csv_malformed(spark, sf_dir):
             StructField("_bad", StringType()),
         ]
     )
+    # escape='"': the fixture is written by Python's csv module, i.e.
+    # RFC 4180 — embedded quotes are DOUBLED; Spark's default backslash
+    # escape left such a field raw-quoted instead of unescaped (round-8
+    # hostile-CSV corpus find). Deliberately NO multiLine (see the
+    # writer's line-atomization note): the splittable one-record-per-
+    # line layout is the production contract here.
     parsed = (
         spark.read.schema(schema)
         .option("header", True)
         .option("mode", "PERMISSIVE")
+        .option("escape", '"')
         .option("columnNameOfCorruptRecord", "_bad")
         .csv(raw_path)
     )

@@ -75,8 +75,14 @@ _VERIFY_WINDOW = [
     "lake_zorder_layout",
     #   CSV fixture-writer: NULL acctbal now writes an empty field, not
     #   repr(None)='None' (which parsed as malformed and dropped the
-    #   row — found by the round-8 null-dim corpus):
+    #   row — found by the round-8 null-dim corpus); reader now uses
+    #   RFC-4180 escape='"', and names are line-atomized with the
+    #   oracle mirroring (the hostile-CSV corpus finds):
     "ingest_csv_malformed",
+    #   CSV roundtrip reader gains multiLine=true: the writer QUOTES
+    #   embedded newlines but the default reader split such a record
+    #   in two (hostile-CSV corpus find):
+    "sink_csv_roundtrip",
     #   All five HASH-PASSED the sf0.01 driver sim post-change and are
     #   bit-identical on the null-free fixtures (null/dup gates pinned
     #   in tests/test_embed_robustness.py, test_dup_density.py,
@@ -127,12 +133,11 @@ _VERIFY_WINDOW = [
     "win_moving_avg",
     "win_range_frame",
     "win_ntile_pct",
-    #   ...and the oldest r02 key to fill to exactly 50 (llm_tfidf and
-    #   llm_top_terms gave their slots to the lake_zorder_layout and
-    #   ingest_csv_malformed re-entries; they rejoin the r02 rotation
-    #   next round):
-    "llm_text_stats",
-    # Slot arithmetic: 7 re-entries (b) + 42 r01 + 1 r02 = 50.
+    # (llm_tfidf, llm_top_terms, and llm_text_stats gave their fill
+    # slots to the lake_zorder_layout / ingest_csv_malformed /
+    # sink_csv_roundtrip re-entries; they rejoin the r02 rotation next
+    # round.)
+    # Slot arithmetic: 8 re-entries (b) + 42 r01 = 50.
 ]
 
 

@@ -353,3 +353,51 @@ def test_sweep_surface_is_stable():
     ever shrinks below the wave-6 surface, keys silently left the
     gate."""
     assert len(TPCH_ORACLE_KEYS) >= 92, len(TPCH_ORACLE_KEYS)
+
+
+@pytest.fixture(scope="module")
+def hostile_csv_dir(tmp_path_factory, sf_dir):
+    """Supplier names containing embedded newlines, commas, doubled
+    quotes, tabs, and semicolons (round 8) — the CSV-quoting seams.
+    Finds fixed by this corpus: the sink_csv_roundtrip reader needed
+    multiLine=true (Spark's writer quotes embedded newlines but the
+    default reader splits records on every newline), and the
+    ingest_csv_malformed reader needed escape='"' to parse the Python
+    csv module's RFC 4180 doubled-quote output (Spark's default escape
+    is backslash)."""
+    d = tmp_path_factory.mktemp("hostilecsv")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "supplier":
+            df = tbl.to_pandas()
+            base = df.iloc[:3].copy()
+            mk = int(df["s_suppkey"].max())
+            base["s_suppkey"] = [mk + 1, mk + 2, mk + 3]
+            base.loc[base.index[0], "s_name"] = "line one\nline two"
+            base.loc[base.index[1], "s_name"] = 'comma, and "quotes" here'
+            base.loc[base.index[2], "s_name"] = "tab\there;semicolon"
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+CSV_KEYS = ["sink_csv_roundtrip", "ingest_csv_header", "ingest_csv_malformed"]
+
+
+@pytest.mark.parametrize("key", CSV_KEYS)
+def test_hostile_csv_parity(spark, hostile_csv_dir, key):
+    from adlspark.testing import compare
+
+    con = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{hostile_csv_dir}/{t}.parquet')"
+            )
+        df = all_queries()[key](spark, hostile_csv_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
