@@ -253,16 +253,17 @@ def chunked_self_pairs(df, arr, out_a, out_b, payload=(), chunk=PAIR_CHUNK):
     explicit-numPartitions shuffle, which AQE never re-coalesces) before
     the element-level explodes, so no task generates more than ~chunk²
     rows per chunk pair. Output: payload columns + (out_a, out_b) with
-    out_a < out_b by value — for DISTINCT-element arrays, exactly the
-    rows of the naive expansion; only the physical distribution changes.
+    out_a < out_b by value — exactly the rows of the naive
+    explode×explode ``a < b`` expansion (including over arrays with
+    duplicate values); only the physical distribution changes.
 
-    Contract: ``arr`` must contain distinct elements (true for every
-    caller — all pass distinct member/doc-id lists built by
-    collect_list over a grouped key). With duplicate values the two
-    forms diverge: a value appearing in two different chunks reaches
-    the cross-chunk branch (``_i < _j``), where least/greatest emits an
-    (v, v) equal pair that the naive ``a < b`` expansion drops. Pinned
-    by tests/test_chunked_helpers.py::test_chunked_self_pairs_duplicate_divergence.
+    The cross-chunk branch (``_i < _j``) carries an ``_ea != _eb``
+    guard: without it, a value appearing in two different chunks would
+    meet itself there and least/greatest would emit a (v, v) equal pair
+    the naive expansion drops. Every current caller passes distinct
+    collect_list-over-key member lists (where the guard is vacuous),
+    but the helper is total over duplicate arrays — pinned by
+    tests/test_chunked_helpers.py::test_chunked_self_pairs_duplicate_arrays.
     """
     p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     payload = list(payload)
@@ -274,7 +275,10 @@ def chunked_self_pairs(df, arr, out_a, out_b, payload=(), chunk=PAIR_CHUNK):
         .repartition(p)
         .select(*payload, "_i", "_j", F.explode("_ca").alias("_ea"), "_cb")
         .select(*payload, "_i", "_j", "_ea", F.explode("_cb").alias("_eb"))
-        .where((F.col("_i") < F.col("_j")) | (F.col("_ea") < F.col("_eb")))
+        .where(
+            ((F.col("_i") < F.col("_j")) & (F.col("_ea") != F.col("_eb")))
+            | (F.col("_ea") < F.col("_eb"))
+        )
         .select(
             *payload,
             F.least("_ea", "_eb").alias(out_a),

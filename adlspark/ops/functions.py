@@ -338,7 +338,7 @@ FROM (
   -- find); extraction itself agrees token-for-token on both engines
   SELECT CASE WHEN json_valid(props)
               THEN TRY_CAST(CASE WHEN regexp_matches(
-                       json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+                       json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$')
                      THEN json_extract_string(props, '$.k') END AS BIGINT)
          END AS k_val, user_id
   FROM events
@@ -378,7 +378,7 @@ SELECT event_id,
        -- varchar floats; Spark's is NULL for non-integral strings)
        CASE WHEN json_valid(props)
             THEN TRY_CAST(CASE WHEN regexp_matches(
-                     json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+                     json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$')
                    THEN json_extract_string(props, '$.k') END AS BIGINT)
        END AS k_from_map,
        CASE WHEN json_valid(props)

@@ -383,14 +383,20 @@ def sink_csv_roundtrip(spark, sf_dir):
 
     out = _os.path.join(work_dir(sf_dir, "sink_csv"), "supplier_csv")
     sup = tables.load(spark, sf_dir, "supplier")
-    sup.write.mode("overwrite").option("header", "true").csv(out)
     # multiLine: Spark's writer QUOTES embedded newlines, but the
     # default reader splits records on every newline regardless —
     # a name containing one silently became two rows (round-8
-    # hostile-CSV corpus find). The trade is documented: multiLine
-    # reads each FILE as one unsplittable unit, so scan parallelism =
-    # file count — exactly the one-file-per-shuffle-partition layout
-    # the staged writer produces.
+    # hostile-CSV corpus find). multiLine reads each FILE as one
+    # unsplittable unit, so scan parallelism = file count; the staged
+    # write therefore fans the table out to shuffle-partition-many
+    # files (round-9: measured, pinned by
+    # tests/test_plans.py::test_sink_csv_staged_files_are_the_split_unit)
+    # instead of whatever partitioning the upstream scan happened to
+    # have — at lake scale, bounded-size staged files ARE the read
+    # parallelism, with no value mutation (the quarantine key's
+    # line-atomization is the other lever, for hostile external text).
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sup.repartition(p).write.mode("overwrite").option("header", "true").csv(out)
     back = spark.read.schema(
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
     ).option("header", "true").option("multiLine", "true").csv(out)

@@ -79,12 +79,43 @@ def scan_all_tables_counts(spark, sf_dir):
     return out
 
 
-@query("ingest_validate_json")  # rows-only: exercises the staging pipeline
+@query(
+    "ingest_validate_json",
+    oracle="""
+WITH batch AS (
+  -- the kernel's batch: first 200 events by event_id (Spark ASC =
+  -- NULLS FIRST; only COUNTS cross the boundary, so null-id ties
+  -- cannot flip the result). Serialized rows quarantine iff a
+  -- required column (event_id, event_type) is NULL; the 3 injected
+  -- missing-column rows and 5 malformed lines always quarantine.
+  SELECT event_id, event_type
+  FROM events
+  ORDER BY event_id ASC NULLS FIRST
+  LIMIT 200
+), counts AS (
+  SELECT
+    count(*) FILTER (WHERE event_id IS NOT NULL
+                       AND event_type IS NOT NULL) AS n_good,
+    count(*) FILTER (WHERE event_id IS NULL
+                        OR event_type IS NULL) AS n_req_null
+  FROM batch
+)
+SELECT 'good' AS bucket, n_good::BIGINT AS n FROM counts
+UNION ALL
+SELECT 'quarantined' AS bucket, (n_req_null + 3 + 5)::BIGINT AS n FROM counts
+""",
+)
 def ingest_validate_json(spark, sf_dir):
     """Schema-on-read JSON ingestion with required-column validation and
     corrupt-record quarantine (the staging-engine validate step). A raw
     JSON-lines batch is derived deterministically from events: 200 good
-    rows, 3 rows with a missing required column, 5 malformed lines."""
+    rows, 3 rows with a missing required column, 5 malformed lines.
+
+    Value-oracle (round 9): both counters are deterministic functions of
+    the events fixture — good = batch rows with non-null required
+    columns; quarantined = batch rows failing that + the 8 injected bad
+    lines. NaN/Infinity doubles survive the JSON roundtrip (Spark's
+    allowNonNumericNumbers default) and never affect the counts."""
     raw_dir = work_dir(sf_dir, "ingest_json")
     raw_path = os.path.join(raw_dir, "batch.jsonl")
     ev = (
@@ -314,12 +345,28 @@ def ingest_partitioned_prune(spark, sf_dir):
     )
 
 
-@query("ingest_idempotent")  # rows-only: filesystem side effects
+@query(
+    "ingest_idempotent",
+    oracle="""
+WITH batch AS (
+  SELECT event_id FROM events ORDER BY event_id ASC NULLS FIRST LIMIT 100
+)
+SELECT CAST(1 AS INTEGER) AS arrival, count(*)::BIGINT AS staged_total FROM batch
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS arrival, count(*)::BIGINT AS staged_total FROM batch
+""",
+)
 def ingest_idempotent(spark, sf_dir):
     """Idempotent re-ingest (the staging engine's at-least-once delivery
     semantics): the same raw batch arrives twice; content-hash dedup at
     the staging boundary keeps exactly one copy. Output: per-arrival
-    staged counts — both arrivals must land at the same final count."""
+    staged counts — both arrivals must land at the same final count.
+
+    Value-oracle (round 9): the invariant IS the value — arrival 1
+    stages the whole batch (event_id is unique, so 100 distinct
+    content hashes), arrival 2's anti-join drops every re-arrived row
+    (content_hash is never NULL: concat_ws skips null args), so both
+    arrivals read back exactly |batch| rows."""
     import shutil
 
     base = work_dir(sf_dir, "ingest_idem")

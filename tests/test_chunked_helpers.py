@@ -67,32 +67,33 @@ def test_chunked_self_pairs_equals_naive(spark, seed, chunk):
     assert got == want
 
 
-def test_chunked_self_pairs_duplicate_divergence(spark):
-    """Pin the documented DISTINCT-element contract (dedup.py): when an
-    array holds duplicate values that land in different chunks, the
-    cross-chunk branch emits (v, v) equal pairs the naive a < b
-    expansion drops. Callers all pass distinct collect_list-over-key
-    member lists, so this divergence is unreachable in the kernels; if
-    a future caller needs duplicate arrays this test is the reminder to
-    add an (out_a != out_b) guard instead of silently inheriting the
-    extra rows."""
-    df = spark.createDataFrame([Row(members=[5, 9, 5, 2])])
-    got = sorted(
-        map(tuple, chunked_self_pairs(df, "members", "a", "b", chunk=1).collect())
-    )
-    naive = sorted(
-        (min(a, b), max(a, b))
-        for i, a in enumerate([5, 9, 5, 2])
-        for b in [5, 9, 5, 2][i + 1 :]
-        if a != b
-    )
-    # chunk=1 puts each element in its own chunk: the duplicate 5s meet
-    # in the _i < _j branch and emit (5, 5) — naive never does
-    assert got == sorted(naive + [(5, 5)])
-    # and distinct-element arrays stay exactly naive (the contract)
+@pytest.mark.parametrize("chunk", [1, 2, 3, 512])
+def test_chunked_self_pairs_duplicate_arrays(spark, chunk):
+    """The helper is total over arrays with DUPLICATE values (round-9
+    guard): a value appearing in two different chunks meets itself in
+    the cross-chunk branch, where the ``_ea != _eb`` guard drops the
+    (v, v) equal pair exactly like the naive a < b expansion does —
+    at every chunk size, so the duplicates land same-chunk and
+    cross-chunk both."""
+    for members in ([5, 9, 5, 2], [7, 7], [3, 3, 3, 1, 3]):
+        df = spark.createDataFrame([Row(members=members)])
+        got = sorted(
+            map(
+                tuple,
+                chunked_self_pairs(df, "members", "a", "b", chunk=chunk).collect(),
+            )
+        )
+        naive = sorted(
+            (min(a, b), max(a, b))
+            for i, a in enumerate(members)
+            for b in members[i + 1 :]
+            if a < b or b < a
+        )
+        assert got == naive, (members, chunk)
+    # and distinct-element arrays stay exactly naive (the usual callers)
     df2 = spark.createDataFrame([Row(members=[5, 9, 2])])
     got2 = sorted(
-        map(tuple, chunked_self_pairs(df2, "members", "a", "b", chunk=1).collect())
+        map(tuple, chunked_self_pairs(df2, "members", "a", "b", chunk=chunk).collect())
     )
     assert got2 == [(2, 5), (2, 9), (5, 9)]
 

@@ -206,6 +206,8 @@ def json_extreme_dir(tmp_path_factory, sf_dir):
             '{"k": 7, "k": 8}',              # duplicate key
             '{ "k" :\t42 }',                 # whitespace variants
             '{"к": 5, "k": 005}',            # unicode key + leading zeros (invalid JSON number)
+            '{"k": " 7 "}',                  # whitespace-padded string number (both engines trim-then-cast)
+            '{"k": "\\t8\\n"}',              # tab/newline-padded string number
         ]
         extra = pd.DataFrame({
             "event_id": [993000 + i for i in range(len(props))],

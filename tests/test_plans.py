@@ -577,3 +577,25 @@ def test_contamination_quotient_no_cartesian(spark, sf_dir):
     p = plan_of(spark, sf_dir, "llm_contamination_check")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_sink_csv_staged_files_are_the_split_unit(spark, sf_dir):
+    """multiLine CSV reads are per-FILE (unsplittable), so the staged
+    write must control the file count: the kernel fans supplier out to
+    shuffle-partition-many part files, making scan parallelism equal to
+    the partition count by construction — the bounded-file-size staging
+    discipline a 100x CSV ingest needs (round-9; the alternative,
+    line-atomizing values at write time, is reserved for the quarantine
+    path because it mutates data)."""
+    import glob
+    import os
+
+    from adlspark.io.ingest import work_dir
+
+    QUERIES["sink_csv_roundtrip"](spark, sf_dir).collect()
+    out = os.path.join(work_dir(sf_dir, "sink_csv"), "supplier_csv")
+    parts = glob.glob(os.path.join(out, "part-*"))
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition(p) -> p part files (some may be empty at tiny SF but
+    # they still exist as independent multiLine read units)
+    assert len(parts) == p, (len(parts), p)
