@@ -40,104 +40,89 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # absent from this list keep their existing verdicts because their code
 # is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 8 (recomputed 2026-08-15 with
+# State entering driver round 9 (recomputed 2026-08-15 with
 # tools/verification_debt.py — the single source of truth):
 #   - 254 registry keys, 254 carry a verdict, debt = 0, ZERO failed —
-#     round 7 came back fully green (50/50), so the whole window is
-#     available for (b) code-changed re-entries and (d) the staleness
-#     rotation the r7 verdict names as the round's top item.
-# Composition: 5 re-entries + 42 r01-cohort + 3 oldest-r02 = 50. The
-# remaining r02 cohort (~28 keys: llm_lang_partition_pipeline through
-# ts_dedup in the staleness ranking) rotates next round; after that no
-# key's latest verdict predates r03.
+#     round 8 came back fully green (50/50), so the window carries
+#     (b) this round's code-changed re-entries, (d) the FULL remaining
+#     r02 staleness cohort (the r8 verdict's top item — finishing it
+#     means no key's verdict predates r03), and r03 fill.
+# Composition: 9 re-entries + 30 r02-cohort + 11 oldest-r03 = 50.
 _VERIFY_WINDOW = [
-    # (a) failed in the latest window: none (r7 fully green).
+    # (a) failed in the latest window: none (r8 fully green).
     # (b) code changed this session after a green verdict — re-enter:
-    #   null-element discipline (skip-null max/exists/forall folds,
-    #   null-ignoring list_contains parity, nulls-last list_sort[1]):
-    "fn_higher_order",
-    "fn_array",
-    #   all-NULL-signature docs routed out before the quotient groupBy
-    #   (they'd merge into one class and invent n_agree=8 pairs):
+    #   chunked_self_pairs cross-chunk branch gains the _ea != _eb
+    #   guard (total over duplicate-value arrays; vacuous for the
+    #   distinct member lists every caller passes — all six consumers
+    #   HASH-PASSED/rows-matched the sf0.01 + sf0.001 driver sims
+    #   post-change):
+    "llm_near_dup_pairs",
+    "llm_dedup_minhash",
     "llm_minhash_estimate",
-    #   identity-group quotient (the last pair-shaped kernel on a
-    #   direct inverted-index join; 100x dup-density 17.5 s, was
-    #   join-row-quadratic in copy multiplicity):
-    "llm_contamination_check",
-    #   bounded sliding RANGE frames -> difference of two unbounded-
-    #   preceding prefix counts (Spark re-aggregates a sliding frame
-    #   whenever the lower bound moves; 52.7 -> 6.7 s at the 50%-hot
-    #   user, exact on the integer microsecond key):
-    "ts_velocity_features",
-    #   z-value day scale promoted to BIGINT (ANSI overflow crash once
-    #   the date range exceeds ~32k days — found by the round-8
-    #   extreme-date corpus; DuckDB auto-promotes the same math):
-    "lake_zorder_layout",
-    #   CSV fixture-writer: NULL acctbal now writes an empty field, not
-    #   repr(None)='None' (which parsed as malformed and dropped the
-    #   row — found by the round-8 null-dim corpus); reader now uses
-    #   RFC-4180 escape='"', and names are line-atomized with the
-    #   oracle mirroring (the hostile-CSV corpus finds):
-    "ingest_csv_malformed",
-    #   CSV roundtrip reader gains multiLine=true: the writer QUOTES
-    #   embedded newlines but the default reader split such a record
-    #   in two (hostile-CSV corpus find):
-    "sink_csv_roundtrip",
-    #   All five HASH-PASSED the sf0.01 driver sim post-change and are
-    #   bit-identical on the null-free fixtures (null/dup gates pinned
-    #   in tests/test_embed_robustness.py, test_dup_density.py,
-    #   test_event_null_robustness.py).
-    # (c) never-verified debt: none.
-    # (d) staleness rotation — the full r01 cohort (last verified
-    #   against testdata regenerated five driver-rounds ago), in
-    #   verification_debt.py ranking order:
-    "scan_all_tables_counts",
+    "llm_dedup_editdist",
+    "llm_containment_dedup",
+    "llm_sim_threshold_join",
+    #   rows-only -> value oracle promotions (kernels unchanged; the
+    #   deterministic count summaries now hash-compare — r8 verdict
+    #   item 4):
     "ingest_validate_json",
-    "ingest_csv_header",
-    "sink_parquet_roundtrip",
-    "stream_file_source",
-    "ingest_partitioned_prune",
     "ingest_idempotent",
-    "project_compute",
-    "filter_pred",
-    "filter_null_3vl",
-    "distinct_rows",
-    "filter_dynamic_rule",
-    "join_inner",
-    "join_broadcast",
-    "join_multikey",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_interval",
-    "join_skew_salted",
-    "agg_group_q1",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_conditional",
-    "agg_pivot",
-    "agg_unpivot",
-    "win_rownum",
-    "win_topk_group",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_ntile_pct",
-    # (llm_tfidf, llm_top_terms, and llm_text_stats gave their fill
-    # slots to the lake_zorder_layout / ingest_csv_malformed /
-    # sink_csv_roundtrip re-entries; they rejoin the r02 rotation next
-    # round.)
-    # Slot arithmetic: 8 re-entries (b) + 42 r01 = 50.
+    #   staged CSV write fans out to shuffle-partition-many files so
+    #   multiLine scan parallelism = partition count (r8 verdict item
+    #   5; plan-pinned by test_sink_csv_staged_files_are_the_split_unit):
+    "sink_csv_roundtrip",
+    #   (fn_json / fn_map had an ORACLE-ONLY whitespace-regex widening,
+    #   observation-equivalent on the fixtures — proven HASH-PASS at
+    #   sf0.01 AND sf0.001, so per the r7/r8 precedent they do NOT
+    #   take slots.)
+    # (c) never-verified debt: none.
+    # (d) staleness rotation — the ENTIRE remaining r02 cohort, in
+    #   verification_debt.py ranking order (this completes the
+    #   freshness program: after r09 greens these, no verdict predates
+    #   r03):
+    "llm_text_stats",
+    "llm_top_terms",
+    "llm_tfidf",
+    "llm_lang_partition_pipeline",
+    "llm_langid",
+    "llm_text_quality",
+    "llm_token_count",
+    "llm_train_split",
+    "llm_corpus_filter_pipeline",
+    "llm_pii_scrub",
+    "mm_metadata_pruned_scan",
+    "catalog_search_tokens",
+    "sink_bucketed_colocated_join",
+    "mv_incremental_refresh",
+    "sink_orc_roundtrip",
+    "ingest_alert_log",
+    "ingest_schema_evolution",
+    "fn_string",
+    "fn_regex",
+    "fn_date",
+    "fn_math",
+    "fn_cond",
+    "fn_cast",
+    "fn_explode",
+    "fn_hash",
+    "fn_bitwise",
+    "ts_tumbling",
+    "ts_sliding",
+    "ts_session",
+    "ts_dedup",
+    #   r03 fill (oldest first) with the remaining 11 slots:
+    "llm_repetition_filter",
+    "llm_url_dedup",
+    "fn_struct",
+    "fn_url",
+    "ts_gap_fill",
+    "ts_funnel",
+    "subq_scalar",
+    "subq_in",
+    "subq_exists_corr",
+    "subq_lateral",
+    "set_union_all",
+    # Slot arithmetic: 9 re-entries (b) + 30 r02 + 11 r03 = 50.
 ]
 
 

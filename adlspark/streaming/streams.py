@@ -21,6 +21,18 @@ batch after that is dropped (numRowsDroppedByWatermark) and the window
 emits with only its on-time rows. Capacity planning at 100 TB follows
 from this: state size is bounded by (watermark delay × event rate),
 never by history.
+
+State-store provider at scale (round-9 hot-key ladder, BASELINE.md):
+none of these operators' state grows super-linearly in a hot key
+(sessions merge, counts are user-bounded, dedup ids are key-uniform,
+join state is watermark-bounded + banded), but the DEFAULT HDFSBacked
+provider degrades past ~1 GB of JVM-heap state — the 100× dedup rung
+measured 246 s default vs 53.5 s with
+``spark.sql.streaming.stateStore.providerClass =
+...state.RocksDBStateStoreProvider`` (state 1.8 GB heap → 15 MB).
+Kernels stay on the default (KB-scale state at driver-check SF, where
+HDFSBacked is faster); deployments past ~100 MB state/partition should
+set the RocksDB provider.
 """
 
 from __future__ import annotations
@@ -68,9 +80,18 @@ def events_stream(spark, sf_dir):
     return s
 
 
+# Diagnostics: recentProgress dicts of the most recent _run-managed query
+# (state-store rows/bytes, watermark drops). Observation only — written
+# after the query terminates; tools/stress_stream.py reads it for the
+# hot-key state-store ladder. Not part of any kernel's result.
+LAST_QUERY_PROGRESS: list = []
+
+
 def _run(df_writer, name: str):
     q = df_writer.queryName(name).trigger(availableNow=True).start()
-    if not q.awaitTermination(600):
+    finished = q.awaitTermination(600)
+    LAST_QUERY_PROGRESS[:] = list(q.recentProgress)
+    if not finished:
         q.stop()
         raise RuntimeError(f"streaming query {name} did not finish in 600s")
 

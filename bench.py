@@ -53,6 +53,37 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[k] = round(time.monotonic() - t0, 3)
 
+    # Load-normalization controls: ratios vs BASELINE.md medians for a
+    # fixed set of long-untouched, medium-cost keys. The box has ambient
+    # shared-CPU load, and three straight rounds spent verdict space
+    # separating "box was slow" from "key regressed" — these ratios put
+    # the answer in the bench JSON itself: controls high across the
+    # board = ambient load; controls ~1.0 with one hot key = regression.
+    CONTROL_KEYS = (
+        "agg_stats", "agg_group_q1", "llm_tfidf", "ts_session", "join_inner",
+    )
+    controls: dict[str, float] = {}
+    try:
+        import re
+        import statistics
+
+        base = {}
+        with open(os.path.join(REPO, "BASELINE.md")) as f:
+            for line in f:
+                m = re.match(r"\| `([a-z0-9_]+)` \| ([0-9.]+) \|", line)
+                if m:
+                    base[m.group(1)] = float(m.group(2))
+        controls = {
+            k: round(timings[k] / base[k], 2)
+            for k in CONTROL_KEYS
+            if k in timings and base.get(k, 0) > 0.05
+        }
+        control_median = (
+            round(statistics.median(controls.values()), 2) if controls else None
+        )
+    except OSError:
+        control_median = None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
@@ -71,11 +102,12 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(detail))
-    try:
-        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: stdout still carries everything
+    if not only:  # a BENCH_KEYS subset run must not clobber the full record
+        try:
+            with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: stdout still carries everything
     print(
         json.dumps(
             {
@@ -85,6 +117,8 @@ def main() -> None:
                 "n_keys": len(timings),
                 "sf": sf_val,
                 "detail": "BENCH_DETAIL.json",
+                "controls_vs_baseline": controls,
+                "control_median": control_median,
             }
         ),
         flush=True,

@@ -57,3 +57,38 @@ def test_coverage_covers_every_registry_key():
     with open(os.path.join(_REPO, "COVERAGE.md")) as f:
         listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", f.read(), re.M))
     assert listed == set(registry.all_queries())
+
+
+def test_verification_debt_round_rollover():
+    """Round-10 filename guard: the staleness tool must order
+    CORRECTNESS_r10 AFTER r09 (and r02) whether the driver zero-pads or
+    not — a lexicographic sort would put 'r10' before 'r2' and quietly
+    mis-compose next round's verify window."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "verification_debt", os.path.join(_REPO, "tools", "verification_debt.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    names = [
+        "CORRECTNESS_r10.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r09.json",
+        "CORRECTNESS_r010.json",
+        "CORRECTNESS_r11.json",
+    ]
+    nums = [mod.round_num(n) for n in names]
+    assert nums == [10, 2, 9, 10, 11]
+    assert [n for _, n in sorted(zip(nums, names))] == [
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r09.json",
+        # r10 in either spelling lands after r09, never between r01/r02
+        "CORRECTNESS_r010.json",
+        "CORRECTNESS_r10.json",
+        "CORRECTNESS_r11.json",
+    ]
+    # and the status-string parse the staleness ranking uses survives
+    # two-digit rounds
+    assert int("green-r10".rsplit("-r", 1)[-1]) == 10

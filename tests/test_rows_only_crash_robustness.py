@@ -143,6 +143,9 @@ def test_embed_rows_only_no_crash(spark, hostile_embed_dir, key):
 
 
 def test_surfaces_nonempty():
-    assert len(EVENTS_ROWS_ONLY) >= 17
+    # floors drop when a rows-only key gains a value oracle (it moves to
+    # the stronger oracle-parity gates): r9 promoted ingest_validate_json
+    # and ingest_idempotent, 17 -> 15 events keys
+    assert len(EVENTS_ROWS_ONLY) >= 15
     assert len(DOC_ROWS_ONLY) >= 5
     assert len(EMBED_ROWS_ONLY) >= 4

@@ -27,18 +27,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def round_num(path: str) -> int:
+    # parse the round as an INT: a lexicographic sort would order
+    # r10 < r7 the moment the zero-padded rNN naming breaks, silently
+    # flipping both the latest-verdict overwrite and the staleness
+    # ranking below. Handles r09, r10, and a hypothetical r010 alike
+    # (pinned by tests/test_docs.py::test_verification_debt_round_rollover).
+    return int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
+
+
 def main() -> None:
     from adlspark import registry
 
     keys = list(registry.all_queries())
     oracles = registry.all_oracles()
-
-    def round_num(path: str) -> int:
-        # parse the round as an INT: a lexicographic sort would order
-        # r10 < r7 the moment the zero-padded rNN naming breaks, silently
-        # flipping both the latest-verdict overwrite and the staleness
-        # ranking below
-        return int(os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")])
 
     seen: dict[str, str] = {}
     for path in sorted(
