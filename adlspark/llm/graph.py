@@ -57,6 +57,8 @@ def llm_graph_pagerank(spark, sf_dir):
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
+    if n == 0:  # empty partition: no nodes, no ranks (round-9 corpus)
+        return spark.createDataFrame([], "doc_id long, rank double")
 
     # LUMPED (quotient-graph) iteration: docs with identical MinHash
     # signatures share every band bucket, so in the candidate graph they

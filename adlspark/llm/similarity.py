@@ -916,7 +916,8 @@ def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=None):
     scale. What stays distributed is what actually grows with the lake:
     ENCODING and SEARCH (see llm_ann_ivf_pq).
 
-    Returns (codebook nested list [m][k][d], sub_dim).
+    Returns (codebook nested list [m][k][d], sub_dim) — or (None, 0)
+    when the sample is empty (empty partition / no in-domain vectors).
     """
     import numpy as np
 
@@ -930,6 +931,8 @@ def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=None):
         .orderBy("vec_id")
         .collect()
     )  # bounded: ~4096 rows regardless of corpus size
+    if not sample:  # empty corpus / no sampled ids: no trainable model
+        return None, 0
     x = np.asarray(
         [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
     )  # (n, dim)
@@ -1007,6 +1010,10 @@ def llm_ann_ivf_pq(spark, sf_dir):
     import pandas as pd
 
     codebook, sub = pq_fit(spark, sf_dir)
+    if codebook is None:  # empty partition: nothing to index (round 9)
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, adc_dist double, rnk int"
+        )
     cb = np.asarray(codebook)  # (m, k, sub)
     m = cb.shape[0]
     e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
@@ -1254,7 +1261,12 @@ def llm_pca_power(spark, sf_dir):
     e = load_embeddings(spark, sf_dir).where(
         ~F.exists("embedding", lambda x: F.isnan(x.cast("double")))
     ).select("embedding")
-    d = len(e.head(1)[0]["embedding"])
+    head = e.head(1)
+    if not head:  # empty partition: no spectrum (round-9 corpus)
+        return spark.createDataFrame(
+            [], "component int, eigenvalue double, explained_ratio double"
+        )
+    d = len(head[0]["embedding"])
 
     def partials(batches):
         n = 0
@@ -1610,6 +1622,8 @@ def llm_mmr_diverse_sample(spark, sf_dir):
             .limit(1)
             .head()
         )
+        if top is None:  # pool exhausted (or empty partition): K > |pool|
+            break
         picked.append((int(top["vec_id"]), float(top["score"])))
         picked_vecs.append(np.asarray(top["emb_n"], dtype=np.float64))
         remaining = remaining.where(F.col("vec_id") != top["vec_id"])

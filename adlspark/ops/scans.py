@@ -235,7 +235,12 @@ def sink_parquet_roundtrip(spark, sf_dir):
     out = os.path.join(work_dir(sf_dir, "sink_roundtrip"), "lineitem_staged")
     li = tables.load(spark, sf_dir, "lineitem")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema on the staged read: an EMPTY staged batch writes
+    # only _SUCCESS, and schema inference over zero part files throws
+    # UNABLE_TO_INFER_SCHEMA (round-9 empty-partition corpus find) — in
+    # production the staged schema comes from the catalog, never from
+    # inference
+    back = spark.read.schema(li.schema).parquet(out)
     return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -337,7 +342,10 @@ def ingest_partitioned_prune(spark, sf_dir):
     # unconditional rewrite: caching behind _SUCCESS would serve stale
     # staged data if the source fixtures ever changed
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: zero-row staged batches leave no part files and
+    # schema inference throws (round-9 empty-partition corpus find);
+    # partition-dir discovery and pruning are unaffected
+    back = spark.read.schema(ev.schema).parquet(out)
     return (
         back.where(F.col("event_date") == "2024-01-10")
         .groupBy("event_type")
@@ -443,7 +451,10 @@ def join_dpp_prune(spark, sf_dir):
         "event_date string, day_label string",
     ).write.mode("overwrite").parquet(dim_path)
 
-    fact = spark.read.parquet(fact_path)
+    # explicit schema on the fact read (empty-staged-batch safety, same
+    # as ingest_partitioned_prune); DPP keys on the discovered partition
+    # dirs either way
+    fact = spark.read.schema(ev.schema).parquet(fact_path)
     dim = spark.read.parquet(dim_path).where(F.col("day_label") == "peak")
     return (
         fact.join(dim, "event_date")

@@ -47,7 +47,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     (b) this round's code-changed re-entries, (d) the FULL remaining
 #     r02 staleness cohort (the r8 verdict's top item — finishing it
 #     means no key's verdict predates r03), and r03 fill.
-# Composition: 9 re-entries + 30 r02-cohort + 11 oldest-r03 = 50.
+# Composition: 16 re-entries + 30 r02-cohort + 4 oldest-r03 = 50.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r8 fully green).
     # (b) code changed this session after a green verdict — re-enter:
@@ -71,6 +71,22 @@ _VERIFY_WINDOW = [
     #   multiLine scan parallelism = partition count (r8 verdict item
     #   5; plan-pinned by test_sink_csv_staged_files_are_the_split_unit):
     "sink_csv_roundtrip",
+    #   staged read-backs take an EXPLICIT schema: a zero-row staged
+    #   batch writes only _SUCCESS and schema inference throws
+    #   UNABLE_TO_INFER_SCHEMA — found by the round-9 empty-partition
+    #   corpus (test_empty_events_parity); all three HASH-PASSED the
+    #   sf0.01 + sf0.001 sims post-change and the DPP plan gate holds:
+    "sink_parquet_roundtrip",
+    "ingest_partitioned_prune",
+    "join_dpp_prune",
+    #   empty-input guards on the iterative/driver-model kernels
+    #   (pagerank 1/0 on zero nodes, PQ codebook fit over an empty
+    #   sample, PCA head-of-empty, MMR pool exhaustion) — same round-9
+    #   empty-partition corpus, pinned by test_empty_rows_only_no_crash:
+    "llm_graph_pagerank",
+    "llm_ann_ivf_pq",
+    "llm_pca_power",
+    "llm_mmr_diverse_sample",
     #   (fn_json / fn_map had an ORACLE-ONLY whitespace-regex widening,
     #   observation-equivalent on the fixtures — proven HASH-PASS at
     #   sf0.01 AND sf0.001, so per the r7/r8 precedent they do NOT
@@ -115,14 +131,11 @@ _VERIFY_WINDOW = [
     "llm_url_dedup",
     "fn_struct",
     "fn_url",
-    "ts_gap_fill",
-    "ts_funnel",
-    "subq_scalar",
-    "subq_in",
-    "subq_exists_corr",
-    "subq_lateral",
-    "set_union_all",
-    # Slot arithmetic: 9 re-entries (b) + 30 r02 + 11 r03 = 50.
+    # (ts_gap_fill / ts_funnel / subq_scalar / subq_in /
+    # subq_exists_corr / subq_lateral / set_union_all ceded their fill
+    # slots to the seven empty-partition re-entries; they rejoin the
+    # r03 rotation next round.)
+    # Slot arithmetic: 16 re-entries (b) + 30 r02 + 4 r03 = 50.
 ]
 
 

@@ -222,6 +222,23 @@ def json_extreme_dir(tmp_path_factory, sf_dir):
     return _corpus(tmp_path_factory, sf_dir, "jsonextreme", mut)
 
 
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory, sf_dir):
+    """ZERO-ROW events table (round 9): the routine lake shape — an
+    empty date partition, a source with no arrivals yet — that no prior
+    corpus covered. Every seam is a fold over nothing: global
+    aggregates must emit their one NULL/0 row on both engines, grouped
+    aggregates zero rows, ANSI scalar extractions must not be reached,
+    and driver-side .collect()[0] scalars must tolerate the empty
+    frame. Schema is preserved (0-row parquet keeps the footer), so
+    schema-on-read paths still resolve."""
+
+    def mut(df):
+        return df.iloc[:0]
+
+    return _corpus(tmp_path_factory, sf_dir, "emptyevents", mut)
+
+
 JSON_KEYS = ["fn_json", "fn_map", "catalog_search_tokens", "stream_file_source"]
 
 
@@ -321,6 +338,18 @@ def test_extreme_ts_parity(spark, extreme_ts_dir, key):
     con = _ddb(extreme_ts_dir)
     try:
         df = all_queries()[key](spark, extreme_ts_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("key", EVENTS_ORACLE_KEYS)
+def test_empty_events_parity(spark, empty_events_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(empty_events_dir)
+    try:
+        df = all_queries()[key](spark, empty_events_dir)
         compare(df, con, all_oracles()[key], key=key)
     finally:
         con.close()

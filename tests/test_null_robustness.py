@@ -194,6 +194,22 @@ def unicode_text_dir(tmp_path_factory, sf_dir):
     )
 
 
+@pytest.fixture(scope="module")
+def empty_docs_embed_dir(tmp_path_factory, sf_dir):
+    """ZERO-ROW documents AND embeddings (round 9): the empty-partition
+    shape for the whole llm family — dedup/minhash with no shingles,
+    tfidf with df=0 denominators, similarity with no vectors, splits
+    and mixtures over nothing. Schema survives in the 0-row parquet
+    footers, so schema-on-read and vector-dim probes still resolve."""
+    return _corpus(
+        tmp_path_factory,
+        sf_dir,
+        "emptydocsembed",
+        mutate_documents=lambda df: df.iloc[:0],
+        mutate_embeddings_tbl=lambda tbl: tbl.slice(0, 0),
+    )
+
+
 def _ddb(corpus_dir):
     con = duckdb.connect()
     for t in adl_tables.TABLES:
@@ -234,6 +250,28 @@ NULL_LANG_KEYS = DOC_ORACLE_KEYS
 UNICODE_TEXT_KEYS = DOC_ORACLE_KEYS
 
 
+def _doc_or_embed_oracle_keys():
+    """documents OR embeddings readers — the empty corpus zeroes both."""
+    import inspect
+
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k not in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        blob = src + " " + os_[k]
+        if "documents" in blob or "embeddings" in blob:
+            out.append(k)
+    return out
+
+
+EMPTY_DOC_EMBED_KEYS = _doc_or_embed_oracle_keys()
+
+
 @pytest.mark.parametrize("key", UNICODE_TEXT_KEYS)
 def test_unicode_text_parity(spark, unicode_text_dir, key):
     from adlspark.testing import compare
@@ -269,6 +307,18 @@ def test_null_lang_parity(spark, null_lang_dir, key):
     con = _ddb(null_lang_dir)
     try:
         df = all_queries()[key](spark, null_lang_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("key", EMPTY_DOC_EMBED_KEYS)
+def test_empty_docs_embed_parity(spark, empty_docs_embed_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(empty_docs_embed_dir)
+    try:
+        df = all_queries()[key](spark, empty_docs_embed_dir)
         compare(df, con, all_oracles()[key], key=key)
     finally:
         con.close()

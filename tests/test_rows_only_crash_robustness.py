@@ -142,6 +142,31 @@ def test_embed_rows_only_no_crash(spark, hostile_embed_dir, key):
     assert n >= 0
 
 
+@pytest.fixture(scope="module")
+def empty_all_dir(tmp_path_factory, sf_dir):
+    """events, documents, AND embeddings all ZERO-ROW (round 9): the
+    empty-partition shape for the rows-only family — iterative kernels
+    (k-means, PCA, BPE, PageRank) must converge-or-skip on nothing,
+    driver-side .collect()[0] scalars must tolerate the empty frame,
+    streaming queries must terminate with empty sinks, and sketch
+    builders must emit their empty summary instead of throwing."""
+
+    def mut(t, tbl):
+        if t in ("events", "documents", "embeddings"):
+            return tbl.slice(0, 0)
+        return tbl
+
+    return _write(tmp_path_factory.mktemp("emptyall"), mut)
+
+
+@pytest.mark.parametrize(
+    "key", EVENTS_ROWS_ONLY + DOC_ROWS_ONLY + EMBED_ROWS_ONLY
+)
+def test_empty_rows_only_no_crash(spark, empty_all_dir, key):
+    n = all_queries()[key](spark, empty_all_dir).count()
+    assert n >= 0
+
+
 def test_surfaces_nonempty():
     # floors drop when a rows-only key gains a value oracle (it moves to
     # the stronger oracle-parity gates): r9 promoted ingest_validate_json
