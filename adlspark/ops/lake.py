@@ -221,7 +221,9 @@ def sink_orc_roundtrip(spark, sf_dir):
     out = os.path.join(work_dir(sf_dir, "sink_orc"), "orders_orc")
     orders = tables.load(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(out)
-    back = spark.read.orc(out)
+    # explicit schema: empty staged batches leave no data files and ORC
+    # schema inference throws (round-9 empty-partition corpus find)
+    back = spark.read.schema(orders.schema).orc(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_orderkey").alias("min_key"),
@@ -1139,7 +1141,8 @@ def lake_dynamic_partition_overwrite(spark, sf_dir):
         .partitionBy("o_orderstatus")
         .parquet(path)
     )
-    back = spark.read.parquet(path)
+    # explicit schema (empty-staged-batch safety, round-9 corpus find)
+    back = spark.read.schema(o.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice").alias("sum_price"),
@@ -1241,7 +1244,10 @@ WITH good AS (
 )
 SELECT a.rule, a.passed,
        (SELECT count(*) FROM good) AS published_rows,
-       CAST((SELECT sum(o_orderkey) FROM good) AS BIGINT) AS published_key_sum,
+       -- coalesce: the checksum of an EMPTY staged batch is 0 on both
+       -- sides (round-9 empty-partition seam), not NULL
+       CAST(coalesce((SELECT sum(o_orderkey) FROM good), 0) AS BIGINT)
+         AS published_key_sum,
        (SELECT bool_and(passed) FROM audit) AS published
 FROM audit a
 """,
@@ -1283,7 +1289,8 @@ def lake_write_audit_publish(spark, sf_dir):
     good = o.where((F.col("o_totalprice") > 0) & F.col("o_custkey").isNotNull())
     good.write.mode("overwrite").parquet(stage)
 
-    staged = spark.read.parquet(stage)
+    # explicit schema (empty-staged-batch safety, round-9 corpus find)
+    staged = spark.read.schema(o.schema).parquet(stage)
     audit_row = staged.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_bad_price"),
@@ -1292,7 +1299,10 @@ def lake_write_audit_publish(spark, sf_dir):
     ).head()
     rules = [
         ("row_count_positive", audit_row["n"] > 0),
-        ("no_negative_price", audit_row["n_bad_price"] == 0),
+        # n_bad_price is NULL over an empty staged batch; "no negative
+        # prices among zero rows" is vacuously TRUE (matches the
+        # oracle's NOT EXISTS) — round-9 empty-partition seam
+        ("no_negative_price", (audit_row["n_bad_price"] or 0) == 0),
         ("keys_unique", audit_row["n"] == audit_row["n_keys"]),
     ]
     publish = all(p for _, p in rules)
@@ -1310,7 +1320,9 @@ def lake_write_audit_publish(spark, sf_dir):
                 rule,
                 bool(p),
                 int(audit_row["n"]),
-                int(audit_row["key_sum"]),
+                # key_sum is NULL when the staged batch is empty (sum
+                # over zero rows); the published checksum is then 0
+                int(audit_row["key_sum"] or 0),
                 bool(publish),
             )
             for rule, p in rules

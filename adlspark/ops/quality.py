@@ -156,7 +156,12 @@ def lake_ri_check(spark, sf_dir):
             joined.agg(
                 F.lit(name).alias("relationship"),
                 F.count(F.lit(1)).alias("n_child"),
-                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                # coalesce: sum over an EMPTY child is NULL, but "no
+                # rows" means 0 orphans (round-9 empty-partition find;
+                # the oracle's count(*) FILTER is 0 there)
+                F.coalesce(
+                    F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_orphan_rows"),
                 F.count_distinct(

@@ -47,7 +47,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     (b) this round's code-changed re-entries, (d) the FULL remaining
 #     r02 staleness cohort (the r8 verdict's top item — finishing it
 #     means no key's verdict predates r03), and r03 fill.
-# Composition: 16 re-entries + 30 r02-cohort + 4 oldest-r03 = 50.
+# Composition: 19 re-entries + 30 r02-cohort + 1 oldest-r03 = 50.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r8 fully green).
     # (b) code changed this session after a green verdict — re-enter:
@@ -87,6 +87,16 @@ _VERIFY_WINDOW = [
     "llm_ann_ivf_pq",
     "llm_pca_power",
     "llm_mmr_diverse_sample",
+    #   TPC-H side of the same corpus: explicit staged-read schemas
+    #   (ORC + dynamic-overwrite + WAP stage), WAP int(NULL key_sum)
+    #   guard, ri_check orphan-sum coalesced to 0 over an empty child
+    #   (sink_orc_roundtrip picked up the same fix inside its r02 slot
+    #   below; agg_rollup/cube/grouping_sets/grouping_flags were
+    #   ORACLE-ONLY HAVING guards — empty-input grand-total seam —
+    #   proven at both SFs, no slots per the r7/r8 precedent):
+    "lake_dynamic_partition_overwrite",
+    "lake_write_audit_publish",
+    "lake_ri_check",
     #   (fn_json / fn_map had an ORACLE-ONLY whitespace-regex widening,
     #   observation-equivalent on the fixtures — proven HASH-PASS at
     #   sf0.01 AND sf0.001, so per the r7/r8 precedent they do NOT
@@ -126,16 +136,13 @@ _VERIFY_WINDOW = [
     "ts_sliding",
     "ts_session",
     "ts_dedup",
-    #   r03 fill (oldest first) with the remaining 11 slots:
+    #   r03 fill (oldest first) with the one remaining slot:
     "llm_repetition_filter",
-    "llm_url_dedup",
-    "fn_struct",
-    "fn_url",
-    # (ts_gap_fill / ts_funnel / subq_scalar / subq_in /
-    # subq_exists_corr / subq_lateral / set_union_all ceded their fill
-    # slots to the seven empty-partition re-entries; they rejoin the
-    # r03 rotation next round.)
-    # Slot arithmetic: 16 re-entries (b) + 30 r02 + 4 r03 = 50.
+    # (llm_url_dedup / fn_struct / fn_url / ts_gap_fill / ts_funnel /
+    # subq_scalar / subq_in / subq_exists_corr / subq_lateral /
+    # set_union_all ceded their fill slots to the ten empty-partition
+    # re-entries; they rejoin the r03 rotation next round.)
+    # Slot arithmetic: 19 re-entries (b) + 30 r02 + 1 r03 = 50.
 ]
 
 

@@ -348,6 +348,63 @@ def test_extreme_date_tpch_parity(spark, extreme_date_tpch_dir, key):
         con.close()
 
 
+@pytest.fixture(scope="module")
+def empty_tpch_dir(tmp_path_factory, sf_dir):
+    """ZERO-ROW orders + lineitem + customer (round 9): the TPC-H side
+    of the empty-partition corpus class. Dimensions (nation/region/
+    part/supplier) stay intact — an empty DIM with an empty FACT is a
+    different, rarer failure; the common lake shape is a fact partition
+    with no rows against fully-populated dims."""
+    d = tmp_path_factory.mktemp("emptytpch")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t in ("orders", "lineitem", "customer"):
+            tbl = tbl.slice(0, 0)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("key", TPCH_ORACLE_KEYS)
+def test_empty_tpch_parity(spark, empty_tpch_dir, key):
+    from adlspark.testing import compare
+
+    con = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS"
+                f" SELECT * FROM read_parquet('{empty_tpch_dir}/{t}.parquet')"
+            )
+        df = all_queries()[key](spark, empty_tpch_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
+def _tpch_rows_only_keys():
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        if any(t in src for t in ("orders", "lineitem", "customer")):
+            out.append(k)
+    return out
+
+
+TPCH_ROWS_ONLY_KEYS = _tpch_rows_only_keys()
+
+
+@pytest.mark.parametrize("key", TPCH_ROWS_ONLY_KEYS)
+def test_empty_tpch_rows_only_no_crash(spark, empty_tpch_dir, key):
+    n = all_queries()[key](spark, empty_tpch_dir).count()
+    assert n >= 0
+
+
 def test_sweep_surface_is_stable():
     """The parametrized key list is derived from the registry; if it
     ever shrinks below the wave-6 surface, keys silently left the
