@@ -405,6 +405,58 @@ def test_empty_tpch_rows_only_no_crash(spark, empty_tpch_dir, key):
     assert n >= 0
 
 
+@pytest.fixture(scope="module")
+def empty_dims_dir(tmp_path_factory, sf_dir):
+    """ZERO-ROW dimensions (nation/region/part/supplier) against
+    populated facts — the inverse of empty_tpch_dir. Inner joins to an
+    empty dim drop everything (trivially agreed), but the interesting
+    seams are driver-side: pivot-value discovery over an empty distinct
+    scan, broadcast of an empty build side, dim-derived literals."""
+    d = tmp_path_factory.mktemp("emptydims")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t in ("nation", "region", "part", "supplier"):
+            tbl = tbl.slice(0, 0)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _dim_reading_oracle_keys():
+    qs, os_ = all_queries(), all_oracles()
+    out = []
+    for k, fn in qs.items():
+        if k not in os_:
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except Exception:
+            src = ""
+        blob = src + " " + os_[k]
+        if any(t in blob for t in ("nation", "region", '"part"', "supplier")):
+            out.append(k)
+    return out
+
+
+DIM_READING_ORACLE_KEYS = _dim_reading_oracle_keys()
+
+
+@pytest.mark.parametrize("key", DIM_READING_ORACLE_KEYS)
+def test_empty_dims_parity(spark, empty_dims_dir, key):
+    from adlspark.testing import compare
+
+    con = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS"
+                f" SELECT * FROM read_parquet('{empty_dims_dir}/{t}.parquet')"
+            )
+        df = all_queries()[key](spark, empty_dims_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
 def test_sweep_surface_is_stable():
     """The parametrized key list is derived from the registry; if it
     ever shrinks below the wave-6 surface, keys silently left the
