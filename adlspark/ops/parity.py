@@ -54,3 +54,51 @@ def o_davg(expr: str, ndigits: int = 6) -> str:
         f"round(CAST(sum(CAST(({expr}) AS {O_DEC})) AS DOUBLE)"
         f" / count({expr}), {ndigits})"
     )
+
+
+# ---------------------------------------------------------------------------
+# TOTAL variants (round 9 — the scheduled round-10 swap target).
+#
+# The plain helpers above are not total over non-representable doubles:
+# Spark ANSI ABORTS casting ±Inf / DBL_MAX to DECIMAL(38,6) (NaN silently
+# NULLs), and DuckDB's TRY_CAST still ERRORS on NaN (engine bug, probed on
+# DuckDB 1.0). These variants agree value-by-value on every extreme
+# (NaN/±Inf/DBL_MAX → excluded as NULL; -0.0 and denormals → 0), making
+# "non-representable doubles are excluded from exact sums" the documented
+# convention; averages count only representable values so both sides use
+# the same denominator. Pinned by tests/test_parity_total.py; kernels
+# switch over in round 10 (the swap re-enters ~35 keys — window-budgeted
+# there, see BASELINE.md round-9 float-extremes record).
+# ---------------------------------------------------------------------------
+
+
+def dsum_total(col: Column | str) -> Column:
+    """``dsum`` that is total over NaN/±Inf/out-of-range doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.try_cast(DEC)).cast("double")
+
+
+def davg_total(col: Column | str, ndigits: int = 6) -> Column:
+    """``davg`` over the decimal-representable values only."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.try_cast(DEC)
+    return F.round(F.sum(d).cast("double") / F.count(d), ndigits)
+
+
+def _o_dec_total(expr: str) -> str:
+    # isnan guard first: DuckDB TRY_CAST(NaN AS DECIMAL) errors instead
+    # of yielding NULL; isnan(NULL) is NULL -> ELSE branch -> NULL, safe
+    return f"TRY_CAST(CASE WHEN isnan({expr}) THEN NULL ELSE ({expr}) END AS {O_DEC})"
+
+
+def o_dsum_total(expr: str) -> str:
+    """Oracle-SQL twin of ``dsum_total``."""
+    return f"CAST(sum({_o_dec_total(expr)}) AS DOUBLE)"
+
+
+def o_davg_total(expr: str, ndigits: int = 6) -> str:
+    """Oracle-SQL twin of ``davg_total``."""
+    return (
+        f"round(CAST(sum({_o_dec_total(expr)}) AS DOUBLE)"
+        f" / count({_o_dec_total(expr)}), {ndigits})"
+    )
