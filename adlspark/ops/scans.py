@@ -549,3 +549,46 @@ def ingest_csv_malformed(spark, sf_dir):
     return parsed.where(F.col("_bad").isNull()).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+@query(
+    "ingest_corrupt_parquet",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n, count(DISTINCT c_custkey)::BIGINT AS n_keys
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def ingest_corrupt_parquet(spark, sf_dir):
+    """Columnar-format corruption tolerance: a staged customer layout
+    contains one file that is not a parquet file at all (a truncated
+    byte prefix — the torn upload / partial multipart-put every object
+    store eventually delivers), and the scan must return exactly the
+    intact files' rows instead of failing the whole job.
+
+    Mechanism: ``spark.sql.files.ignoreCorruptFiles`` (set per-read via
+    the DataFrameReader option so the session default is untouched) —
+    footer-less files are skipped at split planning, which is the only
+    recovery possible for parquet: unlike CSV/JSON there is no row-level
+    PERMISSIVE mode, the file IS the corruption unit. The oracle is the
+    whole customer table, so the hash check proves corruption handling
+    is exact: every intact row survives, nothing from the torn file
+    leaks. Scale shape: planning-time file filter, zero extra passes,
+    no driver involvement beyond writing this fixture's torn file.
+    """
+    out = os.path.join(work_dir(sf_dir, "ingest_corrupt_pq"), "customer_staged")
+    cust = tables.load(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").parquet(out)
+    # a torn file: valid magic prefix, then garbage, no footer — written
+    # AFTER the staged batch so _SUCCESS does not vouch for it
+    with open(os.path.join(out, "part-torn.parquet"), "wb") as f:
+        f.write(b"PAR1" + b"\x00" * 512)
+    back = (
+        spark.read.schema(cust.schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+    )
