@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 from adlspark import catalog as cat
 from adlspark import tables
 from adlspark.io.ingest import SourceConfig, ingest, work_dir
+from adlspark.ops.parity import DEC
 from adlspark.registry import query
 
 # column counts per fixture table (for the catalog oracle)
@@ -592,3 +593,45 @@ def ingest_corrupt_parquet(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("c_custkey").alias("n_keys"),
     )
+
+
+@query(
+    "sink_compression_codecs",
+    oracle="""
+SELECT codec, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM (
+  SELECT 'gzip' AS codec, l_quantity FROM lineitem
+  UNION ALL SELECT 'snappy', l_quantity FROM lineitem
+  UNION ALL SELECT 'zstd', l_quantity FROM lineitem
+)
+GROUP BY codec
+""",
+)
+def sink_compression_codecs(spark, sf_dir):
+    """Compression-codec breadth: the same staged lineitem batch written
+    with snappy (Spark's default), zstd (the modern lake default —
+    better ratio at similar speed), and gzip (the interchange fallback),
+    each read back and aggregated — the values must be codec-invariant.
+    Codec choice is a per-write option, orthogonal to the plan: at
+    100 TB it moves storage cost and scan I/O, never results. Read-side
+    parallelism is unaffected (parquet pages decompress per split
+    regardless of codec). File-size ordering (zstd < gzip < snappy on
+    this data) is pinned in pytest, not the oracle — sizes are
+    build-dependent."""
+    base = work_dir(sf_dir, "sink_codecs")
+    li = tables.load(spark, sf_dir, "lineitem").select("l_quantity")
+    out = None
+    for codec in ("gzip", "snappy", "zstd"):
+        path = os.path.join(base, codec)
+        li.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = (
+            spark.read.schema(li.schema)
+            .parquet(path)
+            .groupBy(F.lit(codec).alias("codec"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            )
+        )
+        out = back if out is None else out.unionByName(back)
+    return out

@@ -599,3 +599,28 @@ def test_sink_csv_staged_files_are_the_split_unit(spark, sf_dir):
     # repartition(p) -> p part files (some may be empty at tiny SF but
     # they still exist as independent multiLine read units)
     assert len(parts) == p, (len(parts), p)
+
+
+def test_compression_codecs_sizes_and_codec_metadata(spark, sf_dir):
+    """sink_compression_codecs' value oracle proves codec-invariance of
+    RESULTS; this pins the physical side: each staged dir really used
+    its codec (parquet column-chunk metadata) and zstd compresses this
+    data at least as well as snappy (the reason it is the modern lake
+    default)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from adlspark.io.ingest import work_dir
+
+    QUERIES["sink_compression_codecs"](spark, sf_dir).collect()
+    base = work_dir(sf_dir, "sink_codecs")
+    sizes = {}
+    for codec in ("gzip", "snappy", "zstd"):
+        parts = glob.glob(os.path.join(base, codec, "part-*.parquet"))
+        assert parts, codec
+        meta = pq_.ParquetFile(parts[0]).metadata
+        assert meta.row_group(0).column(0).compression.lower() == codec, codec
+        sizes[codec] = sum(os.path.getsize(p) for p in parts)
+    assert sizes["zstd"] <= sizes["snappy"], sizes
