@@ -524,3 +524,68 @@ def stream_checkpoint_recovery(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").alias("id_sum"),
     )
+
+
+@query(
+    "stream_rate_limited_backfill",
+    oracle="""
+-- ceil(8 staged files / 3 per trigger) = 3 batches; an EMPTY backlog
+-- still commits exactly ONE (empty) micro-batch under availableNow
+-- (round-9 empty-partition corpus) — the checkpoint must advance even
+-- when nothing arrived
+SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_batches,
+       count(*)::BIGINT AS total_rows,
+       CAST(3 AS INTEGER) AS max_files_per_batch
+FROM events
+""",
+)
+def stream_rate_limited_backfill(spark, sf_dir):
+    """Rate-limited backlog drain: a staged directory of 8 files is
+    caught up through ``maxFilesPerTrigger=3`` under availableNow —
+    ceil(8/3) = 3 bounded micro-batches instead of one giant one. This
+    is THE production backfill pattern: pointing a new stream at a
+    month of staged history must not plan a single micro-batch whose
+    state update and sink commit are month-sized; the option caps every
+    batch's input so state stores, shuffle, and sink transactions stay
+    trigger-sized all the way through the backlog. Batch counts and the
+    per-batch file cap are deterministic (they depend only on file
+    count); row totals are input-invariant — both are value-checked.
+    foreachBatch's callback runs on the DRIVER, so collecting per-batch
+    row counts into a local list is cluster-safe."""
+    import os as _os
+
+    base = work_dir(sf_dir, "backfill")
+    staged = _os.path.join(base, "staged")
+    src = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    src.repartition(8).write.mode("overwrite").parquet(staged)
+
+    batches: list[tuple[int, int]] = []
+
+    def record(batch_df, batch_id: int):
+        batches.append((int(batch_id), batch_df.count()))
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(staged)
+        .writeStream.foreachBatch(record)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            _os.path.join(base, f"ckpt-{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("backfill drain did not finish in 600s")
+    return spark.createDataFrame(
+        [
+            (
+                len(batches),
+                sum(n for _, n in batches),
+                3,
+            )
+        ],
+        "n_batches int, total_rows long, max_files_per_batch int",
+    )
