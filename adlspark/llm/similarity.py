@@ -357,7 +357,7 @@ WITH expl AS (
          -- element drops out of the exact sum but stays in count(*));
          -- DuckDB's would ERROR, so it takes the same NULL explicitly
          round(CAST(sum(CASE WHEN isnan(val) THEN NULL
-                             ELSE CAST(val AS DECIMAL(38,10)) END)
+                             ELSE TRY_CAST((val) AS DECIMAL(38,10)) END)
                     AS DOUBLE) / count(*), 6)
            AS centroid
   FROM expl GROUP BY label, pos
@@ -379,7 +379,7 @@ def llm_embed_centroids(spark, sf_dir):
     )
     cent = expl.groupBy("label", "pos").agg(
         F.round(
-            F.sum(F.col("val").cast("decimal(38,10)")).cast("double")
+            F.sum(F.col("val").try_cast("decimal(38,10)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("centroid")

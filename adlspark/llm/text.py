@@ -29,7 +29,7 @@ def _words(spark, sf_dir):
     oracle=f"""
 WITH s AS (
   SELECT lang, count(*) AS n_docs,
-         round(CAST(sum(CAST(n_chars AS {O_DEC})) AS DOUBLE) / count(*), 6)
+         round(CAST(sum(TRY_CAST((n_chars) AS {O_DEC})) AS DOUBLE) / count(*), 6)
            AS avg_chars
   FROM documents GROUP BY lang
 ), t AS (
@@ -47,7 +47,7 @@ def llm_text_stats(spark, sf_dir):
     s = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
-            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+            F.sum(F.col("n_chars").try_cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("avg_chars"),
@@ -149,7 +149,7 @@ WITH norm AS (
 )
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(CAST(sum(CAST(n_tokens AS {O_DEC})) AS DOUBLE) / count(*), 6)
+       round(CAST(sum(TRY_CAST((n_tokens) AS {O_DEC})) AS DOUBLE) / count(*), 6)
          AS avg_tokens
 FROM tok GROUP BY lang, source
 """,
@@ -169,7 +169,7 @@ def llm_lang_partition_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(
-            F.sum(F.col("n_tokens").cast("decimal(38,6)")).cast("double")
+            F.sum(F.col("n_tokens").try_cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("avg_tokens"),

@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
-from adlspark.ops.parity import DEC, O_DEC, davg, dsum, o_davg, o_dsum
+from adlspark.ops.parity import DEC, O_DEC, davg_total, dsum_total, o_davg_total, o_dsum_total
 from adlspark.registry import query
 
 
@@ -23,13 +23,13 @@ from adlspark.registry import query
     "agg_group_q1",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {o_dsum('l_quantity')} AS sum_qty,
-       {o_dsum('l_extendedprice')} AS sum_base_price,
-       {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       {o_davg('l_quantity')} AS avg_qty,
-       {o_davg('l_extendedprice')} AS avg_price,
-       {o_davg('l_discount')} AS avg_disc,
+       {o_dsum_total('l_quantity')} AS sum_qty,
+       {o_dsum_total('l_extendedprice')} AS sum_base_price,
+       {o_dsum_total('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {o_dsum_total('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {o_davg_total('l_quantity')} AS avg_qty,
+       {o_davg_total('l_extendedprice')} AS avg_price,
+       {o_davg_total('l_discount')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -45,13 +45,13 @@ def agg_group_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            dsum_total("l_quantity").alias("sum_qty"),
+            dsum_total("l_extendedprice").alias("sum_base_price"),
+            dsum_total(disc_price).alias("sum_disc_price"),
+            dsum_total(charge).alias("sum_charge"),
+            davg_total("l_quantity").alias("avg_qty"),
+            davg_total("l_extendedprice").alias("avg_price"),
+            davg_total("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -60,8 +60,8 @@ def agg_group_q1(spark, sf_dir):
 @query(
     "agg_global",
     oracle=f"""
-SELECT {o_dsum('l_quantity')} AS sum_qty,
-       {o_davg('l_extendedprice')} AS avg_price,
+SELECT {o_dsum_total('l_quantity')} AS sum_qty,
+       {o_davg_total('l_extendedprice')} AS avg_price,
        min(l_extendedprice) AS min_price,
        max(l_extendedprice) AS max_price,
        count(*) AS n_rows
@@ -71,8 +71,8 @@ FROM lineitem
 def agg_global(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
     return li.agg(
-        dsum("l_quantity").alias("sum_qty"),
-        davg("l_extendedprice").alias("avg_price"),
+        dsum_total("l_quantity").alias("sum_qty"),
+        davg_total("l_extendedprice").alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -115,7 +115,7 @@ def agg_approx_distinct(spark, sf_dir):
     "agg_having",
     oracle=f"""
 SELECT o_custkey, count(*) AS n_orders,
-       {o_dsum('o_totalprice')} AS total_spend
+       {o_dsum_total('o_totalprice')} AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 12
@@ -127,7 +127,7 @@ def agg_having(spark, sf_dir):
         orders.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("total_spend"),
+            dsum_total("o_totalprice").alias("total_spend"),
         )
         .where(F.col("n_orders") >= 12)
     )
@@ -145,14 +145,14 @@ SELECT l_returnflag,
 FROM (
   SELECT l_returnflag,
          CAST(count(*) AS DOUBLE) AS n,
-         {o_dsum('l_quantity')} AS sx,
-         {o_dsum('l_quantity * l_quantity')} AS sxx,
-         {o_dsum('l_extendedprice')} AS sp,
-         {o_dsum('l_extendedprice * l_extendedprice')} AS spp,
-         {o_dsum('l_extendedprice * l_quantity')} AS spx,
-         {o_dsum('l_discount')} AS sd,
-         {o_dsum('l_tax')} AS st,
-         {o_dsum('l_discount * l_tax')} AS sdt
+         {o_dsum_total('l_quantity')} AS sx,
+         {o_dsum_total('l_quantity * l_quantity')} AS sxx,
+         {o_dsum_total('l_extendedprice')} AS sp,
+         {o_dsum_total('l_extendedprice * l_extendedprice')} AS spp,
+         {o_dsum_total('l_extendedprice * l_quantity')} AS spx,
+         {o_dsum_total('l_discount')} AS sd,
+         {o_dsum_total('l_tax')} AS st,
+         {o_dsum_total('l_discount * l_tax')} AS sdt
   FROM lineitem GROUP BY l_returnflag
 ) t
 """,
@@ -176,14 +176,14 @@ def agg_stats(spark, sf_dir):
     disc, tax = F.col("l_discount"), F.col("l_tax")
     suff = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(qty).alias("sx"),
-        dsum(qty * qty).alias("sxx"),
-        dsum(price).alias("sp"),
-        dsum(price * price).alias("spp"),
-        dsum(price * qty).alias("spx"),
-        dsum(disc).alias("sd"),
-        dsum(tax).alias("st"),
-        dsum(disc * tax).alias("sdt"),
+        dsum_total(qty).alias("sx"),
+        dsum_total(qty * qty).alias("sxx"),
+        dsum_total(price).alias("sp"),
+        dsum_total(price * price).alias("spp"),
+        dsum_total(price * qty).alias("spx"),
+        dsum_total(disc).alias("sd"),
+        dsum_total(tax).alias("st"),
+        dsum_total(disc * tax).alias("sdt"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sp, spp, spx = F.col("sp"), F.col("spp"), F.col("spx")
@@ -227,10 +227,10 @@ SELECT l_returnflag,
 FROM (
   SELECT l_returnflag,
          CAST(count(*) AS DOUBLE) AS n,
-         {o_dsum('l_quantity')} AS sx,
-         {o_dsum('l_quantity * l_quantity')} AS sxx,
-         {o_dsum('l_quantity * l_quantity * l_quantity')} AS sxxx,
-         {o_dsum('l_quantity * l_quantity * l_quantity * l_quantity')} AS sxxxx
+         {o_dsum_total('l_quantity')} AS sx,
+         {o_dsum_total('l_quantity * l_quantity')} AS sxx,
+         {o_dsum_total('l_quantity * l_quantity * l_quantity')} AS sxxx,
+         {o_dsum_total('l_quantity * l_quantity * l_quantity * l_quantity')} AS sxxxx
   FROM lineitem GROUP BY l_returnflag
 ) t
 """,
@@ -251,10 +251,10 @@ def agg_skew_kurt(spark, sf_dir):
     qty = F.col("l_quantity")
     suff = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(qty).alias("sx"),
-        dsum(qty * qty).alias("sxx"),
-        dsum(qty * qty * qty).alias("sxxx"),
-        dsum(qty * qty * qty * qty).alias("sxxxx"),
+        dsum_total(qty).alias("sx"),
+        dsum_total(qty * qty).alias("sxx"),
+        dsum_total(qty * qty * qty).alias("sxxx"),
+        dsum_total(qty * qty * qty * qty).alias("sxxxx"),
     )
     n, sx = F.col("n"), F.col("sx")
     sxx, sxxx, sxxxx = F.col("sxx"), F.col("sxxx"), F.col("sxxxx")
@@ -302,7 +302,7 @@ def agg_percentile(spark, sf_dir):
     "agg_rollup",
     oracle=f"""
 SELECT r_name, n_name, count(*) AS n_cust,
-       {o_dsum('c_acctbal')} AS sum_bal
+       {o_dsum_total('c_acctbal')} AS sum_bal
 FROM customer
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
@@ -321,7 +321,7 @@ def agg_rollup(spark, sf_dir):
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum_total("c_acctbal").alias("sum_bal"))
     )
 
 
@@ -329,7 +329,7 @@ def agg_rollup(spark, sf_dir):
     "agg_cube",
     oracle=f"""
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       {o_dsum('l_quantity')} AS sum_qty
+       {o_dsum_total('l_quantity')} AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 HAVING count(*) > 0  -- empty-input seam (see agg_rollup oracle)
@@ -338,7 +338,7 @@ HAVING count(*) > 0  -- empty-input seam (see agg_rollup oracle)
 def agg_cube(spark, sf_dir):
     li = tables.load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+        F.count(F.lit(1)).alias("n_rows"), dsum_total("l_quantity").alias("sum_qty")
     )
 
 
@@ -349,7 +349,7 @@ SELECT r_name, n_name,
        (CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
         + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS lvl,
        count(*) AS n_cust,
-       {o_dsum('c_acctbal')} AS sum_bal
+       {o_dsum_total('c_acctbal')} AS sum_bal
 FROM customer
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
@@ -404,7 +404,7 @@ def agg_collect_sorted(spark, sf_dir):
     "agg_conditional",
     oracle=f"""
 SELECT user_id,
-       CAST(sum(CAST(value AS {O_DEC})) FILTER (WHERE event_type = 'purchase')
+       CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE (value) END AS {O_DEC})) FILTER (WHERE event_type = 'purchase')
             AS DOUBLE) AS purchase_value,
        count(*) FILTER (WHERE event_type = 'error') AS n_errors,
        count(*) FILTER (WHERE value > 50) AS n_high,
@@ -417,7 +417,7 @@ def agg_conditional(spark, sf_dir):
     """Filtered aggregation — sum(when(...)) compiles to a single pass."""
     ev = tables.events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(DEC))
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).try_cast(DEC))
         .cast("double")
         .alias("purchase_value"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
@@ -490,7 +490,7 @@ WITH b AS (
 SELECT bucket,
        CAST(bucket * 50000.0 AS DOUBLE) AS bucket_lo,
        count(*) AS n,
-       {o_dsum('o_totalprice')} AS sum_price
+       {o_dsum_total('o_totalprice')} AS sum_price
 FROM b GROUP BY bucket
 """,
 )
@@ -508,7 +508,7 @@ def agg_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            dsum("o_totalprice").alias("sum_price"),
+            dsum_total("o_totalprice").alias("sum_price"),
         )
         .select(
             "bucket",
@@ -806,7 +806,7 @@ SELECT r_name, n_name,
        CAST(GROUPING(r_name) AS BIGINT) AS g_region,
        CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
        count(*) AS n_customers,
-       {o_dsum('c_acctbal')} AS sum_bal
+       {o_dsum_total('c_acctbal')} AS sum_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -837,7 +837,7 @@ def agg_grouping_flags(spark, sf_dir):
             F.grouping("r_name").cast("long").alias("g_region"),
             F.grouping("n_name").cast("long").alias("g_nation"),
             F.count(F.lit(1)).alias("n_customers"),
-            dsum("c_acctbal").alias("sum_bal"),
+            dsum_total("c_acctbal").alias("sum_bal"),
         )
         .select(
             "r_name", "n_name", "g_region", "g_nation", "n_customers", "sum_bal"

@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
-from adlspark.ops.parity import dsum, o_dsum
+from adlspark.ops.parity import dsum_total, o_dsum_total
 from adlspark.registry import query
 
 
@@ -69,7 +69,7 @@ SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, g.grp_qty, g.grp_cnt
 FROM lineitem l
 JOIN (
   SELECT l_orderkey, l_partkey,
-         {o_dsum('l_quantity')} AS grp_qty,
+         {o_dsum_total('l_quantity')} AS grp_qty,
          count(*) AS grp_cnt
   FROM lineitem GROUP BY l_orderkey, l_partkey
 ) g ON l.l_orderkey = g.l_orderkey AND l.l_partkey = g.l_partkey
@@ -79,7 +79,7 @@ def join_multikey(spark, sf_dir):
     """Composite-key self join against a per-(order,part) aggregate."""
     li = tables.load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_orderkey", "l_partkey").agg(
-        dsum("l_quantity").alias("grp_qty"),
+        dsum_total("l_quantity").alias("grp_qty"),
         F.count(F.lit(1)).alias("grp_cnt"),
     )
     return li.join(agg, on=["l_orderkey", "l_partkey"]).select(
@@ -312,7 +312,7 @@ def join_interval(spark, sf_dir):
     "join_skew_salted",
     oracle=f"""
 SELECT e.user_id, d.cohort, count(*) AS n,
-       {o_dsum('e.value')} AS sum_value
+       {o_dsum_total('e.value')} AS sum_value
 FROM events e
 JOIN (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events) d
   ON e.user_id = d.user_id
@@ -346,7 +346,7 @@ def join_skew_salted(spark, sf_dir):
     joined = ev.join(dim_salted, on=["user_id", "salt"])
     return joined.groupBy("user_id", "cohort").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("value").alias("sum_value"),
+        dsum_total("value").alias("sum_value"),
     )
 
 
@@ -534,7 +534,7 @@ def join_asof_nearest(spark, sf_dir):
     "join_star_schema",
     oracle=f"""
 SELECT n_name,
-       {o_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       {o_dsum_total('l_extendedprice * (1.0 - l_discount)')} AS revenue,
        count(*) AS n_items
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -588,7 +588,7 @@ def join_star_schema(spark, sf_dir):
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(dsum_total(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
@@ -597,7 +597,7 @@ def join_star_schema(spark, sf_dir):
     oracle=f"""
 SELECT date_trunc('month', o.o_orderdate) AS order_month,
        count(*) AS n_items,
-       {o_dsum('l.l_extendedprice')} AS revenue
+       {o_dsum_total('l.l_extendedprice')} AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY 1
@@ -667,7 +667,7 @@ def join_bloom_filtered(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum("l_extendedprice").alias("revenue"),
+            dsum_total("l_extendedprice").alias("revenue"),
         )
     )
 

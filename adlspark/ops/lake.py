@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from adlspark import catalog as cat
 from adlspark import tables
-from adlspark.ops.parity import DEC, dsum, o_dsum
+from adlspark.ops.parity import DEC, dsum_total, o_dsum_total
 from adlspark.io.ingest import (
     SourceConfig,
     ingest_evolving,
@@ -105,7 +105,7 @@ def catalog_search_tokens(spark, sf_dir):
     "sink_bucketed_colocated_join",
     oracle=f"""
 SELECT c_mktsegment, count(*) AS n_orders,
-       {o_dsum('o_totalprice')} AS sum_price
+       {o_dsum_total('o_totalprice')} AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -141,7 +141,7 @@ def sink_bucketed_colocated_join(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("sum_price"),
+            dsum_total("o_totalprice").alias("sum_price"),
         )
     )
 
@@ -150,9 +150,9 @@ def sink_bucketed_colocated_join(spark, sf_dir):
     "mv_incremental_refresh",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       {o_dsum('l_quantity')} AS sum_qty,
+       {o_dsum_total('l_quantity')} AS sum_qty,
        count(*) AS n_rows,
-       round({o_dsum('l_quantity')} / count(*), 6) AS avg_qty
+       round({o_dsum_total('l_quantity')} / count(*), 6) AS avg_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
 )
@@ -177,7 +177,7 @@ def mv_incremental_refresh(spark, sf_dir):
     mv_path = None
     for version, batch in enumerate(batches, start=1):
         partial = batch.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("s_qty"),
+            F.sum(F.col("l_quantity").try_cast(DEC)).alias("s_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         if mv_path is not None:
@@ -368,7 +368,7 @@ def ingest_schema_evolution(spark, sf_dir):
 @query(
     "sink_csv_roundtrip",
     oracle=f"""
-SELECT s_nationkey, count(*) AS n, {o_dsum('s_acctbal')} AS sum_bal
+SELECT s_nationkey, count(*) AS n, {o_dsum_total('s_acctbal')} AS sum_bal
 FROM supplier GROUP BY s_nationkey
 """,
 )
@@ -404,7 +404,7 @@ def sink_csv_roundtrip(spark, sf_dir):
     ).option("header", "true").option("multiLine", "true").csv(out)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("s_acctbal").alias("sum_bal"),
+        dsum_total("s_acctbal").alias("sum_bal"),
     )
 
 
@@ -1104,7 +1104,7 @@ def lake_vacuum_orphans(spark, sf_dir):
     "lake_dynamic_partition_overwrite",
     oracle=f"""
 SELECT o_orderstatus, count(*) AS n,
-       {o_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9 ELSE o_totalprice END")}
+       {o_dsum_total("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 0.9 ELSE o_totalprice END")}
          AS sum_price
 FROM orders
 GROUP BY o_orderstatus
@@ -1145,7 +1145,7 @@ def lake_dynamic_partition_overwrite(spark, sf_dir):
     back = spark.read.schema(o.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum("o_totalprice").alias("sum_price"),
+        dsum_total("o_totalprice").alias("sum_price"),
     )
 
 

@@ -375,18 +375,32 @@ def ingest_idempotent(spark, sf_dir):
     stages the whole batch (event_id is unique, so 100 distinct
     content hashes), arrival 2's anti-join drops every re-arrived row
     (content_hash is never NULL: concat_ws skips null args), so both
-    arrivals read back exactly |batch| rows."""
+    arrivals read back exactly |batch| rows.
+
+    The batch is MATERIALIZED once (written to a raw dir and read
+    back) before either arrival: a lazy orderBy+limit DataFrame is
+    re-evaluated per use, and under event_id ties (e.g. several NULL
+    ids in a hostile corpus) each evaluation may select a different
+    100-row set — arrival 2's re-arrived rows would then survive the
+    content-hash anti-join and append, breaking idempotence. A real
+    at-least-once source re-delivers the SAME bytes, which is exactly
+    what the raw file gives both arrivals."""
     import shutil
 
     base = work_dir(sf_dir, "ingest_idem")
     staged = os.path.join(base, "staged")
+    raw = os.path.join(base, "raw")
     shutil.rmtree(staged, ignore_errors=True)
-    batch = (
+    src = (
         tables.load(spark, sf_dir, "events")
         .orderBy("event_id")
         .limit(100)
         .select("event_id", "user_id", "event_type", "props")
     )
+    src.write.mode("overwrite").parquet(raw)
+    # explicit schema: an EMPTY batch writes only _SUCCESS and
+    # schema inference would throw UNABLE_TO_INFER_SCHEMA
+    batch = spark.read.schema(src.schema).parquet(raw)
     results = []
     for arrival in (1, 2):
         incoming = batch.withColumn(
@@ -598,7 +612,7 @@ def ingest_corrupt_parquet(spark, sf_dir):
 @query(
     "sink_compression_codecs",
     oracle="""
-SELECT codec, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+SELECT codec, count(*) AS n, CAST(sum(TRY_CAST(CASE WHEN isnan(l_quantity) THEN NULL ELSE (l_quantity) END AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
 FROM (
   SELECT 'gzip' AS codec, l_quantity FROM lineitem
   UNION ALL SELECT 'snappy', l_quantity FROM lineitem
@@ -630,7 +644,7 @@ def sink_compression_codecs(spark, sf_dir):
             .groupBy(F.lit(codec).alias("codec"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+                F.sum(F.col("l_quantity").try_cast(DEC)).cast("double").alias("sum_qty"),
             )
         )
         out = back if out is None else out.unionByName(back)

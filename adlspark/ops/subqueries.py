@@ -14,7 +14,8 @@ from adlspark import tables
 from adlspark.registry import query
 
 _AVG = (
-    "SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) "
+    "SELECT CAST(sum(TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL "
+    "ELSE (o_totalprice) END AS DECIMAL(38,6))) AS DOUBLE) / count(*) "
     "FROM {t}"
 )
 
@@ -199,13 +200,15 @@ def subq_any_all(spark, sf_dir):
     "subq_corr_scalar_agg",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice,
-       round((SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6)))
+       round((SELECT CAST(sum(TRY_CAST(CASE WHEN isnan(o2.o_totalprice)
+                    THEN NULL ELSE (o2.o_totalprice) END AS DECIMAL(38,6)))
                           AS DOUBLE) / count(*)
               FROM orders o2 WHERE o2.o_custkey = o.o_custkey), 6)
          AS cust_avg
 FROM orders o
 WHERE o_totalprice > 1.5 *
-      (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      (SELECT CAST(sum(TRY_CAST(CASE WHEN isnan(o2.o_totalprice)
+                    THEN NULL ELSE (o2.o_totalprice) END AS DECIMAL(38,6))) AS DOUBLE)
               / count(*)
        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 """,
@@ -224,13 +227,15 @@ def subq_corr_scalar_agg(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice,
-               round((SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6)))
+               round((SELECT CAST(sum(TRY_CAST(CASE WHEN isnan(o2.o_totalprice)
+                    THEN NULL ELSE (o2.o_totalprice) END AS DECIMAL(38,6)))
                                   AS DOUBLE) / count(*)
                       FROM sq_orders o2
                       WHERE o2.o_custkey = o.o_custkey), 6) AS cust_avg
         FROM sq_orders o
         WHERE o_totalprice > 1.5 *
-              (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(38,6)))
+              (SELECT CAST(sum(TRY_CAST(CASE WHEN isnan(o2.o_totalprice)
+                    THEN NULL ELSE (o2.o_totalprice) END AS DECIMAL(38,6)))
                            AS DOUBLE) / count(*)
                FROM sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
         """

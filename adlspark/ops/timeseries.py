@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from adlspark import tables
-from adlspark.ops.parity import DEC, O_DEC, dsum, o_dsum
+from adlspark.ops.parity import DEC, O_DEC, dsum_total, o_dsum_total
 from adlspark.registry import query
 
 
@@ -24,7 +24,7 @@ from adlspark.registry import query
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
        event_type,
        count(*) AS n,
-       CAST(sum(CAST(value AS {O_DEC})) AS DOUBLE) AS sum_value
+       {o_dsum_total('value')} AS sum_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2
@@ -42,7 +42,7 @@ def ts_tumbling(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            dsum_total("value").alias("sum_value"),
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
     )
@@ -62,7 +62,7 @@ WITH e AS (
   SELECT t30 - 1800 AS w_epoch, value FROM e
 )
 SELECT w_epoch, count(*) AS n,
-       CAST(sum(CAST(value AS {O_DEC})) AS DOUBLE) AS sum_value
+       {o_dsum_total('value')} AS sum_value
 FROM w GROUP BY w_epoch
 """,
 )
@@ -75,7 +75,7 @@ def ts_sliding(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            dsum_total("value").alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("w_epoch"), "n", "sum_value"
@@ -394,17 +394,26 @@ WITH s AS (
          {{o_dsum_value}} AS sx,
          {{o_dsum_value2}} AS sxx
   FROM events GROUP BY event_type
+), v AS (
+  -- negative sample variance is a totality-convention artifact (a
+  -- ~1e20 value is IN sx but its 1e40 square is excluded from sxx):
+  -- the z-score is undefined there — NULL on both engines (DuckDB's
+  -- sqrt(negative) ERRORS; Spark's yields NaN, which the abs filter
+  -- would KEEP since NaN compares greatest)
+  SELECT event_type, n, sx,
+         CASE WHEN (sxx - (sx * sx) / n) / (n - 1.0) >= 0
+              THEN sqrt((sxx - (sx * sx) / n) / (n - 1.0)) END AS sd
+  FROM s
 ), z AS (
   SELECT e.event_id, e.event_type, e.value,
-         round((e.value - s.sx / s.n)
-               / sqrt((s.sxx - (s.sx * s.sx) / s.n) / (s.n - 1.0)), 6) AS zscore
-  FROM events e JOIN s USING (event_type)
+         round((e.value - v.sx / v.n) / v.sd, 6) AS zscore
+  FROM events e JOIN v USING (event_type)
 )
 SELECT event_id, event_type, value, zscore
 FROM z WHERE abs(zscore) > 3.0
 """.format(
-        o_dsum_value=o_dsum("value"),
-        o_dsum_value2=o_dsum("value * value"),
+        o_dsum_value=o_dsum_total("value"),
+        o_dsum_value2=o_dsum_total("value * value"),
     ),
 )
 def ts_anomaly_zscore(spark, sf_dir):
@@ -425,21 +434,21 @@ def ts_anomaly_zscore(spark, sf_dir):
     ev = tables.events(spark, sf_dir)
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(F.col("value")).alias("sx"),
-        dsum(F.col("value") * F.col("value")).alias("sxx"),
+        dsum_total(F.col("value")).alias("sx"),
+        dsum_total(F.col("value") * F.col("value")).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     # try_divide: a single-event type (n=1) or a zero-variance type
     # (all values equal — ties fixture) has no z-score; DuckDB's /0
     # yields NULL and the |z|>3 filter drops the rows on both engines,
-    # where Spark's ANSI `/` would abort the whole job
-    z = F.round(
-        F.try_divide(
-            F.col("value") - sx / n,
-            F.sqrt(F.try_divide(sxx - (sx * sx) / n, n - F.lit(1.0))),
-        ),
-        6,
-    )
+    # where Spark's ANSI `/` would abort the whole job. The variance
+    # is guarded non-negative before sqrt (see the oracle's v CTE):
+    # the totality convention can exclude a huge value's square from
+    # sxx while keeping the value in sx, and sqrt(negative) is NaN
+    # here but an ERROR in DuckDB.
+    varg = F.try_divide(sxx - (sx * sx) / n, n - F.lit(1.0))
+    sd = F.when(varg >= 0, F.sqrt(varg))
+    z = F.round(F.try_divide(F.col("value") - sx / n, sd), 6)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("zscore"))
@@ -468,8 +477,10 @@ WITH e AS (
          CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
          CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
               AS DOUBLE) AS sxx,
-         {o_dsum('y')} AS sy,
-         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,6)))
+         {o_dsum_total('y')} AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0))
+              * TRY_CAST(CASE WHEN isnan(y) THEN NULL
+                         ELSE (y) END AS DECIMAL(19,6)))
               AS DOUBLE) AS sxy
   FROM e GROUP BY user_id HAVING count(*) >= 2
 )
@@ -505,8 +516,8 @@ def ts_trend_slope(spark, sf_dir):
             F.count(F.lit(1)).cast("double").alias("n"),
             F.sum(x).cast("double").alias("sx"),
             F.sum(x * x).cast("double").alias("sxx"),
-            dsum(y).alias("sy"),
-            F.sum(x * y.cast("decimal(19,6)")).cast("double").alias("sxy"),
+            dsum_total(y).alias("sy"),
+            F.sum(x * y.try_cast("decimal(19,6)")).cast("double").alias("sxy"),
         )
         .where(F.col("n") >= 2)
     )
@@ -544,7 +555,7 @@ WITH h AS (
 )
 SELECT event_type, hr, n, sum_value, (rk = 1) AS is_peak_hour
 FROM r
-""".format(o_dsum_v=o_dsum("value")),
+""".format(o_dsum_v=o_dsum_total("value")),
 )
 def ts_seasonality(spark, sf_dir):
     """Hour-of-day seasonality profile per event type, with the peak
@@ -561,7 +572,7 @@ def ts_seasonality(spark, sf_dir):
         "event_type", F.hour("ts").cast("int").alias("hr")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(F.col("value")).alias("sum_value"),
+        dsum_total(F.col("value")).alias("sum_value"),
     )
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("hr"))
     return p.withColumn("rk", F.row_number().over(w)).select(
@@ -692,6 +703,7 @@ WITH RECURSIVE s AS (
                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
   FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND isfinite(value)
 ), r(user_id, rn, event_id, value, ewma) AS (
   SELECT user_id, rn, event_id, value, value FROM s WHERE rn = 1
   UNION ALL
@@ -772,18 +784,25 @@ def ts_ewma(spark, sf_dir):
                 }
             )
 
-    # Domain: observed values only — non-null (user_id, ts, value). A
-    # null user has no series, a null ts has no position in it, and a
-    # null value would poison every later step of the recurrence (as
-    # NaN here, as NULL in the oracle — permanently divergent shapes).
-    # Both sides filter identically; the kernel's null-user raise below
-    # stays as the executor-side invariant check behind this filter.
+    # Domain: FINITE observed values only — non-null (user_id, ts,
+    # value) and value ∉ {NaN, ±Inf}. A null user has no series, a null
+    # ts has no position in it, and a non-finite value would poison
+    # every later step of the recurrence — worse, divergently: the
+    # pandas→Arrow output hop degrades a NaN ewma to NULL while
+    # DuckDB's recursive CTE propagates NaN, and an Inf/-Inf mix
+    # manufactures fresh NaNs mid-series. Both sides filter the same
+    # finite domain (Spark: NaN compares greatest, so value<'inf'
+    # already excludes it; the isnan is for the reader). The kernel's
+    # null-user raise below stays as the executor-side invariant check.
     ev = tables.events(spark, sf_dir).select(
         "user_id", "event_id", "ts", "value"
     ).where(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.col("value") > F.lit(float("-inf")))
+        & (F.col("value") < F.lit(float("inf")))
     )
     return (
         ev.repartition("user_id")
@@ -800,7 +819,7 @@ def ts_ewma(spark, sf_dir):
     oracle="""
 WITH obs AS (
   SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-         round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+         round(CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE (value) END AS DECIMAL(38,6))) AS DOUBLE)
                / count(*), 6) AS v
   FROM events WHERE user_id < 20
   GROUP BY 1, 2
@@ -846,12 +865,12 @@ def ts_interpolate(spark, sf_dir):
     gap-fill grid join plus two window passes sharing a single shuffle.
     """
     ev = tables.events(spark, sf_dir).where(F.col("user_id") < 20)
-    from adlspark.ops.parity import dsum
+    from adlspark.ops.parity import dsum_total
 
     obs = (
         ev.select("user_id", F.date_trunc("day", "ts").alias("day"), "value")
         .groupBy("user_id", "day")
-        .agg(F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v"))
+        .agg(F.round(dsum_total("value") / F.count(F.lit(1)), 6).alias("v"))
     )
     grid = (
         obs.groupBy("user_id")
@@ -919,7 +938,7 @@ WITH daily AS (
          date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
          date_trunc('day', coalesce(CAST(ts AS TIMESTAMP),
                                     TIMESTAMP '1900-01-01')) AS d_k,
-         {o_dsum('value')} AS total
+         {o_dsum_total('value')} AS total
   FROM events GROUP BY 1, 2, 3, 4
 ), lagged AS (
   SELECT event_type, total,
@@ -947,7 +966,7 @@ def ts_autocorr(spark, sf_dir):
     ev = tables.events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(dsum("value").alias("total"))
+    ).agg(dsum_total("value").alias("total"))
     w = Window.partitionBy("event_type").orderBy("d")
     lagged = daily.select(
         "event_type", "total", F.lag("total").over(w).alias("prev")
@@ -962,7 +981,8 @@ def ts_autocorr(spark, sf_dir):
     "ts_rolling_median",
     oracle="""
 SELECT event_id, user_id, value,
-       round(quantile_cont(value, 0.5) OVER (
+       round(quantile_cont(CASE WHEN isfinite(value) THEN value END, 0.5)
+             OVER (
          PARTITION BY coalesce(user_id, -1)
          ORDER BY coalesce(CAST(ts AS TIMESTAMP), TIMESTAMP '1900-01-01'),
                   event_id
@@ -992,7 +1012,22 @@ def ts_rolling_median(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-6, 0)
     )
-    vals = F.array_sort(F.collect_list("value").over(w))
+    # Frame domain = FINITE values only (NaN compares greatest in Spark,
+    # so value<'inf' already excludes it). A NaN in the sorted frame
+    # poisons the interpolation where DuckDB's quantile_cont skips it
+    # erratically, and an odd frame whose median element is ±Inf makes
+    # the lower+(upper-lower)·0.5 form yield Inf-Inf = NaN where DuckDB
+    # returns the element — so both sides exclude non-finite from the
+    # frame (rows keep their output row; only the statistic's domain
+    # shrinks).
+    finite = (
+        ~F.isnan("value")
+        & (F.col("value") > F.lit(float("-inf")))
+        & (F.col("value") < F.lit(float("inf")))
+    )
+    vals = F.array_sort(
+        F.collect_list(F.when(finite, F.col("value"))).over(w)
+    )
     n = F.size(vals)
     lower = F.element_at(vals, ((n + 1) / 2).cast("int"))
     upper = F.element_at(vals, (n / 2).cast("int") + 1)
@@ -1081,7 +1116,7 @@ def ts_pattern_match(spark, sf_dir):
     oracle=f"""
 WITH daily AS (
   SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-         sum(CAST(value AS {O_DEC})) AS xdec
+         sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE (value) END AS {O_DEC})) AS xdec
   FROM events GROUP BY 1, 2
 ), dev AS (
   SELECT user_id, day,
@@ -1128,7 +1163,7 @@ def ts_cusum_changepoint(spark, sf_dir):
     ev = tables.events(spark, sf_dir)
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(F.col("value").cast(DEC)).alias("xdec"))
+    ).agg(F.sum(F.col("value").try_cast(DEC)).alias("xdec"))
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -1245,22 +1280,25 @@ def ts_rolling_corr(spark, sf_dir):
 @query(
     "ts_outlier_mad",
     oracle="""
-WITH med AS (
-  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+WITH obs AS (
+  SELECT event_id, event_type, value
+  FROM events WHERE isfinite(value)
+), med AS (
+  SELECT event_type, median(value) AS med FROM obs GROUP BY event_type
 ), dev AS (
   SELECT e.event_id, e.event_type, e.value, m.med,
          abs(e.value - m.med) AS adev
-  FROM events e JOIN med m USING (event_type)
+  FROM obs e JOIN med m USING (event_type)
 ), mad AS (
   SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
 )
 SELECT d.event_id, d.event_type, d.value,
-       CAST(round(CAST(0.6745 * (d.value - d.med) / m.mad
-                       AS DECIMAL(18,12)), 4) AS DOUBLE) AS robust_z
+       CAST(round(TRY_CAST(0.6745 * (d.value - d.med) / m.mad
+                       AS DECIMAL(38,12)), 4) AS DOUBLE) AS robust_z
 FROM dev d JOIN mad m USING (event_type)
 WHERE m.mad > 0
-  AND abs(CAST(round(CAST(0.6745 * (d.value - d.med) / m.mad
-                          AS DECIMAL(18,12)), 4) AS DOUBLE)) > 3.5
+  AND abs(CAST(round(TRY_CAST(0.6745 * (d.value - d.med) / m.mad
+                          AS DECIMAL(38,12)), 4) AS DOUBLE)) > 3.5
 """,
 )
 def ts_outlier_mad(spark, sf_dir):
@@ -1279,8 +1317,20 @@ def ts_outlier_mad(spark, sf_dir):
     rows, so the event stream is scanned but never shuffled. At 100 TB
     swap the exact medians for agg_approx_percentile's mergeable GK
     sketch (one combinable pass each) and keep the same two broadcast
-    joins; the flag expression is unchanged."""
-    ev = tables.events(spark, sf_dir)
+    joins; the flag expression is unchanged.
+
+    Domain: FINITE observations only (matching the oracle's
+    isfinite(value) filter — a NULL value was already invisible to both
+    engines' medians and never survived the >3.5 flag; NaN/±Inf would
+    poison the medians divergently: Spark compares NaN greatest while
+    DuckDB's median is erratic over NaN, and the DECIMAL(18,12) guard
+    cast aborts on non-finite z under ANSI where DuckDB's CAST errors
+    on NaN)."""
+    ev = tables.events(spark, sf_dir).where(
+        ~F.isnan("value")
+        & (F.col("value") > F.lit(float("-inf")))
+        & (F.col("value") < F.lit(float("inf")))
+    )
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_id",
@@ -1290,13 +1340,17 @@ def ts_outlier_mad(spark, sf_dir):
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
-    # DECIMAL(18,12) guard cast before the round: the z ratio can land
+    # DECIMAL(38,12) guard cast before the round: the z ratio can land
     # exactly on a 4-digit tie (3.85225 at sf0.1) where the engines'
-    # double rounding modes diverge; both round decimals half-up
+    # double rounding modes diverge; both round decimals half-up. The
+    # 26 integral digits absorb a ~1e20-valued outlier's z (the old
+    # (18,12) held only 6 and ANSI-aborted on it); try_cast keeps the
+    # expression total — a z beyond ~1e26 degrades to NULL identically
+    # on both engines (z cannot be NaN here: finite domain, mad > 0).
     rz = F.round(
-        (F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")).cast(
-            "decimal(18,12)"
-        ),
+        (
+            F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+        ).try_cast("decimal(38,12)"),
         4,
     ).cast("double")
     return (
@@ -1538,13 +1592,13 @@ WITH daily AS (
 )
 SELECT event_type,
        count(*) AS n_days,
-       round(CAST(sum(CAST(abs_err AS DECIMAL(38,6))) AS DOUBLE)
+       round(CAST(sum(TRY_CAST(CASE WHEN isnan(abs_err) THEN NULL ELSE (abs_err) END AS DECIMAL(38,6))) AS DOUBLE)
              / count(*), 6) AS mae,
-       round(CAST(sum(CAST(abs_err AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(sum(CAST(actual AS DECIMAL(38,6))) AS DOUBLE), 6)
+       round(CAST(sum(TRY_CAST(CASE WHEN isnan(abs_err) THEN NULL ELSE (abs_err) END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(TRY_CAST(CASE WHEN isnan(actual) THEN NULL ELSE (actual) END AS DECIMAL(38,6))) AS DOUBLE), 6)
          AS wape
 FROM j GROUP BY event_type
-""".format(o_dsum=o_dsum("value")),
+""".format(o_dsum=o_dsum_total("value")),
 )
 def ts_forecast_naive(spark, sf_dir):
     """Seasonal-naive forecast backtest: predict each day's per-type
@@ -1565,7 +1619,7 @@ def ts_forecast_naive(spark, sf_dir):
     ev = tables.events(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(dsum("value").alias("total"))
+    ).agg(dsum_total("value").alias("total"))
     a = daily.alias("a")
     f_ = daily.alias("f")
     j = a.join(
@@ -1579,8 +1633,8 @@ def ts_forecast_naive(spark, sf_dir):
     )
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(dsum("abs_err") / F.count(F.lit(1)), 6).alias("mae"),
-        F.round(dsum("abs_err") / dsum("actual"), 6).alias("wape"),
+        F.round(dsum_total("abs_err") / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(dsum_total("abs_err") / dsum_total("actual"), 6).alias("wape"),
     )
 
 

@@ -135,7 +135,7 @@ def win_lag_lead(spark, sf_dir):
     "win_running_sum",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+       CAST(sum(TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE (o_totalprice) END AS DECIMAL(38,6)))
               OVER (PARTITION BY coalesce(o_custkey, -1)
                     ORDER BY coalesce(o_orderdate, TIMESTAMP '1900-01-01'),
                              o_orderkey
@@ -154,7 +154,7 @@ def win_running_sum(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+        F.sum(F.col("o_totalprice").try_cast(DEC)).over(w).cast("double").alias(
             "running_spend"
         ),
     )
@@ -164,7 +164,7 @@ def win_running_sum(spark, sf_dir):
     "win_moving_avg",
     oracle="""
 SELECT o_orderkey, o_custkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+       round(CAST(sum(TRY_CAST(CASE WHEN isnan(o_totalprice) THEN NULL ELSE (o_totalprice) END AS DECIMAL(38,6))) OVER w AS DOUBLE)
              / count(*) OVER w, 6) AS mavg
 FROM orders
 WINDOW w AS (PARTITION BY coalesce(o_custkey, -1)
@@ -184,7 +184,7 @@ def win_moving_avg(spark, sf_dir):
         "o_orderkey",
         "o_custkey",
         F.round(
-            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+            F.sum(F.col("o_totalprice").try_cast(DEC)).over(w).cast("double")
             / F.count(F.lit(1)).over(w),
             6,
         ).alias("mavg"),

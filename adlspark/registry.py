@@ -40,109 +40,99 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # absent from this list keep their existing verdicts because their code
 # is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 9 (recomputed 2026-08-15 with
+# State entering driver round 10 (recomputed 2026-08-15 with
 # tools/verification_debt.py — the single source of truth):
-#   - 254 registry keys, 254 carry a verdict, debt = 0, ZERO failed —
-#     round 8 came back fully green (50/50), so the window carries
-#     (b) this round's code-changed re-entries, (d) the FULL remaining
-#     r02 staleness cohort (the r8 verdict's top item — finishing it
-#     means no key's verdict predates r03), and r03 fill.
-# Composition: 19 re-entries + 30 r02-cohort + 1 oldest-r03 = 50.
+#   - 257 registry keys, 254 carry a verdict, debt = 3, ZERO failed —
+#     round 9 came back fully green (50/50). This round landed the
+#     decimal-sum TOTALITY SWAP (dsum/davg/o_dsum/o_davg -> the
+#     *_total helpers + guarded TRY_CAST at every raw DEC-cast site;
+#     convention: non-representable doubles are excluded from exact
+#     sums) plus the finite-observation domain for the
+#     order-statistic kernels — every touched key HASH-PASSED the
+#     sf0.001 + sf0.01 + sf0.1 driver sims post-change and the full
+#     NaN/Inf float-extremes corpus is now the DEFAULT pytest gate.
+# Composition: 41 code-changed re-entries + 1 never-verified debt
+# + 8 oldest-r03 staleness fill = 50.
 _VERIFY_WINDOW = [
-    # (a) failed in the latest window: none (r8 fully green).
-    # (b) code changed this session after a green verdict — re-enter:
-    #   chunked_self_pairs cross-chunk branch gains the _ea != _eb
-    #   guard (total over duplicate-value arrays; vacuous for the
-    #   distinct member lists every caller passes — all six consumers
-    #   HASH-PASSED/rows-matched the sf0.01 + sf0.001 driver sims
-    #   post-change):
-    "llm_near_dup_pairs",
-    "llm_dedup_minhash",
-    "llm_minhash_estimate",
-    "llm_dedup_editdist",
-    "llm_containment_dedup",
-    "llm_sim_threshold_join",
-    #   rows-only -> value oracle promotions (kernels unchanged; the
-    #   deterministic count summaries now hash-compare — r8 verdict
-    #   item 4):
-    "ingest_validate_json",
-    "ingest_idempotent",
-    #   staged CSV write fans out to shuffle-partition-many files so
-    #   multiLine scan parallelism = partition count (r8 verdict item
-    #   5; plan-pinned by test_sink_csv_staged_files_are_the_split_unit):
+    # (a) failed in the latest window: none (r9 fully green).
+    # (b) code changed this session after a green verdict — re-enter.
+    #   The totality swap (both kernel try_cast and oracle TRY_CAST):
+    "agg_group_q1",
+    "agg_global",
+    "agg_having",
+    "agg_stats",
+    "agg_skew_kurt",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_conditional",
+    "agg_histogram",
+    "agg_grouping_flags",
+    "join_multikey",
+    "join_skew_salted",
+    "join_star_schema",
+    "join_bloom_filtered",
     "sink_csv_roundtrip",
-    #   staged read-backs take an EXPLICIT schema: a zero-row staged
-    #   batch writes only _SUCCESS and schema inference throws
-    #   UNABLE_TO_INFER_SCHEMA — found by the round-9 empty-partition
-    #   corpus (test_empty_events_parity); all three HASH-PASSED the
-    #   sf0.01 + sf0.001 sims post-change and the DPP plan gate holds:
-    "sink_parquet_roundtrip",
-    "ingest_partitioned_prune",
-    "join_dpp_prune",
-    #   empty-input guards on the iterative/driver-model kernels
-    #   (pagerank 1/0 on zero nodes, PQ codebook fit over an empty
-    #   sample, PCA head-of-empty, MMR pool exhaustion) — same round-9
-    #   empty-partition corpus, pinned by test_empty_rows_only_no_crash:
-    "llm_graph_pagerank",
-    "llm_ann_ivf_pq",
-    "llm_pca_power",
-    "llm_mmr_diverse_sample",
-    #   TPC-H side of the same corpus: explicit staged-read schemas
-    #   (ORC + dynamic-overwrite + WAP stage), WAP int(NULL key_sum)
-    #   guard, ri_check orphan-sum coalesced to 0 over an empty child
-    #   (sink_orc_roundtrip picked up the same fix inside its r02 slot
-    #   below; agg_rollup/cube/grouping_sets/grouping_flags were
-    #   ORACLE-ONLY HAVING guards — empty-input grand-total seam —
-    #   proven at both SFs, no slots per the r7/r8 precedent):
     "lake_dynamic_partition_overwrite",
-    "lake_write_audit_publish",
-    "lake_ri_check",
-    #   (fn_json / fn_map had an ORACLE-ONLY whitespace-regex widening,
-    #   observation-equivalent on the fixtures — proven HASH-PASS at
-    #   sf0.01 AND sf0.001, so per the r7/r8 precedent they do NOT
-    #   take slots.)
-    # (c) never-verified debt: none.
-    # (d) staleness rotation — the ENTIRE remaining r02 cohort, in
-    #   verification_debt.py ranking order (this completes the
-    #   freshness program: after r09 greens these, no verdict predates
-    #   r03):
-    "llm_text_stats",
-    "llm_top_terms",
-    "llm_tfidf",
-    "llm_lang_partition_pipeline",
-    "llm_langid",
-    "llm_text_quality",
-    "llm_token_count",
-    "llm_train_split",
-    "llm_corpus_filter_pipeline",
-    "llm_pii_scrub",
-    "mm_metadata_pruned_scan",
-    "catalog_search_tokens",
     "sink_bucketed_colocated_join",
     "mv_incremental_refresh",
-    "sink_orc_roundtrip",
-    "ingest_alert_log",
-    "ingest_schema_evolution",
-    "fn_string",
-    "fn_regex",
-    "fn_date",
-    "fn_math",
-    "fn_cond",
-    "fn_cast",
-    "fn_explode",
-    "fn_hash",
-    "fn_bitwise",
+    "subq_scalar",
+    "subq_corr_scalar_agg",
     "ts_tumbling",
     "ts_sliding",
-    "ts_session",
-    "ts_dedup",
-    #   r03 fill (oldest first) with the one remaining slot:
-    "llm_repetition_filter",
-    # (llm_url_dedup / fn_struct / fn_url / ts_gap_fill / ts_funnel /
-    # subq_scalar / subq_in / subq_exists_corr / subq_lateral /
-    # set_union_all ceded their fill slots to the ten empty-partition
-    # re-entries; they rejoin the r03 rotation next round.)
-    # Slot arithmetic: 19 re-entries (b) + 30 r02 + 1 r03 = 50.
+    "ts_seasonality",
+    "ts_interpolate",
+    "ts_autocorr",
+    "ts_cusum_changepoint",
+    "ts_forecast_naive",
+    "win_running_sum",
+    "win_moving_avg",
+    "llm_embed_centroids",
+    "llm_text_stats",
+    "llm_lang_partition_pipeline",
+    #   float-extremes domain/guard fixes beyond the mechanical swap:
+    #   ts_trend_slope's sxy gains the try_cast (DBL_MAX aborted the
+    #   DECIMAL(19,6) product); ts_anomaly_zscore NULLs the z-score on
+    #   negative sample variance (a totality-convention artifact —
+    #   DuckDB's sqrt(negative) errors, Spark's NaN would pass the abs
+    #   filter); ts_ewma / ts_rolling_median / ts_outlier_mad declare
+    #   the FINITE-observation domain on both sides (Arrow NaN->NULL
+    #   hop, NaN-poisoned frame medians, DECIMAL tie-guard overflow on
+    #   a 1e20-sized z — widened to (38,12) + try_cast):
+    "ts_trend_slope",
+    "ts_anomaly_zscore",
+    "ts_ewma",
+    "ts_rolling_median",
+    "ts_outlier_mad",
+    #   ingest_idempotent materializes the batch once (a lazy
+    #   orderBy+limit re-evaluated per arrival could select different
+    #   rows under event_id ties, breaking the anti-join idempotence);
+    #   stream_rate_limited_backfill stages exactly min(rows, 8) files
+    #   (ntile buckets) and derives n_batches from the row count —
+    #   both HASH-PASSED sf0.01 + sf0.001 sims and the tiny/empty
+    #   corpus gates:
+    "ingest_idempotent",
+    "stream_rate_limited_backfill",
+    #   sink_compression_codecs: swap-touched AND never-verified (c):
+    "sink_compression_codecs",
+    # (c) never-verified debt (added in r9 after the driver ran):
+    "ingest_corrupt_parquet",
+    # (d) staleness rotation — oldest r03 verdicts first
+    #   (verification_debt.py ranking; subq_scalar already re-entered
+    #   under (b)):
+    "llm_url_dedup",
+    "fn_struct",
+    "fn_url",
+    "ts_gap_fill",
+    "ts_funnel",
+    "subq_in",
+    "subq_exists_corr",
+    "subq_lateral",
+    # (set_union_all and the rest of the r03 cohort — set-ops, sorts,
+    # UDFs, stream family, join_asof, catalog keys — rejoin the
+    # rotation next round; the swap's 41 re-entries consumed the
+    # slots this round.)
+    # Slot arithmetic: 41 re-entries (b) + 1 debt (c) + 8 r03 = 50.
 ]
 
 

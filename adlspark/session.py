@@ -22,21 +22,63 @@ import os
 from pyspark.sql import SparkSession
 
 
+# --- Streaming state-store provider policy (round-9 hot-key ladder) ----
+#
+# Measured on the 100×-hot dedup rung (BASELINE.md round-9 record): the
+# default HDFSBacked provider keeps all state on the JVM heap and
+# degrades sharply past ~1 GB total state (233-246 s vs 53.5 s on
+# RocksDB, heap 1.8 GB → 15 MB). Below that it is FASTER than RocksDB
+# (no JNI/serialization per access), which is why kernels stay on the
+# default at driver-check scale. The per-partition capacity rule this
+# module encodes: switch to RocksDB when expected state exceeds
+# ~100 MB per shuffle partition — i.e. when
+#   (watermark delay × event rate × state row width) / partitions
+# crosses STATE_HEAP_BYTES_PER_PARTITION.
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+STATE_HEAP_BYTES_PER_PARTITION = 100 * 1024 * 1024
+
+
+def recommended_state_store(
+    expected_state_bytes: int, shuffle_partitions: int = 32
+) -> str:
+    """'default' (HDFSBacked, JVM heap) below the measured heap-comfort
+    bound, 'rocksdb' above it. expected_state_bytes ≈ watermark delay ×
+    event rate × bytes/state-row for watermark-bounded operators."""
+    per_part = expected_state_bytes / max(1, shuffle_partitions)
+    return "rocksdb" if per_part > STATE_HEAP_BYTES_PER_PARTITION else "default"
+
+
+def session_confs() -> dict[str, str]:
+    """The builder conf set, as data (unit-testable without a JVM).
+
+    ``ADLSPARK_STATE_STORE=rocksdb`` opts the session into the RocksDB
+    state-store provider — the documented deployment rule for streaming
+    state past ~100 MB/partition; unset/'default' keeps HDFSBacked."""
+    confs = {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "ADLSPARK_SHUFFLE_PARTITIONS", "32"
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.driver.memory": os.environ.get("ADLSPARK_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if os.environ.get("ADLSPARK_STATE_STORE", "").lower() == "rocksdb":
+        confs["spark.sql.streaming.stateStore.providerClass"] = ROCKSDB_PROVIDER
+    return confs
+
+
 def build_spark(app_name: str = "adlspark", master: str | None = None) -> SparkSession:
     master = master or os.environ.get("ADLSPARK_MASTER", "local[*]")
-    shuffle = os.environ.get("ADLSPARK_SHUFFLE_PARTITIONS", "32")
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", shuffle)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("ADLSPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-    )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in session_confs().items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
@@ -105,7 +147,7 @@ def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's required runtime confs to an externally-built
     session (the driver passes its own SparkSession to ``entry``)."""
     _ship_package(spark)
-    for k, v in (
+    runtime = [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
@@ -115,7 +157,14 @@ def configure(spark: SparkSession) -> SparkSession:
             os.environ.get("ADLSPARK_SHUFFLE_PARTITIONS", "32"),
         ),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-    ):
+    ]
+    if os.environ.get("ADLSPARK_STATE_STORE", "").lower() == "rocksdb":
+        # providerClass is runtime-settable and read per query start, so
+        # the deployment toggle also works on an externally-built session
+        runtime.append(
+            ("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        )
+    for k, v in runtime:
         try:
             spark.conf.set(k, v)
         except Exception:

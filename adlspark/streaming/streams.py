@@ -529,11 +529,13 @@ def stream_checkpoint_recovery(spark, sf_dir):
 @query(
     "stream_rate_limited_backfill",
     oracle="""
--- ceil(8 staged files / 3 per trigger) = 3 batches; an EMPTY backlog
--- still commits exactly ONE (empty) micro-batch under availableNow
+-- staged files = min(row count, 8) by construction (ntile buckets),
+-- so n_batches = ceil(files / 3 per trigger); an EMPTY backlog still
+-- commits exactly ONE (empty) micro-batch under availableNow
 -- (round-9 empty-partition corpus) — the checkpoint must advance even
 -- when nothing arrived
-SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 3 END AS INTEGER) AS n_batches,
+SELECT CAST(CASE WHEN count(*) = 0 THEN 1
+            ELSE ceil(least(count(*), 8) / 3.0) END AS INTEGER) AS n_batches,
        count(*)::BIGINT AS total_rows,
        CAST(3 AS INTEGER) AS max_files_per_batch
 FROM events
@@ -551,13 +553,44 @@ def stream_rate_limited_backfill(spark, sf_dir):
     per-batch file cap are deterministic (they depend only on file
     count); row totals are input-invariant — both are value-checked.
     foreachBatch's callback runs on the DRIVER, so collecting per-batch
-    row counts into a local list is cluster-safe."""
+    row counts into a local list is cluster-safe.
+
+    The staged backlog is built with exactly min(rows, 8) data files —
+    ntile(8) buckets appended one file each — so the oracle can derive
+    n_batches = ceil(files/3) from the row count alone. A plain
+    repartition(8) only guarantees 8 non-empty partitions for
+    comfortably-large inputs (round-robin from several small input
+    splits can collide), which made the old hardcoded '3 batches'
+    wrong for 1-7-row corpora. The single-partition ntile sort is
+    fixture CONSTRUCTION (a real backfill's staged history already
+    exists); only the drain below is the pattern under test."""
     import os as _os
+
+    from pyspark.sql import Window as _W
 
     base = work_dir(sf_dir, "backfill")
     staged = _os.path.join(base, "staged")
     src = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
-    src.repartition(8).write.mode("overwrite").parquet(staged)
+    bucketed = src.withColumn(
+        "_b", F.ntile(8).over(_W.orderBy("event_id"))
+    )
+    shutil.rmtree(staged, ignore_errors=True)
+    # only materialized buckets get a file: a coalesce(1) append of an
+    # EMPTY frame still writes an empty part file, which would inflate
+    # the staged file count (and batch count) on an empty backlog
+    n_files = min(src.count(), 8)
+    for i in range(1, n_files + 1):
+        (
+            bucketed.where(F.col("_b") == i)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(staged)
+        )
+    if n_files == 0:
+        # stage the empty dir (schema footer irrelevant — the stream
+        # reads with an explicit schema) so the drain still runs
+        src.write.mode("overwrite").parquet(staged)
 
     batches: list[tuple[int, int]] = []
 

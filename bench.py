@@ -81,7 +81,12 @@ def main() -> None:
         control_median = (
             round(statistics.median(controls.values()), 2) if controls else None
         )
-    except OSError:
+    except Exception:
+        # controls are advisory — a missing/malformed BASELINE.md (e.g.
+        # a median cell float() can't parse) must degrade to
+        # controls=None, never abort a bench whose timings are already
+        # collected
+        controls = {}
         control_median = None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -233,18 +233,25 @@ def float_extreme_dir(tmp_path_factory, sf_dir):
     documented fixture trap), which would silently test the null path
     instead.
 
-    ROUND-9 SCOPE: decimal-REPRESENTABLE extremes only (-0.0, the
-    5e-324 denormal, big-but-representable 1e20). NaN/±Inf/DBL_MAX are
-    staged behind FLOAT_EXTREME_FULL=1: the first sweep showed every
-    failure is ONE shared seam — the decimal-exact-sum cast (dsum /
-    o_dsum / the ts-module DEC casts) is not total over
-    non-representable doubles (Spark ANSI aborts on DBL_MAX/±Inf;
-    DuckDB TRY_CAST still errors on NaN). The probed fix (Spark
-    Column.try_cast + isnan-guarded oracle TRY_CAST, both verified
-    value-by-value — BASELINE.md round-9 record) touches ~35 green
-    keys' expressions, which exceeds this round's verify-window budget;
-    it is round 10's scheduled item, after which the full value list
-    unlocks."""
+    ROUND-10 SCOPE: the FULL list is the default — NaN, ±Inf, -0.0,
+    DBL_MAX, the 5e-324 denormal. Round 9 staged NaN/±Inf/DBL_MAX
+    behind FLOAT_EXTREME_FULL=1 because every failure was ONE shared
+    seam — the decimal-exact-sum cast (dsum/o_dsum/the ts-module DEC
+    casts) was not total over non-representable doubles. Round 10
+    landed the totality swap (dsum_total/o_dsum_total + guarded
+    TRY_CAST everywhere — see adlspark/ops/parity.py, convention:
+    non-representable doubles are excluded from exact sums) plus the
+    finite-observation domain for the order-statistic kernels
+    (ts_ewma / ts_rolling_median / ts_outlier_mad) and ts_trend_slope's
+    sxy try_cast, so the full corpus is now the permanent gate.
+
+    Historical magnitude notes (still pinned by the 1e20/5e-324 rows):
+    1e20 overflows DECIMAL(38,6) when SQUARED (variance kernels;
+    excluded-as-NULL by the totality convention on both engines), and
+    past 15 significant digits decimal→double diverges 1 ulp
+    cross-engine (Java BigDecimal's correctly-rounded doubleValue vs
+    DuckDB's int128/10^scale two-step) — the float discipline's
+    documented precision domain."""
     import pyarrow as _pa
 
     d = tmp_path_factory.mktemp("floatextreme")
@@ -253,23 +260,17 @@ def float_extreme_dir(tmp_path_factory, sf_dir):
         if t == "events":
             df = tbl.to_pandas().iloc[:SLICE].reset_index(drop=True)
             base_ts = df["ts"].iloc[0]
-            if os.environ.get("FLOAT_EXTREME_FULL") == "1":
-                vals = [
-                    float("nan"), float("inf"), float("-inf"), -0.0,
-                    1.7976931348623157e308, 5e-324, 2.5, float("nan"),
-                ]
-            else:
-                # magnitude scoping, both probed on this corpus:
-                # - 1e20 overflowed DECIMAL(38,6) in the SQUARED sums
-                #   (variance kernels; decimal-safe to ~1e16), and
-                # - 1e12 pushed mixed sums past 15 significant digits,
-                #   where the exact decimal CONVERTS BACK to double with
-                #   a 1-ulp cross-engine difference (Java BigDecimal's
-                #   correctly-rounded doubleValue vs DuckDB's
-                #   int128 / 10^scale two-step: 2000000000300.89 vs
-                #   ...300.8901) — the float discipline's documented
-                #   precision domain, now pinned from the other side.
-                vals = [-0.0, 5e-324, 1e6, -0.0, 2.5, 1e6, 5e-324, -2.5]
+            # row 9 (1e20): representable in DECIMAL(38,6) so it is IN
+            # every plain exact sum, but its SQUARE (1e40) overflows —
+            # the totality convention must exclude the square as NULL on
+            # BOTH engines (variance kernels' sxx) while keeping the
+            # value itself in sx. Row 10 re-pins -0.0 group-key
+            # normalization next to the huge value.
+            vals = [
+                float("nan"), float("inf"), float("-inf"), -0.0,
+                1.7976931348623157e308, 5e-324, 2.5, float("nan"),
+                1e20, -0.0,
+            ]
             extra_cols = {
                 "event_id": _pa.array(
                     [994001 + i for i in range(len(vals))], tbl.schema.field("event_id").type
@@ -279,11 +280,12 @@ def float_extreme_dir(tmp_path_factory, sf_dir):
                     tbl.schema.field("ts").type,
                 ),
                 "user_id": _pa.array(
-                    [81, 81, 82, 82, 83, 83, 81, 82], tbl.schema.field("user_id").type
+                    [81, 81, 82, 82, 83, 83, 81, 82, 83, 81],
+                    tbl.schema.field("user_id").type
                 ),
                 "event_type": _pa.array(
                     ["click", "view", "click", "view", "buy", "click",
-                     "view", "buy"],
+                     "view", "buy", "purchase", "view"],
                     tbl.schema.field("event_type").type,
                 ),
                 "value": _pa.array(vals, _pa.float64()).cast(
@@ -303,7 +305,7 @@ def float_extreme_dir(tmp_path_factory, sf_dir):
 def test_float_extreme_fixture_contains_true_extremes(float_extreme_dir):
     """The corpus must actually CONTAIN the extremes (not NULLs) —
     guard against the pandas degradation trap regressing the fixture.
-    Under FLOAT_EXTREME_FULL=1 it must additionally hold a true NaN."""
+    It must hold a true NaN/Inf (the full list is the default now)."""
     import math
 
     col = (
@@ -316,9 +318,9 @@ def test_float_extreme_fixture_contains_true_extremes(float_extreme_dir):
     nn = [v for v in col if v is not None]
     assert any(v == 5e-324 for v in nn)
     assert any(v == 0.0 and math.copysign(1.0, v) < 0 for v in nn)
-    if os.environ.get("FLOAT_EXTREME_FULL") == "1":
-        assert any(math.isnan(v) for v in nn)
-        assert any(v == float("inf") for v in nn)
+    assert any(math.isnan(v) for v in nn)
+    assert any(v == float("inf") for v in nn)
+    assert any(v == 1e20 for v in nn)
 
 
 @pytest.fixture(scope="module")
@@ -477,3 +479,30 @@ def test_ewma_domain_excludes_null_rows(spark, null_events_dir):
     eids = {r.event_id for r in rows}
     assert eids.isdisjoint({990001, 990002, 990031, 990032,
                             990041, 990051, 990052})
+
+
+@pytest.fixture(scope="module")
+def tiny_events_dir(tmp_path_factory, sf_dir):
+    """THREE-row events table (round 10): the 1-7-row class where a
+    repartition(8)-staged backlog yields fewer than 8 part files —
+    stream_rate_limited_backfill's old oracle hardcoded ceil(8/3)=3
+    batches and diverged here; the ntile-bucketed staging + the
+    least(count, 8) oracle must agree on ceil(3/3)=1 batch."""
+
+    def mut(df):
+        return df.iloc[:3]
+
+    return _corpus(tmp_path_factory, sf_dir, "tinyevents", mut)
+
+
+@pytest.mark.parametrize("key", ["stream_rate_limited_backfill",
+                                 "ingest_idempotent"])
+def test_tiny_events_parity(spark, tiny_events_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(tiny_events_dir)
+    try:
+        df = all_queries()[key](spark, tiny_events_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()

@@ -7,8 +7,8 @@ cast-to-DEC), grouped by module, so the swap round can compose its
 verify window mechanically and walk the sites file by file. The staged
 replacements (dsum_total/davg_total/o_dsum_total/o_davg_total,
 adlspark/ops/parity.py) are already unit-pinned by
-tests/test_parity_total.py; FLOAT_EXTREME_FULL=1 unlocks the NaN/Inf
-corpus rows that gate the finished swap.
+tests/test_parity_total.py; the NaN/Inf corpus rows gate the
+finished swap by default (round 10 made the full list permanent).
 
 Usage: python tools/dsum_swap_inventory.py
 """
@@ -23,8 +23,10 @@ REPO = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, REPO)
 
 PAT = re.compile(
-    r"\b(dsum|davg)\(|o_dsum\(|o_davg\(|cast\(DEC\)|\.cast\(DEC\)|AS \{?O_DEC\}?"
-    r"|CAST\([^)]*AS DECIMAL\(38"
+    r"\b(dsum|davg)\((?!\))|\bo_dsum\(|\bo_davg\("
+    r"|(?<!try_)cast\(DEC\)"
+    r"|(?<!TRY_)CAST\([^)]*AS \{?O_DEC\}?"
+    r"|(?<!TRY_)CAST\([^)]*AS DECIMAL\(38"
 )
 TOTAL_PAT = re.compile(r"dsum_total|davg_total|o_dsum_total|o_davg_total")
 
@@ -63,7 +65,7 @@ def main() -> None:
         " .cast(DEC)->.try_cast(DEC) with the oracle's CAST gaining the"
         " isnan guard (_o_dec_total); prove each file with"
         " driver_sim at sf0.01+sf0.001, then run"
-        " FLOAT_EXTREME_FULL=1 pytest -k float_extreme; every touched"
+        " pytest -k float_extreme; every touched"
         " key re-enters _VERIFY_WINDOW."
     )
 
