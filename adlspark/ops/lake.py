@@ -231,14 +231,33 @@ def sink_orc_roundtrip(spark, sf_dir):
     )
 
 
-@query("ingest_alert_log")  # rows-only: filesystem side effects
+@query(
+    "ingest_alert_log",
+    oracle="""
+SELECT * FROM (VALUES
+  ('events_alerts', 'corrupt.jsonl', 'FAILED', 0::BIGINT, 3::BIGINT,
+   'batch failed validation'),
+  ('events_alerts', 'partial.jsonl', 'STAGED', 10::BIGINT, 4::BIGINT,
+   '4 rows quarantined')
+) AS t(source, raw_file, status, n_good, n_quarantined, detail)
+""",
+)
 def ingest_alert_log(spark, sf_dir):
     """Failure notification as a queryable table (the reference's SNS
     failure topic, SURVEY §1.1): three batches arrive — clean, partially
     quarantined, all-corrupt — and every non-clean outcome appends an
     alert row. The operator's pager query is then just a filter over the
     alert table. Output: the alert log (source, status, counts, detail),
-    which must contain exactly the two non-clean batches."""
+    which must contain exactly the two non-clean batches.
+
+    Value-oracle (round 10, promoted from rows-only): the alert rows
+    are fully fixture-determined — batch contents, quarantine counts,
+    statuses, and detail strings are all constants of the operator —
+    so the oracle is the literal expected table. The alert dir's
+    absolute raw_path is projected to its basename (raw_file) to stay
+    host-independent; the table input plays no role (the alert log is
+    input-invariant by design), so every hostile corpus must produce
+    these exact two rows."""
     import json
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -281,8 +300,15 @@ def ingest_alert_log(spark, sf_dir):
         )
     return (
         spark.read.parquet(alert_dir)
-        .select("source", "raw_path", "status", "n_good", "n_quarantined", "detail")
-        .orderBy("raw_path")
+        .select(
+            "source",
+            F.element_at(F.split("raw_path", "/"), -1).alias("raw_file"),
+            "status",
+            "n_good",
+            "n_quarantined",
+            "detail",
+        )
+        .orderBy("raw_file")
     )
 
 

@@ -115,11 +115,17 @@ _VERIFY_WINDOW = [
     "stream_rate_limited_backfill",
     #   sink_compression_codecs: swap-touched AND never-verified (c):
     "sink_compression_codecs",
+    #   ingest_alert_log promoted rows-only -> literal VALUES oracle
+    #   (alert rows are fixture constants; raw_path projected to its
+    #   basename so the value is host-independent) — kernel changed,
+    #   HASH-PASSED sf0.01 + sf0.001 sims:
+    "ingest_alert_log",
     # (c) never-verified debt (added in r9 after the driver ran):
     "ingest_corrupt_parquet",
     # (d) staleness rotation — oldest r03 verdicts first
     #   (verification_debt.py ranking; subq_scalar already re-entered
-    #   under (b)):
+    #   under (b); subq_lateral ceded its slot to the alert-log
+    #   promotion):
     "llm_url_dedup",
     "fn_struct",
     "fn_url",
@@ -127,12 +133,11 @@ _VERIFY_WINDOW = [
     "ts_funnel",
     "subq_in",
     "subq_exists_corr",
-    "subq_lateral",
-    # (set_union_all and the rest of the r03 cohort — set-ops, sorts,
-    # UDFs, stream family, join_asof, catalog keys — rejoin the
-    # rotation next round; the swap's 41 re-entries consumed the
-    # slots this round.)
-    # Slot arithmetic: 41 re-entries (b) + 1 debt (c) + 8 r03 = 50.
+    # (subq_lateral, set_union_all and the rest of the r03 cohort —
+    # set-ops, sorts, UDFs, stream family, join_asof, catalog keys —
+    # rejoin the rotation next round; the swap's 42 re-entries consumed
+    # the slots this round.)
+    # Slot arithmetic: 42 re-entries (b) + 1 debt (c) + 7 r03 = 50.
 ]
 
 

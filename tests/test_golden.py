@@ -235,7 +235,7 @@ def test_ingest_alert_log_key(spark, sf_dir):
     from adlspark.ops.lake import ingest_alert_log
 
     rows = ingest_alert_log(spark, sf_dir).collect()
-    by_path = {r.raw_path.rsplit("/", 1)[-1]: r for r in rows}
+    by_path = {r.raw_file: r for r in rows}
     assert len(rows) == 2
     assert by_path["partial.jsonl"].status == "STAGED"
     assert by_path["partial.jsonl"].n_quarantined == 4
