@@ -312,7 +312,26 @@ def ingest_alert_log(spark, sf_dir):
     )
 
 
-@query("ingest_schema_evolution")  # rows-only: filesystem side effects
+@query(
+    "ingest_schema_evolution",
+    oracle="""
+WITH c AS (SELECT least(count(*), 300) AS n FROM events)
+SELECT 'b0' AS batch, 'STAGED' AS status, 1::BIGINT AS schema_version,
+       'initial' AS detail, least(n, 100)::BIGINT AS n_rows FROM c
+UNION ALL
+SELECT 'b1', 'STAGED', 2::BIGINT,
+       'widen:value:int->double;add:session_id:string',
+       least(n, 100)::BIGINT FROM c
+UNION ALL
+SELECT 'b2', 'QUARANTINED', 2::BIGINT,
+       'incompatible:value:double->string',
+       least(n, 100)::BIGINT FROM c
+UNION ALL
+SELECT 'final', 'READ', 2::BIGINT,
+       'event_id:bigint,event_type:string,value:double,session_id:string',
+       (2 * least(n, 100))::BIGINT FROM c
+""",
+)
 def ingest_schema_evolution(spark, sf_dir):
     """Schema drift across re-ingested batches of one source
     (SURVEY §1.1's per-source schema validation, extended to evolution):
@@ -330,6 +349,17 @@ def ingest_schema_evolution(spark, sf_dir):
     Output: one audit row per batch (status, schema version, change log)
     plus a final row checking the evolved read: total staged rows and the
     merged schema signature.
+
+    Value-oracle (round 10, promoted from rows-only): every output cell
+    is fixture-determined — statuses, versions, and change-log strings
+    are schema-driven constants (they hold even for EMPTY batches,
+    since evolution compares DataFrame schemas, not rows), and the
+    counts are pure functions of c = least(|events|, 300): b0/b1/b2
+    each carry least(c, 100) rows (b1 is the last 100 of the first
+    min(c, 200) — count least(c, 100) for every c), and the evolved
+    final read is the two staged batches, 2·least(c, 100). The batch
+    source is localCheckpoint-materialized, so event_id ties cannot
+    re-select different rows per evaluation.
     """
     base = work_dir(sf_dir, "schema_evolution")
     staged = os.path.join(base, "staged")

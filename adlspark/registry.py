@@ -120,6 +120,12 @@ _VERIFY_WINDOW = [
     #   basename so the value is host-independent) — kernel changed,
     #   HASH-PASSED sf0.01 + sf0.001 sims:
     "ingest_alert_log",
+    #   ingest_schema_evolution promoted rows-only -> value oracle
+    #   (audit rows are schema-driven constants; counts are pure
+    #   functions of least(|events|, 300)) — oracle-only, but the hash
+    #   verdict only materializes in-window; HASH-PASSED both sims +
+    #   all four events corpora:
+    "ingest_schema_evolution",
     # (c) never-verified debt (added in r9 after the driver ran):
     "ingest_corrupt_parquet",
     # (d) staleness rotation — oldest r03 verdicts first
@@ -132,12 +138,12 @@ _VERIFY_WINDOW = [
     "ts_gap_fill",
     "ts_funnel",
     "subq_in",
-    "subq_exists_corr",
-    # (subq_lateral, set_union_all and the rest of the r03 cohort —
-    # set-ops, sorts, UDFs, stream family, join_asof, catalog keys —
-    # rejoin the rotation next round; the swap's 42 re-entries consumed
-    # the slots this round.)
-    # Slot arithmetic: 42 re-entries (b) + 1 debt (c) + 7 r03 = 50.
+    # (subq_exists_corr, subq_lateral, set_union_all and the rest of
+    # the r03 cohort — set-ops, sorts, UDFs, stream family, join_asof,
+    # catalog keys — rejoin the rotation next round; the swap's 42
+    # re-entries + 2 oracle promotions consumed the slots this round.)
+    # Slot arithmetic: 43 re-entries/promotions (b) + 1 debt (c)
+    # + 6 r03 = 50.
 ]
 
 
