@@ -812,12 +812,26 @@ def llm_dedup_canonical(spark, sf_dir):
     "llm_winnow_fingerprint",
     oracle="""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  -- coalesce: a NULL text must keep its single empty partial window
+  -- (the old LATERAL form's greatest(NULL, 1) = 1 row semantics);
+  -- unnest of a NULL list would drop the doc entirely
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+), tok AS (
+  -- linear tokenization: the old form indexed toks[i] from a LATERAL
+  -- generate_series, which re-scans/copies the whole list per row —
+  -- quadratic on a megadoc (the giant-doc corpus hung here). unnest
+  -- + window leads build the same shingles in one linear pass.
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
+         unnest(toks) AS t, len(toks) AS n_toks
+  FROM w
 ), sh AS (
-  SELECT doc_id, i - 1 AS pos,
-         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS s,
-         greatest(len(toks) - 2, 1) AS n_sh
-  FROM w, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)
+  SELECT doc_id, p AS pos,
+         concat_ws(' ', t, lead(t) OVER win, lead(t, 2) OVER win) AS s,
+         greatest(n_toks - 2, 1) AS n_sh
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY p <= greatest(n_toks - 3, 0)
 ), hashed AS (
   SELECT doc_id, pos, n_sh,
          CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) * 100000
@@ -1228,10 +1242,23 @@ def llm_prefix_dedup(spark, sf_dir):
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tok AS (
+  -- linear tokenization (the old LATERAL list_slice(toks, i, i+7)
+  -- re-sliced the whole token list per generated row — quadratic on a
+  -- megadoc; found by the round-10 giant-doc corpus)
+  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tk,
+         len(toks) AS n_toks
+  FROM t
 ), w AS (
   SELECT doc_id,
-         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS wh
-  FROM t, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+         md5(concat_ws(' ', tk,
+                       lead(tk, 1) OVER win, lead(tk, 2) OVER win,
+                       lead(tk, 3) OVER win, lead(tk, 4) OVER win,
+                       lead(tk, 5) OVER win, lead(tk, 6) OVER win,
+                       lead(tk, 7) OVER win)) AS wh
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY p <= n_toks - 7
 ), dup AS (
   SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
 ), agg AS (
@@ -1439,11 +1466,16 @@ def llm_dedup_bloom(spark, sf_dir):
     oracle="""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  -- linear segmentation (the old LATERAL w[(i*10+1):(i*10+10)] slice
+  -- re-sliced the whole token list per row — quadratic on a megadoc;
+  -- round-10 giant-doc corpus)
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS p, unnest(w) AS tk
+  FROM toks
 ), paras AS (
-  SELECT doc_id, i AS para_id,
-         array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS para
-  FROM toks,
-       unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(i)
+  SELECT doc_id, CAST(p // 10 AS INT) AS para_id,
+         string_agg(tk, ' ' ORDER BY p) AS para
+  FROM tok GROUP BY doc_id, p // 10
 ), freq AS (
   SELECT para, count(*) AS n_occurrences, min(doc_id) AS first_doc
   FROM paras GROUP BY para

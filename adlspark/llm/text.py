@@ -404,15 +404,15 @@ WITH aug AS (
   FROM documents
 )
 SELECT doc_id,
-       len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+       len(regexp_extract_all(raw, '[a-z0-9._%+-]{1,64}@[a-z0-9.-]+\.[a-z]{2,}'))
          AS n_emails,
        len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
          AS n_ips,
-       len(regexp_extract_all(raw, '\b\d{7,}\b')) AS n_long_ids,
+       len(regexp_extract_all(raw, '\b\d{7,256}\b')) AS n_long_ids,
        md5(regexp_replace(regexp_replace(regexp_replace(raw,
-             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '[a-z0-9._%+-]{1,64}@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{7,}\b', '<ID>', 'g')) AS scrubbed_md5
+             '\b\d{7,256}\b', '<ID>', 'g')) AS scrubbed_md5
 FROM aug
 """,
 )
@@ -425,7 +425,18 @@ def llm_pii_scrub(spark, sf_dir):
     those; the output carries match counts plus the md5 of the scrubbed
     text so the oracle value-checks the rewritten string itself. One
     narrow projection — regex runs inside whole-stage codegen, no
-    shuffle, linear at any scale."""
+    shuffle, linear at any scale.
+
+    Quantifier bounds (round-10 giant-doc corpus): the email local
+    part is capped at {1,64} (the RFC 5321 limit) and id runs at
+    {7,256} — with unbounded +/{7,}, Java's backtracking engine is
+    QUADRATIC over a megabyte character run that stays inside the
+    class (each failed start re-consumes the rest of the run; a 1 MB
+    single-token doc took this key from 0.5 s to minutes) while
+    DuckDB's RE2 is linear-time and never noticed. The bounds make the
+    per-position attempt O(64)/O(256) and are mirrored verbatim in the
+    oracle, so both engines agree even on the (domain-declared
+    non-PII) >64-char locals and >256-digit runs."""
     d = tables.load(spark, sf_dir, "documents")
     raw = F.concat(
         F.col("text"),
@@ -436,9 +447,9 @@ def llm_pii_scrub(spark, sf_dir):
         F.lit(".7 id "),
         (F.col("doc_id") + 1000000).cast("string"),
     )
-    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    email_re = r"[a-z0-9._%+-]{1,64}@[a-z0-9.-]+\.[a-z]{2,}"
     ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-    id_re = r"\b\d{7,}\b"
+    id_re = r"\b\d{7,256}\b"
     aug = d.select("doc_id", raw.alias("raw"))
     scrubbed = F.regexp_replace(
         F.regexp_replace(
@@ -473,16 +484,24 @@ def llm_pii_scrub(spark, sf_dir):
     oracle="""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), starts AS (
-  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS s
+), tok AS (
+  -- linear chunking: the old LATERAL list_slice(w, s+1, s+32) carried
+  -- and re-sliced the whole token list per chunk row — quadratic on a
+  -- megadoc (round-10 giant-doc corpus). Each token belongs to at
+  -- most TWO stride-24/size-32 chunks: its own p//24 block, and the
+  -- previous block when its in-block offset is < 32-24 = 8.
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS p, unnest(w) AS tk
   FROM d
+), assign AS (
+  SELECT doc_id, CAST(p // 24 AS BIGINT) AS chunk_id, p, tk FROM tok
+  UNION ALL
+  SELECT doc_id, CAST(p // 24 AS BIGINT) - 1, p, tk FROM tok
+  WHERE p // 24 >= 1 AND p - (p // 24 - 1) * 24 < 32
 )
-SELECT doc_id,
-       CAST(s // 24 AS BIGINT) AS chunk_id,
-       array_to_string(list_slice(w, s + 1, least(s + 32, len(w))), ' ')
-         AS chunk_text,
-       least(s + 32, len(w)) - s AS n_tokens
-FROM starts
+SELECT doc_id, chunk_id,
+       string_agg(tk, ' ' ORDER BY p) AS chunk_text,
+       count(*) AS n_tokens
+FROM assign GROUP BY doc_id, chunk_id
 """,
 )
 def llm_doc_chunk(spark, sf_dir):
@@ -892,8 +911,15 @@ def llm_repetition_filter(spark, sf_dir):
     "llm_entropy_filter",
     oracle="""
 WITH ch AS (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(text)),
-         i -> substring(text, CAST(i AS INT), 1))) AS c
+  -- linear char explode: the old list_transform(generate_series(...),
+  -- i -> substring(text, i, 1)) re-scanned to char i per element
+  -- (UTF-8 position scan), quadratic on a megadoc — round-10
+  -- giant-doc corpus. string_split(text, '') is one linear pass;
+  -- the CASE guards the empty text, where both engines' empty-sep
+  -- split yields [''] (a phantom char row) instead of [].
+  SELECT doc_id, unnest(CASE WHEN len(text) >= 1
+                             THEN string_split(text, '')
+                             ELSE CAST([] AS VARCHAR[]) END) AS c
   FROM documents
 ), cc AS (
   SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
@@ -927,19 +953,17 @@ def llm_entropy_filter(spark, sf_dir):
     |alphabet| rows per doc regardless of document length.
     """
     d = tables.load(spark, sf_dir, "documents")
-    # guard: Spark sequence(1, 0) is DESCENDING [1, 0], not empty like
-    # DuckDB generate_series — an empty-text doc would emit two phantom
-    # '' chars (entropy-0 row) where the oracle emits no row at all
+    # linear char explode via empty-separator split (the old
+    # transform(sequence(...), i -> substring(text, i, 1)) re-scanned
+    # to char i per element — quadratic on a megadoc; round-10
+    # giant-doc corpus). Guard: split('', '') is [''] on BOTH engines
+    # (one phantom char), so the empty text maps to an empty array —
+    # no entropy row, matching the oracle.
     ch = d.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.length("text") >= 1,
-                F.expr(
-                    "transform(sequence(1, length(text)),"
-                    " i -> substring(text, i, 1))"
-                ),
-            ).otherwise(F.expr("CAST(array() AS array<string>)"))
+            F.when(F.length("text") >= 1, F.split("text", ""))
+            .otherwise(F.expr("CAST(array() AS array<string>)"))
         ).alias("c"),
     )
     cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
@@ -1432,10 +1456,18 @@ def llm_soft_dedup_weight(spark, sf_dir):
     oracle="""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tok AS (
+  -- linear trigrams (the old LATERAL list_slice was quadratic on a
+  -- megadoc — round-10 giant-doc corpus)
+  SELECT doc_id, generate_subscripts(w, 1) AS p, unnest(w) AS tk,
+         len(w) AS n_toks
+  FROM d
 ), g AS (
   SELECT DISTINCT doc_id,
-         array_to_string(list_slice(w, i, i + 2), ' ') AS ng
-  FROM d, unnest(generate_series(1, len(w) - 2)) t(i)
+         concat_ws(' ', tk, lead(tk) OVER win, lead(tk, 2) OVER win) AS ng
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY p <= n_toks - 2
 ), first_seen AS (
   SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng
 )
@@ -1786,18 +1818,29 @@ def llm_dataset_card(spark, sf_dir):
 @query(
     "llm_rouge_overlap",
     oracle="""
-WITH t AS (
-  SELECT doc_id,
-         list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))
-           AS uni,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(list_filter(string_split(text, ' '),
-                                                       w -> w <> '')) - 1, 0)),
-           i -> concat_ws(' ',
-                list_filter(string_split(text, ' '), w -> w <> '')[i],
-                list_filter(string_split(text, ' '), w -> w <> '')[i + 1])))
-           AS bi
+WITH raw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
   FROM documents
+), tok AS (
+  -- linear bigram construction: the old list_transform indexed
+  -- toks[i]/toks[i+1] per element (quadratic list access on a
+  -- megadoc — round-10 giant-doc corpus)
+  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tk,
+         len(toks) AS n
+  FROM raw
+), bigr AS (
+  SELECT doc_id, list_distinct(list(bg)) AS bi
+  FROM (
+    SELECT doc_id, p, n,
+           concat_ws(' ', tk,
+                     lead(tk) OVER (PARTITION BY doc_id ORDER BY p)) AS bg
+    FROM tok
+    QUALIFY p <= n - 1
+  ) GROUP BY doc_id
+), t AS (
+  SELECT raw.doc_id, list_distinct(raw.toks) AS uni,
+         coalesce(bigr.bi, CAST([] AS VARCHAR[])) AS bi
+  FROM raw LEFT JOIN bigr USING (doc_id)
 )
 SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
        CAST(len(list_intersect(c.uni, r.uni)) AS BIGINT) AS n_uni_match,

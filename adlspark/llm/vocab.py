@@ -25,10 +25,18 @@ WITH w AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
 ), wc AS (
   SELECT word, count(*) AS wn FROM w WHERE word <> '' GROUP BY word
+), wf AS (
+  -- word-length domain: 2..1000 chars. A single megatoken "word"
+  -- (the round-10 giant-doc corpus carries a 1 MB one) is garbage to
+  -- a BPE trainer, and char-pair expansion over it is quadratic in
+  -- BOTH engines (substring(word, i, 2) re-scans to char i per pair);
+  -- real tokenizers pre-tokenize and cap symbol length the same way.
+  -- The filter lives in its OWN CTE so the lateral series is never
+  -- generated for the megaword (a post-join WHERE still paid ~5 min).
+  SELECT word, wn FROM wc WHERE len(word) BETWEEN 2 AND 1000
 ), p AS (
   SELECT substring(word, CAST(i AS INT), 2) AS pair, wn
-  FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(i)
-  WHERE len(word) >= 2
+  FROM wf, unnest(generate_series(1, len(word) - 1)) AS t(i)
 )
 SELECT pair, CAST(sum(wn) AS BIGINT) AS pair_count
 FROM p GROUP BY pair
@@ -57,7 +65,13 @@ def llm_bpe_pair_count(spark, sf_dir):
         .where(F.col("word") != "")
     )
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
-    pairs = wc.where(F.length("word") >= 2).select(
+    # word-length domain 2..1000 (mirrors the oracle): a megatoken
+    # "word" is tokenizer garbage and its char-pair expansion is
+    # quadratic (substring re-scans to position i per pair) — capped
+    # identically on both engines (round-10 giant-doc corpus)
+    pairs = wc.where(
+        (F.length("word") >= 2) & (F.length("word") <= 1000)
+    ).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, length(word) - 1),"

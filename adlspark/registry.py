@@ -126,6 +126,21 @@ _VERIFY_WINDOW = [
     #   verdict only materializes in-window; HASH-PASSED both sims +
     #   all four events corpora:
     "ingest_schema_evolution",
+    #   GIANT-DOC corpus kernel fixes (a 2 MB doc, a 1 MB single
+    #   token): llm_pii_scrub bounds its regex quantifiers (Java
+    #   backtracking was quadratic over a megatoken run where RE2 is
+    #   linear), llm_entropy_filter's char explode becomes the linear
+    #   empty-separator split (transform(sequence, i->substring) re-
+    #   scanned to char i per element on BOTH engines),
+    #   llm_bpe_pair_count declares the 2..1000-char word domain
+    #   (char-pair expansion over a megatoken word is inherently
+    #   quadratic; real tokenizers cap symbol length). Six sibling
+    #   keys took ORACLE-ONLY linearizations (winnow/substring/
+    #   paragraph/doc_chunk/ngram_novelty/rouge — no slots per the
+    #   r7/r8 precedent, proven at both SFs + doc corpora):
+    "llm_pii_scrub",
+    "llm_entropy_filter",
+    "llm_bpe_pair_count",
     # (c) never-verified debt (added in r9 after the driver ran):
     "ingest_corrupt_parquet",
     # (d) staleness rotation — oldest r03 verdicts first
@@ -135,15 +150,14 @@ _VERIFY_WINDOW = [
     "llm_url_dedup",
     "fn_struct",
     "fn_url",
-    "ts_gap_fill",
-    "ts_funnel",
-    "subq_in",
-    # (subq_exists_corr, subq_lateral, set_union_all and the rest of
-    # the r03 cohort — set-ops, sorts, UDFs, stream family, join_asof,
-    # catalog keys — rejoin the rotation next round; the swap's 42
-    # re-entries + 2 oracle promotions consumed the slots this round.)
-    # Slot arithmetic: 43 re-entries/promotions (b) + 1 debt (c)
-    # + 6 r03 = 50.
+    # (ts_gap_fill, ts_funnel, subq_in, subq_exists_corr, subq_lateral,
+    # set_union_all and the rest of the r03 cohort — set-ops, sorts,
+    # UDFs, stream family, join_asof, catalog keys — rejoin the
+    # rotation next round; the swap's 42 re-entries, 2 oracle
+    # promotions, and 3 giant-doc kernel fixes consumed the slots
+    # this round.)
+    # Slot arithmetic: 46 re-entries/promotions (b) + 1 debt (c)
+    # + 3 r03 = 50.
 ]
 
 

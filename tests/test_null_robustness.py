@@ -405,3 +405,52 @@ def test_null_docs_are_singleton_components(spark, null_text_dir):
     for did in (900001, 900002, 900003, 900011, 900012):
         assert by_id[did].component == did
         assert by_id[did].component_size == 1
+
+
+@pytest.fixture(scope="module")
+def giant_doc_dir(tmp_path_factory, sf_dir):
+    """GIANT documents (round 10) — the pathological-document reality of
+    a web-scale corpus that no prior class covered: a ~2 MB normal-ish
+    text (cycling 48-word vocabulary, so shingle/token kernels see real
+    volume per row, ~400k tokens), a ~1 MB SINGLE TOKEN (no whitespace
+    at all — tokenizers must yield one megatoken, not choke; length
+    stats must not overflow INT ranges), a punctuation/newline-heavy
+    quarter-MB text, and a normal sentence carrying one embedded 200 KB
+    megatoken. Seams under test: per-row explode volume (token/shingle
+    kernels produce O(doc length) rows from ONE input row — partition
+    sizing must tolerate row-count amplification), Arrow transfer of
+    multi-MB string cells through pandas-UDF paths, regex engines over
+    megabyte subjects, and length-bucket blocking keys built from
+    n_chars at magnitudes the fixtures never reach."""
+
+    def mut(df):
+        words = [f"w{i:02d}" for i in range(48)]
+        big = " ".join(words[i % 48] for i in range(400_000))  # ~2.0 MB
+        megatoken = "x" * 1_000_000
+        punct = ("line one!\nline, two; three?\n\t" * 9_000)  # ~0.25 MB
+        embedded = "start " + "y" * 200_000 + " end"
+        texts = [big, megatoken, punct, embedded]
+        extra = pd.DataFrame(
+            {
+                "doc_id": [920001, 920002, 920003, 920004],
+                "text": texts,
+                "lang": ["en", "en", "en", "en"],
+                "source": ["giant"] * 4,
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        return pd.concat([df, extra], ignore_index=True)
+
+    return _corpus(tmp_path_factory, sf_dir, "giantdoc", mutate_documents=mut)
+
+
+@pytest.mark.parametrize("key", DOC_ORACLE_KEYS)
+def test_giant_doc_parity(spark, giant_doc_dir, key):
+    from adlspark.testing import compare
+
+    con = _ddb(giant_doc_dir)
+    try:
+        df = all_queries()[key](spark, giant_doc_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
