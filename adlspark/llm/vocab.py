@@ -258,7 +258,18 @@ def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
     docstring for the scale analysis."""
     from pyspark.sql.functions import pandas_udf
 
-    wc = words.groupBy("word").agg(F.sum(F.lit(1)).alias("wn"))
+    # Trainer word domain 2..1000 chars (same rule as
+    # llm_bpe_pair_count): a megatoken "word" is garbage to a BPE
+    # trainer, and the per-round pair explode re-splits the symbol
+    # string inside the transform lambda — quadratic on a 1 MB word
+    # (the round-10 giant-doc corpus hung llm_bpe_learn here). Real
+    # tokenizers pre-tokenize and cap symbol length identically.
+    # Length-1 words carry no pairs and are kept (harmless).
+    wc = (
+        words.where(F.length("word") <= 1000)
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).alias("wn"))
+    )
     sym = wc.select(
         "wn",
         F.expr("array_join(filter(split(word, ''), x -> x <> ''), ' ')").alias(

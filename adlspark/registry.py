@@ -141,6 +141,13 @@ _VERIFY_WINDOW = [
     "llm_pii_scrub",
     "llm_entropy_filter",
     "llm_bpe_pair_count",
+    #   the same trainer word-domain (2..1000 chars) applied inside
+    #   _bpe_learn_merges — llm_bpe_learn hung ~9 min on the megatoken
+    #   (the per-round pair explode re-splits the symbol string per
+    #   lambda element); rows-only keys, but kernel changes re-enter
+    #   (pytest BPE parity bars green, giant probe 12.1 s / 4.4 s):
+    "llm_bpe_learn",
+    "llm_bpe_encode",
     # (c) never-verified debt (added in r9 after the driver ran):
     "ingest_corrupt_parquet",
     # (d) staleness rotation — oldest r03 verdicts first
@@ -148,16 +155,14 @@ _VERIFY_WINDOW = [
     #   under (b); subq_lateral ceded its slot to the alert-log
     #   promotion):
     "llm_url_dedup",
-    "fn_struct",
-    "fn_url",
-    # (ts_gap_fill, ts_funnel, subq_in, subq_exists_corr, subq_lateral,
-    # set_union_all and the rest of the r03 cohort — set-ops, sorts,
-    # UDFs, stream family, join_asof, catalog keys — rejoin the
-    # rotation next round; the swap's 42 re-entries, 2 oracle
-    # promotions, and 3 giant-doc kernel fixes consumed the slots
-    # this round.)
-    # Slot arithmetic: 46 re-entries/promotions (b) + 1 debt (c)
-    # + 3 r03 = 50.
+    # (fn_struct, fn_url, ts_gap_fill, ts_funnel, subq_in,
+    # subq_exists_corr, subq_lateral, set_union_all and the rest of
+    # the r03 cohort — set-ops, sorts, UDFs, stream family, join_asof,
+    # catalog keys — rejoin the rotation next round; the swap's 42
+    # re-entries, 2 oracle promotions, and 5 giant-doc kernel fixes
+    # consumed the slots this round.)
+    # Slot arithmetic: 48 re-entries/promotions (b) + 1 debt (c)
+    # + 1 r03 = 50.
 ]
 
 
