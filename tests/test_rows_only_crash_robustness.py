@@ -174,3 +174,39 @@ def test_surfaces_nonempty():
     assert len(EVENTS_ROWS_ONLY) >= 15
     assert len(DOC_ROWS_ONLY) >= 5
     assert len(EMBED_ROWS_ONLY) >= 4
+
+
+@pytest.fixture(scope="module")
+def giant_docs_dir(tmp_path_factory, sf_dir):
+    """GIANT documents for the rows-only doc keys (round 10): the same
+    megadoc/megatoken shapes as test_null_robustness's giant-doc parity
+    corpus. llm_bpe_learn hung ~9 minutes here before the trainer's
+    2..1000-char word-domain cap — the rows-only keys get the
+    crash/runtime bar since they have no oracle to hash against."""
+
+    def mut(t, tbl):
+        if t != "documents":
+            return tbl
+        df = tbl.to_pandas()
+        words = [f"w{i:02d}" for i in range(48)]
+        big = " ".join(words[i % 48] for i in range(400_000))
+        megatoken = "x" * 1_000_000
+        texts = [big, megatoken, "start " + "y" * 200_000 + " end"]
+        extra = pd.DataFrame({
+            "doc_id": [920001, 920002, 920003],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["giant"] * 3,
+            "n_chars": [len(x) for x in texts],
+        })
+        df = pd.concat([df, extra], ignore_index=True)
+        return pa.Table.from_pandas(df, schema=tbl.schema,
+                                    preserve_index=False)
+
+    return _write(tmp_path_factory.mktemp("giantdocs"), mut)
+
+
+@pytest.mark.parametrize("key", DOC_ROWS_ONLY)
+def test_docs_rows_only_giant_no_crash(spark, giant_docs_dir, key):
+    n = all_queries()[key](spark, giant_docs_dir).count()
+    assert n >= 0
