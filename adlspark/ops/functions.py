@@ -353,7 +353,16 @@ def fn_json(spark, sf_dir):
     Spark's get_json_object is already NULL on bad JSON but its ANSI
     cast would abort on a non-numeric extract (try_cast instead), and
     DuckDB's json_extract_string ERRORS on bad JSON (json_valid guard)
-    while its CAST errors on non-numeric strings (TRY_CAST)."""
+    while its CAST errors on non-numeric strings (TRY_CAST).
+
+    JSON DOMAIN (round-10 giant-props probe): documents are parsed by
+    Jackson under its default StreamReadConstraints — object NAMES are
+    capped at 50,000 chars (a 49,999-char key parses identically on
+    both engines, pinned by the json_extreme corpus; a >50k key NULLs
+    the whole Spark extract where DuckDB still parses — out of
+    domain), string VALUES up to 20M chars, nesting to depth 1000,
+    number literals to 1000 chars. Payloads beyond those Jackson
+    limits are declared malformed for this engine."""
     ev = tables.load(spark, sf_dir, "events")
     return (
         ev.select(

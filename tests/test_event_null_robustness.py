@@ -208,6 +208,14 @@ def json_extreme_dir(tmp_path_factory, sf_dir):
             '{"к": 5, "k": 005}',            # unicode key + leading zeros (invalid JSON number)
             '{"k": " 7 "}',                  # whitespace-padded string number (both engines trim-then-cast)
             '{"k": "\\t8\\n"}',              # tab/newline-padded string number
+            # giant-JSON rows (round 10), inside the declared JSON
+            # domain: Jackson (Spark's parser) enforces a 50,000-char
+            # name limit — a 49,999-char sibling key parses on BOTH
+            # engines; >50k keys NULL the whole extract in Spark only
+            # and are out of domain (documented in fn_json). Values
+            # are unbounded far beyond this (maxStringLength 20M).
+            '{"' + "K" * 49_999 + '": 1, "k": 7}',
+            '{"k": 6, "big": "' + "v" * 500_000 + '"}',
         ]
         extra = pd.DataFrame({
             "event_id": [993000 + i for i in range(len(props))],
