@@ -435,8 +435,13 @@ def llm_pii_scrub(spark, sf_dir):
     single-token doc took this key from 0.5 s to minutes) while
     DuckDB's RE2 is linear-time and never noticed. The bounds make the
     per-position attempt O(64)/O(256) and are mirrored verbatim in the
-    oracle, so both engines agree even on the (domain-declared
-    non-PII) >64-char locals and >256-digit runs."""
+    oracle. NOTE the bounds cap the ATTEMPT, not the match domain: the
+    pattern is unanchored, so a >64-char local-part run is still
+    PARTIALLY matched (its trailing 64 chars before the @) and counted/
+    rewritten — identically on both engines, which is the only
+    mirrorable semantic (RE2 has no lookbehind, so truly excluding
+    long locals can't be expressed on the oracle side). Likewise >256-
+    digit runs are matched in <=256-digit chunks on both engines."""
     d = tables.load(spark, sf_dir, "documents")
     raw = F.concat(
         F.col("text"),

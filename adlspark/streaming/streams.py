@@ -582,10 +582,16 @@ def stream_rate_limited_backfill(spark, sf_dir):
         # tiny backlog: exactly one file per ntile bucket (ntile(8)
         # leaves buckets min(n,8)+1..8 empty, and an empty bucket gets
         # NO file because its write is skipped — a coalesce(1) append
-        # of an empty frame would still emit an empty part file)
+        # of an empty frame would still emit an empty part file).
+        # Materialized eagerly: the lazy plan would re-run the ntile
+        # per bucket write, and under event_id ties/NULLs each run may
+        # assign rows to DIFFERENT buckets — a row staged twice or not
+        # at all, diverging total_rows from the oracle while all 8
+        # files stay non-empty (same re-evaluation hazard fixed in
+        # ingest_idempotent / ingest_schema_evolution, r10).
         bucketed = src.withColumn(
             "_b", F.ntile(8).over(_W.orderBy("event_id"))
-        )
+        ).localCheckpoint(eager=True)
         for i in range(1, n_files + 1):
             (
                 bucketed.where(F.col("_b") == i)

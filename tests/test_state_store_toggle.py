@@ -78,37 +78,38 @@ def test_capacity_rule_switches_at_measured_bound():
     assert recommended_state_store(0, 0) == "default"  # no /0
 
 
-@pytest.mark.parametrize("provider", ["default", "rocksdb"])
-def test_dedup_semantics_provider_invariant(spark, sf_dir, provider, tmp_path):
-    """stream_dedup_watermark under each provider: identical results,
-    and the RocksDB run demonstrably selected the provider."""
+def test_dedup_semantics_provider_invariant(spark, sf_dir):
+    """stream_dedup_watermark under each provider INSIDE one test:
+    identical results, and the RocksDB run demonstrably selected the
+    provider. (Was two parametrized instances stashing results in a
+    module global — `pytest -k rocksdb`, reordering, or xdist would
+    silently skip the comparison; round-11 ADVICE.)"""
     from adlspark.registry import all_queries
 
-    prev = spark.conf.get(PROVIDER_KEY, None)
-    try:
-        if provider == "rocksdb":
-            spark.conf.set(PROVIDER_KEY, ROCKSDB_PROVIDER)
-        elif prev is not None:
-            spark.conf.unset(PROVIDER_KEY)
-        if provider == "rocksdb":
-            assert spark.conf.get(PROVIDER_KEY) == ROCKSDB_PROVIDER
-        rows = sorted(
-            tuple(r)
-            for r in all_queries()["stream_dedup_watermark"](
-                spark, sf_dir
-            ).collect()
-        )
-    finally:
-        if prev is None:
-            try:
+    def run(provider: str):
+        prev = spark.conf.get(PROVIDER_KEY, None)
+        try:
+            if provider == "rocksdb":
+                spark.conf.set(PROVIDER_KEY, ROCKSDB_PROVIDER)
+                assert spark.conf.get(PROVIDER_KEY) == ROCKSDB_PROVIDER
+            elif prev is not None:
                 spark.conf.unset(PROVIDER_KEY)
-            except Exception:
-                pass
-        else:
-            spark.conf.set(PROVIDER_KEY, prev)
-    assert rows, "dedup stream produced no rows"
-    # cross-provider comparison: stash per-provider results on the module
-    stash = globals().setdefault("_provider_results", {})
-    stash[provider] = rows
-    if len(stash) == 2:
-        assert stash["default"] == stash["rocksdb"]
+            return sorted(
+                tuple(r)
+                for r in all_queries()["stream_dedup_watermark"](
+                    spark, sf_dir
+                ).collect()
+            )
+        finally:
+            if prev is None:
+                try:
+                    spark.conf.unset(PROVIDER_KEY)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(PROVIDER_KEY, prev)
+
+    on_heap = run("default")
+    on_rocks = run("rocksdb")
+    assert on_heap, "dedup stream produced no rows"
+    assert on_heap == on_rocks

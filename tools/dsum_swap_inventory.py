@@ -22,11 +22,16 @@ import sys
 REPO = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, REPO)
 
+# The CAST alternatives tolerate ONE level of parenthesized expression
+# inside the cast — `CAST((a - b) AS O_DEC)` is the repo's common
+# style and a bare [^)]* would stop at the inner close-paren, letting
+# future non-total sites escape the inventory (round-11 ADVICE).
+_CAST_BODY = r"(?:[^()]|\([^()]*\))*"
 PAT = re.compile(
     r"\b(dsum|davg)\((?!\))|\bo_dsum\(|\bo_davg\("
     r"|(?<!try_)cast\(DEC\)"
-    r"|(?<!TRY_)CAST\([^)]*AS \{?O_DEC\}?"
-    r"|(?<!TRY_)CAST\([^)]*AS DECIMAL\(38"
+    rf"|(?<!TRY_)CAST\({_CAST_BODY}AS \{{?O_DEC\}}?"
+    rf"|(?<!TRY_)CAST\({_CAST_BODY}AS DECIMAL\(38"
 )
 TOTAL_PAT = re.compile(r"dsum_total|davg_total|o_dsum_total|o_davg_total")
 
