@@ -249,6 +249,150 @@ def llm_mixture_weights(spark, sf_dir):
     )
 
 
+def _fold_merge_sql(sym: str, a: str) -> str:
+    """DuckDB expression: greedy left-to-right pair merge of the symbol
+    list ``sym`` under the (possibly-NULL) merge row in CTE ``a``.
+
+    list_reduce folds the space-free tokens into a space-joined string;
+    the accumulator's LAST token is ``regexp_extract(acc, '[^ ]*$')``.
+    The fold is EXACTLY the kernel's greedy scan: a merge emits lo||hi,
+    which can never equal lo again (hi is non-empty), so a token merged
+    in this pass can't immediately re-merge — the same non-overlap rule
+    as the pandas loop. A NULL merge row (the round ran dry) folds to
+    the identity, keeping the CTE chain alive past the dry round just
+    like the kernel's early ``break``."""
+    return (
+        f"CASE WHEN {sym} IS NULL THEN NULL"
+        f" WHEN {a}.lo IS NULL THEN {sym}"
+        f" ELSE string_split(list_reduce({sym}, (acc, x) -> CASE"
+        f" WHEN regexp_extract(acc, '[^ ]*$') = {a}.lo AND x = {a}.hi"
+        f" THEN regexp_replace(acc, '[^ ]*$', '') || {a}.lo || {a}.hi"
+        f" ELSE acc || ' ' || x END), ' ') END"
+    )
+
+
+def _bpe_round_ctes(rounds: int, last_vocab: bool) -> str:
+    """The unrolled BPE merge rounds as chained DuckDB CTEs.
+
+    Round r reads vocab v{r-1} (wn, sym LIST), picks argmax pair m{r}
+    (count DESC, pair ASC — the kernel's exact tiebreak), aggregates it
+    to the always-one-row a{r} (max over <=1 row: NULL lo/hi when the
+    round ran dry, so later rounds keep running as identities instead
+    of cross-joining the vocab away), and rewrites vocab v{r}.
+    MATERIALIZED pins each stage to one evaluation — the chain is
+    re-referenced and DuckDB would otherwise inline it exponentially."""
+    parts = []
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT sym[i] || ' ' || sym[i + 1] AS pair, wn
+  FROM {prev}, unnest(generate_series(1, len(sym) - 1)) AS t(i)
+), m{r} AS MATERIALIZED (
+  SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt
+  FROM p{r} GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+), a{r} AS MATERIALIZED (
+  SELECT max(string_split(pair, ' ')[1]) AS lo,
+         max(string_split(pair, ' ')[2]) AS hi FROM m{r}
+)"""
+        )
+        if r < rounds or last_vocab:
+            parts.append(
+                f"""v{r} AS MATERIALIZED (
+  SELECT wn, {_fold_merge_sql('sym', f'a{r}')} AS sym
+  FROM {prev} CROSS JOIN a{r}
+)"""
+            )
+    return ", ".join(parts)
+
+
+def _bpe_learn_oracle(rounds: int = 6) -> str:
+    """Computed oracle for llm_bpe_learn: the full 6-round trainer in
+    DuckDB (round-11 promotion from rows-only — the merge schedule is a
+    deterministic function of the corpus, so it is SQL-computable, and a
+    computed oracle stays correct on every hostile corpus where a
+    fixture-literal VALUES would lie)."""
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank,"
+        f" string_split(pair, ' ')[1] AS \"left\","
+        f" string_split(pair, ' ')[2] AS \"right\","
+        f" replace(pair, ' ', '') AS merged,"
+        f" cnt AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH wc AS (
+  SELECT word, count(*) AS wn FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' AND len(word) <= 1000 GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT wn, string_split(word, '') AS sym FROM wc
+), {_bpe_round_ctes(rounds, last_vocab=False)}
+{unions}
+"""
+
+
+def _bpe_encode_oracle(rounds: int = 8) -> str:
+    """Computed oracle for llm_bpe_encode: train {rounds} merges on the
+    doc_id < 200 sample vocab (same unrolled machinery as the learn
+    oracle), then encode the DISTINCT corpus words — the SQL mirror of
+    the kernel's per-batch memo — and aggregate per doc. Words outside
+    the 2..1000-char symbol domain pass through as ONE opaque token
+    (the kernel's pre-tokenizer cap); NULL/empty texts produce the
+    all-zero row with NULL fertility."""
+    folds = "".join(
+        f""", e{r} AS MATERIALIZED (
+  SELECT word, {_fold_merge_sql('sym', f'a{r}')} AS sym
+  FROM e{r - 1} CROSS JOIN a{r}
+)"""
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH wc AS (
+  SELECT word, count(*) AS wn FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 200
+  ) WHERE word <> '' AND len(word) <= 1000 GROUP BY word
+), v0 AS MATERIALIZED (
+  SELECT wn, string_split(word, '') AS sym FROM wc
+), {_bpe_round_ctes(rounds, last_vocab=False)},
+cw AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+), e0 AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN len(word) > 1000 THEN NULL
+              ELSE string_split(word, '') END AS sym
+  FROM cw
+){folds},
+tok AS MATERIALIZED (
+  SELECT word,
+         CASE WHEN sym IS NULL THEN CAST(1 AS BIGINT)
+              ELSE CAST(len(sym) AS BIGINT) END AS n_tok
+  FROM e{rounds}
+), dw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+), per AS (
+  SELECT dw.doc_id,
+         count(*) AS n_words,
+         CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(len(dw.word)) AS BIGINT) AS n_chars
+  FROM dw JOIN tok t USING (word) GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_words, 0) AS n_words,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.n_chars, 0) AS n_chars,
+       CASE WHEN per.n_words > 0
+            THEN round(CAST(per.n_tokens AS DOUBLE) / per.n_words, 4)
+            ELSE NULL END AS fertility
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
     """Sennrich et al. (2016) BPE outer loop over a word-column DataFrame.
 
@@ -334,9 +478,15 @@ def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
     return merges
 
 
-@query("llm_bpe_learn")  # rows-only: iterative algorithm (no single-SQL oracle)
+@query("llm_bpe_learn", oracle=_bpe_learn_oracle())
 def llm_bpe_learn(spark, sf_dir):
     """BPE tokenizer training: learn the first 6 merges over the corpus.
+
+    VALUE-ORACLED since round 11 (was rows-only): the merge schedule is
+    a deterministic corpus function — fixed round count, count-then-pair
+    tiebreak — so the whole trainer unrolls into DuckDB CTEs
+    (``_bpe_learn_oracle``), with the greedy merge expressed as a
+    ``list_reduce`` fold proven equivalent to the kernel's scan.
 
     Full Sennrich et al. (2016) outer loop on top of the
     ``llm_bpe_pair_count`` inner step: the corpus collapses to its
@@ -367,7 +517,7 @@ def llm_bpe_learn(spark, sf_dir):
     )
 
 
-@query("llm_bpe_encode")  # rows-only: iterative merge application (no SQL oracle)
+@query("llm_bpe_encode", oracle=_bpe_encode_oracle())
 def llm_bpe_encode(spark, sf_dir):
     """BPE corpus tokenization: train 8 merges on a SAMPLE (doc_id <
     200 — the train-tokenizer-on-a-subset discipline real pipelines use;
@@ -383,9 +533,16 @@ def llm_bpe_encode(spark, sf_dir):
     rates. Fertility (tokens/word) is the standard tokenizer-quality
     metric; n_tokens feeds packing/budgeting downstream.
 
-    Test bar (rows-only): tests pin encode parity against an
-    independent pure-Python BPE reference on fixture docs, the
-    zero-merge == character-count identity, and determinism.
+    VALUE-ORACLED since round 11 (was rows-only): the sample training
+    unrolls into the same CTE machinery as llm_bpe_learn's oracle and
+    the encode runs over DISTINCT corpus words (the SQL mirror of the
+    per-batch memo). Domain declarations shared by both engines:
+    words >1000 chars pass through as ONE opaque token (the
+    pre-tokenizer length cap / byte-fallback-unit convention — folding
+    a megatoken is quadratic in ANY engine, and the round-10 giant-doc
+    corpus carries a 1 MB one); NULL text encodes to the all-zero row
+    (fertility NULL, as for any 0-word doc). Tests additionally pin
+    encode parity against an independent pure-Python BPE reference.
     """
     import pandas as pd  # noqa: F811
     from pyspark.sql.functions import pandas_udf
@@ -408,6 +565,12 @@ def llm_bpe_encode(spark, sf_dir):
             hit = memo.get(word)
             if hit is not None:
                 return hit
+            if len(word) > 1000:
+                # pre-tokenizer cap (mirrored in the oracle): an
+                # unsplittable >1000-char run is one opaque token —
+                # merging it char-by-char is quadratic for nothing
+                memo[word] = 1
+                return 1
             toks = list(word)
             for lo, hi in merge_list:
                 i, out = 0, []
@@ -424,7 +587,11 @@ def llm_bpe_encode(spark, sf_dir):
 
         rows = []
         for t in texts:
-            words = [w for w in t.split(" ") if w]
+            # NULL text: the all-zero row. Found by the round-11 oracle
+            # promotion — the rows-only crash gate's count() PRUNED the
+            # deterministic UDF projection, so None never reached this
+            # loop until values were actually compared.
+            words = [] if t is None else [w for w in t.split(" ") if w]
             rows.append(
                 (
                     len(words),
@@ -440,5 +607,10 @@ def llm_bpe_encode(spark, sf_dir):
         F.col("s.n_words").alias("n_words"),
         F.col("s.n_tokens").alias("n_tokens"),
         F.col("s.n_chars").alias("n_chars"),
-        F.round(F.col("s.n_tokens") / F.col("s.n_words"), 4).alias("fertility"),
+        # 0-word docs (NULL/empty text): NULL fertility on both engines
+        # — under ANSI a plain 0/0 would abort the whole batch
+        F.when(
+            F.col("s.n_words") > 0,
+            F.round(F.col("s.n_tokens") / F.col("s.n_words"), 4),
+        ).alias("fertility"),
     )
