@@ -38,11 +38,125 @@ def _band_edges(spark, sf_dir):
     )
 
 
-@query("llm_graph_pagerank", oracle=None)
+_SIG_MIN = ",\n".join(
+    f"         min(CAST('0x' || substring(md5('{i}:' || s), 1, 8)"
+    f" AS BIGINT)) AS sig{i}" for i in range(8)
+)
+_SIG_EQ = " AND ".join(f"ds.sig{i} = g.sig{i}" for i in range(8))
+_SIG_COLS = ", ".join(f"sig{i}" for i in range(8))
+
+
+def _pagerank_round_sql(r: int) -> str:
+    """One unrolled Jacobi round as a MATERIALIZED CTE. Float op tree
+    mirrors the kernel term by term — ``e0`` literals keep DuckDB in
+    DOUBLE arithmetic (a bare 0.85 is DECIMAL there, and (1.0 - 0.85)
+    in decimal is the exact 0.15, not the kernel's Python double
+    0.15000000000000002); the only cross-engine difference left is the
+    inflow sum's addition order, absorbed by the final round(rank, 9)."""
+    return f"""r{r} AS MATERIALIZED (
+  SELECT g.gid,
+         (1e0 - 0.85e0) / nn.n
+           + 0.85e0 * (coalesce(inf.inflow, 0e0) + dm.dm / nn.n) AS rank
+  FROM g
+  LEFT JOIN (
+    SELECT e.dst AS gid, sum(r.rank * e.w) AS inflow
+    FROM r{r - 1} r JOIN edges e ON r.gid = e.src GROUP BY e.dst
+  ) inf USING (gid)
+  CROSS JOIN (
+    SELECT coalesce(sum(rank), 0e0) AS dm FROM r{r - 1}
+    WHERE gid IN (SELECT gid FROM dang)
+  ) dm
+  CROSS JOIN nn
+)"""
+
+
+def _pagerank_oracle(rounds: int = 8) -> str:
+    """Computed oracle for llm_graph_pagerank (round-11 promotion from
+    rows-only): the signature CTE is llm_minhash_signature's oracle
+    verbatim, the quotient-graph construction mirrors the kernel's
+    lumped form (internal (k-1)-weight self edges, complete-bipartite
+    class adjacency, per-member degree k-1+Σ k_adj), and the 8 damped
+    rounds unroll into chained MATERIALIZED CTEs. A fixture-literal
+    VALUES oracle would lie on every hostile corpus; this one computes."""
+    rounds_sql = ",\n".join(_pagerank_round_sql(r) for r in range(1, rounds + 1))
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS s
+  FROM w
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+{_SIG_MIN}
+  FROM sh GROUP BY doc_id
+), ds AS MATERIALIZED (
+  SELECT d.doc_id, {", ".join(f"s.sig{i}" for i in range(8))}
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+), g AS MATERIALIZED (
+  SELECT min(doc_id) AS gid, CAST(count(*) AS BIGINT) AS k, {_SIG_COLS}
+  FROM ds WHERE sig0 IS NOT NULL GROUP BY {_SIG_COLS}
+  UNION ALL
+  SELECT doc_id, CAST(1 AS BIGINT), {_SIG_COLS}
+  FROM ds WHERE sig0 IS NULL
+), memb AS MATERIALIZED (
+  SELECT ds.doc_id, g.gid FROM ds JOIN g ON {_SIG_EQ}
+  WHERE ds.sig0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, doc_id FROM ds WHERE sig0 IS NULL
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), bands AS MATERIALIZED (
+  SELECT gid, k, b.band,
+         CASE b.band WHEN 0 THEN sig0 WHEN 1 THEN sig2
+                     WHEN 2 THEN sig4 ELSE sig6 END AS bk1,
+         CASE b.band WHEN 0 THEN sig1 WHEN 1 THEN sig3
+                     WHEN 2 THEN sig5 ELSE sig7 END AS bk2
+  FROM g, (SELECT unnest([0, 1, 2, 3]) AS band) b
+  WHERE sig0 IS NOT NULL
+), rp AS MATERIALIZED (
+  SELECT DISTINCT a.gid AS src, c.gid AS dst, a.k AS ksrc, c.k AS kdst
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.bk1 = c.bk1 AND a.bk2 = c.bk2
+   AND a.gid < c.gid
+), nbk AS (
+  SELECT gid, sum(nk) AS nbk FROM (
+    SELECT src AS gid, kdst AS nk FROM rp
+    UNION ALL SELECT dst AS gid, ksrc AS nk FROM rp
+  ) GROUP BY gid
+), deg AS MATERIALIZED (
+  SELECT g.gid, g.k - 1 + coalesce(nbk.nbk, 0) AS deg
+  FROM g LEFT JOIN nbk USING (gid)
+), edges AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(e.mult AS DOUBLE) / deg.deg AS w
+  FROM (
+    SELECT src, dst, ksrc AS mult FROM rp
+    UNION ALL SELECT dst AS src, src AS dst, kdst AS mult FROM rp
+    UNION ALL SELECT gid AS src, gid AS dst, k - 1 AS mult FROM g
+    WHERE k >= 2
+  ) e JOIN deg ON deg.gid = e.src
+), dang AS MATERIALIZED (
+  SELECT gid FROM g WHERE gid NOT IN (SELECT src FROM edges)
+), r0 AS MATERIALIZED (
+  SELECT gid, 1e0 / nn.n AS rank FROM g CROSS JOIN nn
+),
+{rounds_sql}
+SELECT m.doc_id, round(r.rank, 9) AS rank
+FROM memb m JOIN r{rounds} r ON r.gid = m.gid
+"""
+
+
+@query("llm_graph_pagerank", oracle=_pagerank_oracle())
 def llm_graph_pagerank(spark, sf_dir):
-    """PageRank over the near-duplicate candidate graph (rows-only: the
-    damped float iteration has no closed SQL form). 8 Jacobi iterations,
-    d=0.85, uniform teleport, dangling mass redistributed uniformly.
+    """PageRank over the near-duplicate candidate graph. 8 Jacobi
+    iterations, d=0.85, uniform teleport, dangling mass redistributed
+    uniformly. VALUE-ORACLED since round 11 (was rows-only): the
+    iteration is a fixed-round deterministic function of the corpus, so
+    it unrolls into DuckDB CTEs (``_pagerank_oracle``); the kernel's
+    float op tree is mirrored term by term and round(rank, 9) absorbs
+    the one remaining degree of freedom (inflow summation order).
 
     Scale shape: the static graph structure is built ONCE — edge
     transition weights (src, dst, 1/out-degree) and the dangling-node
