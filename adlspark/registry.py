@@ -40,129 +40,88 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # absent from this list keep their existing verdicts because their code
 # is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 10 (recomputed 2026-08-15 with
+# State entering driver round 11 (recomputed 2026-08-15 with
 # tools/verification_debt.py — the single source of truth):
-#   - 257 registry keys, 254 carry a verdict, debt = 3, ZERO failed —
-#     round 9 came back fully green (50/50). This round landed the
-#     decimal-sum TOTALITY SWAP (dsum/davg/o_dsum/o_davg -> the
-#     *_total helpers + guarded TRY_CAST at every raw DEC-cast site;
-#     convention: non-representable doubles are excluded from exact
-#     sums) plus the finite-observation domain for the
-#     order-statistic kernels — every touched key HASH-PASSED the
-#     sf0.001 + sf0.01 + sf0.1 driver sims post-change and the full
-#     NaN/Inf float-extremes corpus is now the DEFAULT pytest gate.
-# Composition: 41 code-changed re-entries + 1 never-verified debt
-# + 8 oldest-r03 staleness fill = 50.
+#   - 257 registry keys, ALL 257 carry a green latest verdict, debt =
+#     0, ZERO failed — round 10 came back fully green (50/50). The
+#     round-10 window spent nearly every slot on the decimal-swap
+#     re-entries, so the r03/r04 staleness cohort (62 keys) is now the
+#     oldest signal; VERDICT r10 item 1 makes retiring it THE r11 job.
+# Composition: 4 code-changed re-entries/promotions + the entire r03
+# cohort (34) + the 12 oldest r04 keys = 50. The 16 remaining r04
+# keys and the r05 block rotate in r12.
 _VERIFY_WINDOW = [
-    # (a) failed in the latest window: none (r9 fully green).
+    # (a) failed in the latest window: none (r10 fully green).
     # (b) code changed this session after a green verdict — re-enter.
-    #   The totality swap (both kernel try_cast and oracle TRY_CAST):
-    "agg_group_q1",
-    "agg_global",
-    "agg_having",
-    "agg_stats",
-    "agg_skew_kurt",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_conditional",
-    "agg_histogram",
-    "agg_grouping_flags",
-    "join_multikey",
-    "join_skew_salted",
-    "join_star_schema",
-    "join_bloom_filtered",
-    "sink_csv_roundtrip",
-    "lake_dynamic_partition_overwrite",
-    "sink_bucketed_colocated_join",
-    "mv_incremental_refresh",
-    "subq_scalar",
-    "subq_corr_scalar_agg",
-    "ts_tumbling",
-    "ts_sliding",
-    "ts_seasonality",
-    "ts_interpolate",
-    "ts_autocorr",
-    "ts_cusum_changepoint",
-    "ts_forecast_naive",
-    "win_running_sum",
-    "win_moving_avg",
-    "llm_embed_centroids",
-    "llm_text_stats",
-    "llm_lang_partition_pipeline",
-    #   float-extremes domain/guard fixes beyond the mechanical swap:
-    #   ts_trend_slope's sxy gains the try_cast (DBL_MAX aborted the
-    #   DECIMAL(19,6) product); ts_anomaly_zscore NULLs the z-score on
-    #   negative sample variance (a totality-convention artifact —
-    #   DuckDB's sqrt(negative) errors, Spark's NaN would pass the abs
-    #   filter); ts_ewma / ts_rolling_median / ts_outlier_mad declare
-    #   the FINITE-observation domain on both sides (Arrow NaN->NULL
-    #   hop, NaN-poisoned frame medians, DECIMAL tie-guard overflow on
-    #   a 1e20-sized z — widened to (38,12) + try_cast):
-    "ts_trend_slope",
-    "ts_anomaly_zscore",
-    "ts_ewma",
-    "ts_rolling_median",
-    "ts_outlier_mad",
-    #   ingest_idempotent materializes the batch once (a lazy
-    #   orderBy+limit re-evaluated per arrival could select different
-    #   rows under event_id ties, breaking the anti-join idempotence);
-    #   stream_rate_limited_backfill stages exactly min(rows, 8) files
-    #   (ntile buckets) and derives n_batches from the row count —
-    #   both HASH-PASSED sf0.01 + sf0.001 sims and the tiny/empty
-    #   corpus gates:
-    "ingest_idempotent",
+    #   stream_rate_limited_backfill: the ntile(8) staging frame is now
+    #   materialized (localCheckpoint) before the per-bucket write loop
+    #   so event_id ties/NULLs can't re-assign rows between loop
+    #   evaluations (r11 ADVICE item; HASH-PASSED sf0.01 + sf0.001
+    #   sims + tiny/empty corpus gates):
     "stream_rate_limited_backfill",
-    #   sink_compression_codecs: swap-touched AND never-verified (c):
-    "sink_compression_codecs",
-    #   ingest_alert_log promoted rows-only -> literal VALUES oracle
-    #   (alert rows are fixture constants; raw_path projected to its
-    #   basename so the value is host-independent) — kernel changed,
-    #   HASH-PASSED sf0.01 + sf0.001 sims:
-    "ingest_alert_log",
-    #   ingest_schema_evolution promoted rows-only -> value oracle
-    #   (audit rows are schema-driven constants; counts are pure
-    #   functions of least(|events|, 300)) — oracle-only, but the hash
-    #   verdict only materializes in-window; HASH-PASSED both sims +
-    #   all four events corpora:
-    "ingest_schema_evolution",
-    #   GIANT-DOC corpus kernel fixes (a 2 MB doc, a 1 MB single
-    #   token): llm_pii_scrub bounds its regex quantifiers (Java
-    #   backtracking was quadratic over a megatoken run where RE2 is
-    #   linear), llm_entropy_filter's char explode becomes the linear
-    #   empty-separator split (transform(sequence, i->substring) re-
-    #   scanned to char i per element on BOTH engines),
-    #   llm_bpe_pair_count declares the 2..1000-char word domain
-    #   (char-pair expansion over a megatoken word is inherently
-    #   quadratic; real tokenizers cap symbol length). Six sibling
-    #   keys took ORACLE-ONLY linearizations (winnow/substring/
-    #   paragraph/doc_chunk/ngram_novelty/rouge — no slots per the
-    #   r7/r8 precedent, proven at both SFs + doc corpora):
-    "llm_pii_scrub",
-    "llm_entropy_filter",
-    "llm_bpe_pair_count",
-    #   the same trainer word-domain (2..1000 chars) applied inside
-    #   _bpe_learn_merges — llm_bpe_learn hung ~9 min on the megatoken
-    #   (the per-round pair explode re-splits the symbol string per
-    #   lambda element); rows-only keys, but kernel changes re-enter
-    #   (pytest BPE parity bars green, giant probe 12.1 s / 4.4 s):
+    #   rows-only -> COMPUTED value-oracle promotions (VERDICT r10
+    #   item 2): the BPE trainer/encoder and the pagerank iteration
+    #   are fixed-round deterministic corpus functions, unrolled into
+    #   chained MATERIALIZED DuckDB CTEs (greedy merge == list_reduce
+    #   fold; float op trees mirrored term by term). Kernel changes
+    #   rode along: encode's NULL-text guard + >1000-char opaque-token
+    #   cap + fertility 0-word NULL guard. All three HASH-PASSED
+    #   sf0.01 + sf0.001 sims and the auto-enrolled hostile-corpus
+    #   parity gates (null/unicode/edge/giant/empty docs):
     "llm_bpe_learn",
     "llm_bpe_encode",
-    # (c) never-verified debt (added in r9 after the driver ran):
-    "ingest_corrupt_parquet",
-    # (d) staleness rotation — oldest r03 verdicts first
-    #   (verification_debt.py ranking; subq_scalar already re-entered
-    #   under (b); subq_lateral ceded its slot to the alert-log
-    #   promotion):
-    "llm_url_dedup",
-    # (fn_struct, fn_url, ts_gap_fill, ts_funnel, subq_in,
-    # subq_exists_corr, subq_lateral, set_union_all and the rest of
-    # the r03 cohort — set-ops, sorts, UDFs, stream family, join_asof,
-    # catalog keys — rejoin the rotation next round; the swap's 42
-    # re-entries, 2 oracle promotions, and 5 giant-doc kernel fixes
-    # consumed the slots this round.)
-    # Slot arithmetic: 48 re-entries/promotions (b) + 1 debt (c)
-    # + 1 r03 = 50.
+    "llm_graph_pagerank",
+    # (c) never-verified debt: none (first round with zero debt).
+    # (d) staleness rotation — the ENTIRE r03 cohort, oldest verdicts
+    #   in the registry (verification_debt.py ranking, list order):
+    "fn_struct",
+    "fn_url",
+    "ts_gap_fill",
+    "ts_funnel",
+    "subq_in",
+    "subq_exists_corr",
+    "subq_lateral",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    "sort_multi",
+    "limit_topk",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_grouped_map",
+    "udf_map_in_pandas",
+    "udtf_python",
+    "catalog_entries",
+    "catalog_persistent",
+    "join_asof",
+    "agg_collect_sorted",
+    "win_rank_dense",
+    "win_first_last",
+    "win_nth_value",
+    "stream_tumbling_watermark",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "stream_stateful_count",
+    "stream_foreach_batch_upsert",
+    "stream_transform_with_state",
+    #   ...then the 12 oldest r04 keys:
+    "llm_doc_chunk",
+    "llm_unigram_logprob",
+    "llm_stratified_sample",
+    "llm_token_histogram",
+    "llm_pack_bins",
+    "llm_bigram_logprob",
+    "llm_text_normalize",
+    "lake_scd2",
+    "lake_merge_upsert",
+    "lake_profile_columns",
+    "lake_schema_diff",
+    "lake_time_travel",
+    # Slot arithmetic: 4 (b) + 34 r03 + 12 r04 = 50.
 ]
 
 
