@@ -495,6 +495,59 @@ def hostile_csv_dir(tmp_path_factory, sf_dir):
 CSV_KEYS = ["sink_csv_roundtrip", "ingest_csv_header", "ingest_csv_malformed"]
 
 
+@pytest.fixture(scope="module")
+def giant_supplier_dir(tmp_path_factory, sf_dir):
+    """GIANT CSV fields (round 11, VERDICT item 3): ~10 MB supplier
+    names through both CSV paths — ingest_csv_malformed's one-record-
+    per-line quarantine layout (the giant field must stay on its line:
+    embedded newlines are atomized by the writer and mirrored by the
+    oracle) and sink_csv_roundtrip's Spark-written quoted CSV under the
+    multiLine reader (the 10 MB quoted field spans real newlines; record
+    resync must not split it, or per-nation counts diverge). Supplier
+    keys are chosen mod 7 so one giant-name row rides the QUARANTINE
+    path (700003 % 7 == 3 — the mangled line replaces the name) and two
+    ride the clean path. Spark 4's univocity config parses unbounded
+    fields (probed: a 17 MB quoted field with doubled quotes parses
+    exactly); this corpus pins that domain."""
+    d = tmp_path_factory.mktemp("giantsupplier")
+    for t in adl_tables.TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "supplier":
+            df = tbl.to_pandas()
+            base = df.iloc[:3].copy()
+            chunk = 'comma, "quote" then\na newline and \\backslash; '
+            base["s_suppkey"] = [700001, 700002, 700003]
+            base.loc[base.index[0], "s_name"] = chunk * 220_000  # ~10 MB
+            base.loc[base.index[1], "s_name"] = (
+                '"' + "y," * 3_000_000 + '"'  # ~6 MB, quote-delimited text
+            )
+            base.loc[base.index[2], "s_name"] = chunk * 200_000  # quarantined
+            df = pd.concat([df, base], ignore_index=True)
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema,
+                                       preserve_index=False)
+        pq.write_table(tbl, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "key", ["sink_csv_roundtrip", "ingest_csv_malformed"]
+)
+def test_giant_csv_field_parity(spark, giant_supplier_dir, key):
+    from adlspark.testing import compare
+
+    con = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{giant_supplier_dir}/{t}.parquet')"
+            )
+        df = all_queries()[key](spark, giant_supplier_dir)
+        compare(df, con, all_oracles()[key], key=key)
+    finally:
+        con.close()
+
+
 @pytest.mark.parametrize("key", CSV_KEYS)
 def test_hostile_csv_parity(spark, hostile_csv_dir, key):
     from adlspark.testing import compare
