@@ -104,6 +104,22 @@ def np_round_half_away(x, ndigits: int = 4):
 # (skip-null folds, gated by the null_elem corpus in
 # tests/test_embed_robustness.py).
 
+# MIXED DIMENSIONS (probed round 11): a wrong-dimension vector — the
+# model-version-mixup reality of a 100 TB embedding lake — is ALSO
+# outside the vector domain, but today only IMPLICITLY: the fixtures
+# are uniform-dim (pinned by tests/test_fixture_invariants.py), and a
+# ragged pair would DIVERGE rather than crash — Spark's
+# aggregate(zip_with(...)) NULL-pads the short side and acc+NULL
+# poisons the whole dot product to NULL, while DuckDB's
+# list_sum(list_transform(list_zip(...))) SKIPS the NULL products and
+# returns the truncated partial dot (probed: [1,2,3]x[1,1] -> Spark
+# NULL, DuckDB 3.0). The fix is one edit point — extend O_EMB_WHERE /
+# load_embeddings with a table-dimension guard (len(embedding) = the
+# dimension of the min-vec_id domain row) — but it touches every
+# embedding kernel's plan and oracle, so all ~20 keys must re-enter
+# the driver window together; scheduled for round 12 where the window
+# has room (round 11's slots retire the r03 staleness cohort).
+
 O_EMB_WHERE = "embedding IS NOT NULL AND len(embedding) > 0"
 
 

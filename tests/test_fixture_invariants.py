@@ -52,6 +52,24 @@ def test_embeddings_nonnull_finite():
     assert not bad.any(), f"non-finite embedding elements: {vals[bad][:5]}"
 
 
+def test_embeddings_uniform_dimension():
+    """The vector kernels' implicit input contract (vector.py): all
+    non-empty embeddings share ONE dimension. A ragged pair would not
+    crash but silently DIVERGE (probed round 11: Spark's
+    aggregate(zip_with) NULL-poisons the dot product where DuckDB's
+    list_sum skips the NULL pads and returns a truncated partial), so
+    the precondition must hold at every tested SF until the round-12
+    dimension guard lands in O_EMB_WHERE/load_embeddings."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/embeddings.parquet", columns=["embedding"]
+        )
+        col = t.column("embedding").combine_chunks()
+        offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        dims = set(int(d) for d in np.unique(offs) if d > 0)
+        assert len(dims) <= 1, f"{sf}: mixed embedding dims {sorted(dims)}"
+
+
 def test_events_user_id_nonnull():
     t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["user_id"])
     assert t.column("user_id").null_count == 0, (
