@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from adlspark import tables
 from adlspark.llm.vector import (
     O_EMB_WHERE,
+    o_emb_where,
     cosine,
     dot,
     load_embeddings,
@@ -31,8 +32,8 @@ from adlspark.registry import query
     "llm_sim_topk",
     oracle=f"""
 WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-           WHERE vec_id < 5 AND embedding IS NOT NULL AND len(embedding) > 0),
-     c AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0)
+           WHERE vec_id < 5 AND {O_EMB_WHERE}),
+     c AS (SELECT vec_id, embedding FROM embeddings WHERE {O_EMB_WHERE})
 SELECT probe_id, neighbor_id, sim, rnk FROM (
   SELECT p.probe_id, c.vec_id AS neighbor_id,
          {o_cosine('p.pe', 'c.embedding')} AS sim,
@@ -75,7 +76,7 @@ def llm_sim_topk(spark, sf_dir):
 WITH n AS (
   SELECT vec_id, embedding, sqrt({o_dot('embedding', 'embedding')}) AS nrm
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  WHERE {O_EMB_WHERE}
 )
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        round({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS sim
@@ -235,8 +236,8 @@ def llm_sim_threshold_join(spark, sf_dir):
     "llm_knn_label",
     oracle=f"""
 WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-           WHERE vec_id % 100 = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
-     c AS (SELECT vec_id, embedding, label FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+           WHERE vec_id % 100 = 0 AND {O_EMB_WHERE}),
+     c AS (SELECT vec_id, embedding, label FROM embeddings WHERE {O_EMB_WHERE}),
      nn AS (
        SELECT probe_id, label FROM (
          SELECT p.probe_id, c.label,
@@ -344,13 +345,13 @@ def llm_knn_label(spark, sf_dir):
 
 @query(
     "llm_embed_centroids",
-    oracle="""
+    oracle=f"""
 WITH expl AS (
   SELECT label,
          generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  WHERE {O_EMB_WHERE}
 ), cent AS (
   SELECT label, pos,
          -- isnan guard: Spark's NaN→DECIMAL cast is silently NULL (the
@@ -399,14 +400,13 @@ def llm_embed_centroids(spark, sf_dir):
     "llm_multimodal_struct",
     oracle=f"""
 WITH probe AS (SELECT embedding AS pe FROM embeddings
-               WHERE vec_id = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
+               WHERE vec_id = 0 AND {O_EMB_WHERE}),
      m AS (
        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
               e.embedding, e.label, probe.pe
        FROM documents d
          JOIN embeddings e
-           ON d.doc_id = e.vec_id AND e.embedding IS NOT NULL
-          AND len(e.embedding) > 0
+           ON d.doc_id = e.vec_id AND {o_emb_where('e')}
          CROSS JOIN probe
      )
 SELECT doc_id, lang, n_chars, label,
@@ -570,7 +570,7 @@ def llm_ann_ivf(spark, sf_dir):
 WITH n AS (
   SELECT vec_id, embedding, sqrt({o_dot('embedding', 'embedding')}) AS nrm
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  WHERE {O_EMB_WHERE}
 ), pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          round({o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4)
@@ -614,7 +614,7 @@ def llm_embed_near_dup(spark, sf_dir):
 
 @query(
     "llm_embed_quantize",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -623,7 +623,7 @@ WITH q AS (
          list_transform(embedding,
            x -> greatest(least(CAST(x AS DOUBLE), 1.0), -1.0)) AS clipped
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  WHERE {O_EMB_WHERE}
 )
 SELECT vec_id,
        array_to_string(codes, ' ') AS codes_str,
@@ -715,14 +715,14 @@ def srp_codes(e):
 
 @query(
     "llm_srp_bits",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127
                            + 0.5) AS BIGINT)) AS qv
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  WHERE {O_EMB_WHERE}
 ), planes AS (
   SELECT vec_id, p,
          CAST(list_sum(list_transform(generate_series(1, len(qv)), i ->
@@ -845,14 +845,14 @@ def llm_kmeans(spark, sf_dir):
 
 @query(
     "llm_semantic_dedup",
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(greatest(least(CAST(x AS DOUBLE), 1.0), -1.0) * 127
                            + 0.5) AS BIGINT)) AS qv
   FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) > 0
+  WHERE {O_EMB_WHERE}
 ), planes AS (
   SELECT vec_id, p,
          CAST(list_sum(list_transform(generate_series(1, len(qv)), i ->
@@ -1173,7 +1173,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
     "llm_hard_negative_mine",
     oracle=f"""
 WITH p AS (SELECT vec_id AS probe_id, label AS probe_label, embedding AS pe
-           FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) > 0)
+           FROM embeddings WHERE vec_id < 10 AND {O_EMB_WHERE})
 SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim, rnk FROM (
   SELECT p.probe_id, p.probe_label, c.vec_id AS neighbor_id,
          c.label AS neighbor_label,
@@ -1183,8 +1183,7 @@ SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim, rnk FROM (
            ORDER BY {o_cosine('p.pe', 'c.embedding')} DESC, c.vec_id
          ) AS rnk
   FROM p JOIN embeddings c
-    ON c.label <> p.probe_label AND c.embedding IS NOT NULL
-   AND len(c.embedding) > 0
+    ON c.label <> p.probe_label AND {o_emb_where('c')}
 ) t WHERE rnk <= 5
 """,
 )
@@ -1310,7 +1309,7 @@ def llm_pca_power(spark, sf_dir):
     "llm_knn_graph",
     oracle=f"""
 WITH n AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+  SELECT vec_id, embedding FROM embeddings WHERE {O_EMB_WHERE}
 )
 SELECT vec_id, neighbor_id, sim, rnk FROM (
   SELECT a.vec_id, b.vec_id AS neighbor_id,

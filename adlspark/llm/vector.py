@@ -104,33 +104,67 @@ def np_round_half_away(x, ndigits: int = 4):
 # (skip-null folds, gated by the null_elem corpus in
 # tests/test_embed_robustness.py).
 
-# MIXED DIMENSIONS (probed round 11): a wrong-dimension vector — the
-# model-version-mixup reality of a 100 TB embedding lake — is ALSO
-# outside the vector domain, but today only IMPLICITLY: the fixtures
-# are uniform-dim (pinned by tests/test_fixture_invariants.py), and a
-# ragged pair would DIVERGE rather than crash — Spark's
+# MIXED DIMENSIONS (probed round 11, guard landed same round): a
+# wrong-dimension vector — the model-version-mixup reality of a 100 TB
+# embedding lake — is ALSO outside the vector domain. Before the guard
+# a ragged pair DIVERGED rather than crashed — Spark's
 # aggregate(zip_with(...)) NULL-pads the short side and acc+NULL
 # poisons the whole dot product to NULL, while DuckDB's
 # list_sum(list_transform(list_zip(...))) SKIPS the NULL products and
 # returns the truncated partial dot (probed: [1,2,3]x[1,1] -> Spark
-# NULL, DuckDB 3.0). The fix is one edit point — extend O_EMB_WHERE /
-# load_embeddings with a table-dimension guard (len(embedding) = the
-# dimension of the min-vec_id domain row) — but it touches every
-# embedding kernel's plan and oracle, so all ~20 keys must re-enter
-# the driver window together; scheduled for round 12 where the window
-# has room (round 11's slots retire the r03 staleness cohort).
+# NULL, DuckDB 3.0 — pinned by tests/test_mixed_dim.py). The guard:
+# the table's REFERENCE DIMENSION is the dimension of the lowest-
+# vec_id non-empty row (deterministic on both engines — vec_id is
+# unique), and any row of a different dimension is out of domain,
+# exactly like NULL/empty rows. One edit point on each side:
+# load_embeddings() broadcast-joins the 1-row reference dim and
+# filters on it; O_EMB_WHERE carries the equivalent scalar subquery
+# and is interpolated into every vector-kernel oracle. At 100 TB the
+# reference dim is a catalog constant, not a scan — the subquery form
+# is the self-describing test-fixture equivalent, and its cost is one
+# arg_min over (vec_id, len) pairs, broadcast once.
 
-O_EMB_WHERE = "embedding IS NOT NULL AND len(embedding) > 0"
+_O_EMB_VALID = "embedding IS NOT NULL AND len(embedding) > 0"
+
+
+def o_emb_where(alias: str = "") -> str:
+    """The full vector-domain predicate with an optional table alias —
+    for oracle sites that filter an ALIASED embeddings relation (a join
+    side), where the bare O_EMB_WHERE text would be ambiguous. The
+    reference-dim scalar subquery always binds the base table."""
+    a = f"{alias}." if alias else ""
+    return (
+        f"{a}embedding IS NOT NULL AND len({a}embedding) > 0 "
+        f"AND len({a}embedding) = "
+        f"(SELECT arg_min(len(embedding), vec_id) FROM embeddings "
+        f"WHERE {_O_EMB_VALID})"
+    )
+
+
+O_EMB_WHERE = o_emb_where()
 
 
 def valid_embedding(col: Column) -> Column:
-    """Spark twin of O_EMB_WHERE."""
+    """Spark twin of the NULL/empty half of O_EMB_WHERE (the dimension
+    half needs the table-level reference dim — see load_embeddings)."""
     return col.isNotNull() & (F.size(col) > 0)
 
 
 def load_embeddings(spark, sf_dir):
-    """The embeddings table restricted to its vector domain."""
+    """The embeddings table restricted to its vector domain: non-NULL,
+    non-empty, and matching the table's reference dimension (the
+    dimension of the lowest-vec_id valid row — Spark twin of
+    O_EMB_WHERE's scalar subquery). The 1-row dim relation is
+    broadcast, so the guard is a narrow filter, not a shuffle."""
     from adlspark import tables
 
     e = tables.load(spark, sf_dir, "embeddings")
-    return e.where(valid_embedding(F.col("embedding")))
+    valid = e.where(valid_embedding(F.col("embedding")))
+    ref = valid.agg(
+        F.min_by(F.size("embedding"), F.col("vec_id")).alias("_ref_dim")
+    )
+    return (
+        valid.join(F.broadcast(ref))
+        .where(F.size("embedding") == F.col("_ref_dim"))
+        .drop("_ref_dim")
+    )
