@@ -783,13 +783,51 @@ def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
     UDF); the UPDATE is one posexplode + (cluster, dim)-keyed mean — a
     map-side-combinable aggregate shuffling k*dim cells. Nothing else
     touches the driver.
+
+    DETERMINISM (round 11, the oracle-promotion discipline): every
+    float decision in the iteration is order-independent, so the whole
+    fit is a pure corpus function mirrorable in SQL —
+    - centroid means use the repo's exact-decimal summation
+      (davg_total shape, rounded to 9) instead of F.avg, so the update
+      does not depend on partition order; a coordinate whose member
+      values are all non-representable (NaN) keeps its previous value
+      (the round-10 totality convention);
+    - squared distances are left-to-right folds of identical double
+      op trees on both engines (the o_dot bit-parity result), so no
+      rounding is needed before the argmin;
+    - argmin tie-breaks on the LOWEST cluster index
+      (array_position → first match; oracle: ORDER BY dist, cluster).
     """
+    from adlspark.ops.parity import DEC
+
     e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     init = e.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in init]
     inertia = []
     assign = None
-    for _ in range(iters):
+    if not centroids:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return (
+            spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("vec_id", LongType()),
+                        StructField("cluster", IntegerType()),
+                        StructField("sq_dist", DoubleType()),
+                    ]
+                ),
+            ),
+            inertia,
+        )
+    for it in range(iters):
         lits = [F.array(*[F.lit(c) for c in cen]) for cen in centroids]
         dists = F.array(
             *[
@@ -815,28 +853,114 @@ def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
         )
         if track_inertia:
             inertia.append(assign.agg(F.sum("sq_dist")).collect()[0][0])
+        if it == iters - 1:
+            break  # the final update would be dead — output is this assignment
+        d = F.col("x").cast("double").try_cast(DEC)
         upd = (
             assign.select("cluster", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                F.round(F.sum(d).cast("double") / F.count(d), 9).alias("m")
+            )
             .collect()
         )
         new = {c: list(cen) for c, cen in enumerate(centroids)}
         for r in upd:
-            new[r["cluster"]][r["pos"]] = float(r["m"])
-        centroids = [new[c] for c in range(k)]
+            if r["m"] is not None:
+                new[r["cluster"]][r["pos"]] = float(r["m"])
+        centroids = [new[c] for c in range(len(centroids))]
     return assign.select("vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")), inertia
 
 
-@query("llm_kmeans", oracle=None)
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """Unroll the deterministic Lloyd iteration into chained
+    MATERIALIZED DuckDB CTEs (the round-11 computed-oracle promotion,
+    per the llm_bpe_learn / llm_graph_pagerank precedent).
+
+    Mirrors kmeans_fit term by term: init = the k lowest-vec_id domain
+    rows; per iteration, squared distance is the identical
+    left-to-right double fold (bit-parity per the o_dot result), argmin
+    tie-breaks on the lowest cluster index, and the centroid update is
+    the exact-decimal mean rounded to 9 (o_davg_total shape) with
+    per-coordinate carry-forward when a mean is NULL (empty cluster, or
+    all member values non-representable). The final iteration's update
+    is dead — output is the last assignment — so it isn't generated.
+    MATERIALIZED pins each stage to one evaluation (a{i} and pl{i} both
+    read c{i-1})."""
+    from adlspark.ops.parity import _o_dec_total
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+            f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+
+    dx = _o_dec_total("x")
+    parts = [
+        f"""WITH dom AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE {O_EMB_WHERE}
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+  FROM (SELECT vec_id, embedding FROM dom ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", b{i} AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster, dist FROM (
+    SELECT d.vec_id, d.embedding, c.cluster,
+           {dist('d.embedding', 'c.cen')} AS dist,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY {dist('d.embedding', 'c.cen')} ASC, c.cluster ASC
+           ) AS rn
+    FROM dom d CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        if i == iters:
+            break
+        parts.append(
+            f""", m{i} AS MATERIALIZED (
+  SELECT cluster, pos,
+         round(CAST(sum({dx}) AS DOUBLE) / count({dx}), 9) AS m
+  FROM (SELECT cluster, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM b{i})
+  GROUP BY cluster, pos
+), c{i} AS MATERIALIZED (
+  SELECT p.cluster, list(COALESCE(m.m, p.val) ORDER BY p.pos) AS cen
+  FROM (SELECT cluster, generate_subscripts(cen, 1) AS pos,
+               unnest(cen) AS val FROM c{i - 1}) p
+  LEFT JOIN m{i} m ON m.cluster = p.cluster AND m.pos = p.pos
+  GROUP BY p.cluster
+)"""
+        )
+    parts.append(
+        f"\nSELECT vec_id, cluster, round(dist, 6) AS sq_dist FROM b{iters}"
+    )
+    return "".join(parts)
+
+
+@query("llm_kmeans", oracle=_kmeans_oracle_sql(k=8, iters=5))
 def llm_kmeans(spark, sf_dir):
     """K-means clustering of the embedding corpus (k=8, 5 Lloyd
     iterations, deterministic seeding) — the workhorse for corpus
     topic bucketing, domain-mixture analysis, and IVF coarse-quantizer
     training (llm_ann_ivf's cell structure is exactly a k-means
-    codebook). Rows-only: the float iteration has no closed SQL form;
-    the pytest property suite asserts determinism, per-iteration
-    inertia monotonicity, and assignment optimality against the final
+    codebook).
+
+    Value-oracle (round 11, promoted from rows-only): with the
+    kmeans_fit determinism discipline (exact-decimal centroid means
+    rounded to 9, bit-parity distance folds, lowest-index argmin
+    tie-break) the fixed-round fit is a pure corpus function, unrolled
+    into chained MATERIALIZED DuckDB CTEs by _kmeans_oracle_sql — an
+    oracle that stays honest on every corpus, including the hostile
+    NaN/zero-norm/mixed-dimension gates it auto-enrolls in. The pytest
+    property suite additionally asserts determinism, per-iteration
+    inertia behavior, and assignment optimality against the final
     centroids.
     """
     df, _ = kmeans_fit(spark, sf_dir, k=8, iters=5)
