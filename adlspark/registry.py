@@ -50,6 +50,20 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # Composition: 4 code-changed re-entries/promotions + the entire r03
 # cohort (34) + the 12 oldest r04 keys = 50. The 16 remaining r04
 # keys and the r05 block rotate in r12.
+#
+# MANDATORY r12 (b)-class re-entries, recorded here at the moment the
+# code changed (round-11 session 2, after this window was frozen): the
+# mixed-dimension reference-dim guard rewrote load_embeddings +
+# O_EMB_WHERE, touching the PLAN AND ORACLE of every vector kernel —
+# llm_sim_topk, llm_sim_threshold_join, llm_knn_label,
+# llm_embed_centroids, llm_multimodal_struct, llm_embed_near_dup,
+# llm_embed_quantize, llm_srp_bits, llm_semantic_dedup,
+# llm_hard_negative_mine, llm_knn_graph — and llm_kmeans was promoted
+# to a computed value oracle with a determinism-disciplined update
+# step. All verified this session by a full 257-key driver-sim sweep
+# at sf0.01 (257/257 clean) + the mixed-dim/edge hostile gates, but
+# the DRIVER's stamp is pre-change, so they lead the r12 window ahead
+# of the r04/r05 staleness rotation.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r10 fully green).
     # (b) code changed this session after a green verdict — re-enter.
