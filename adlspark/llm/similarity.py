@@ -1637,7 +1637,95 @@ def llm_knn_graph(spark, sf_dir):
     )
 
 
-@query("llm_mmr_diverse_sample")  # rows-only: greedy float argmax chain
+def _mmr_oracle_sql(k: int = 8, lam: float = 0.7) -> str:
+    """Unroll the greedy MMR chain into chained MATERIALIZED DuckDB
+    CTEs (round-11 computed-oracle promotion, the greedy sibling of
+    _kmeans_oracle_sql's fixed-round unroll).
+
+    Mirrors llm_mmr_diverse_sample term by term: the domain filter
+    (vector domain + NaN-free + positive norm), unit normalization and
+    every dot product as identical left-to-right double folds, the
+    corpus centroid as the exact-decimal per-dimension mean rounded to
+    9 then normalized by the same fold, λ/(1−λ) emitted as the exact
+    Python double literals (repr — 1−0.7 is 0.30000000000000004, not
+    0.3), argmax via ORDER BY score DESC, vec_id LIMIT 1, and
+    half-away-from-zero rounding of the reported score. A round whose
+    pool is exhausted contributes zero rows, so pk{i} degrades to
+    pk{i-1} exactly like the kernel's loop break."""
+    from adlspark.ops.parity import _o_dec_total
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    sq = (
+        "list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    dx = _o_dec_total("x")
+    w_lam, w_div = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        f"""WITH dom AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {O_EMB_WHERE}
+    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
+    AND sqrt({sq}) > 0
+), cent AS MATERIALIZED (
+  SELECT list(m ORDER BY pos) AS c FROM (
+    SELECT pos,
+           round(CAST(sum({dx}) AS DOUBLE) / count({dx}), 9) AS m
+    FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM dom)
+    GROUP BY pos)
+), centn AS MATERIALIZED (
+  SELECT CASE
+           WHEN sqrt(list_sum(list_transform(c, u -> u * u))) > 0
+           THEN list_transform(c, v -> v / sqrt(
+                  list_sum(list_transform(c, u -> u * u))))
+           ELSE c
+         END AS c
+  FROM cent
+), scored AS MATERIALIZED (
+  SELECT d.vec_id,
+         list_transform(d.embedding,
+                        x -> CAST(x AS DOUBLE) / sqrt({sq})) AS emb_n,
+         {dot(
+            'list_transform(d.embedding, x -> CAST(x AS DOUBLE) / sqrt(' + sq + '))',
+            'cn.c')} AS rel
+  FROM dom d CROSS JOIN centn cn
+), pk1 AS MATERIALIZED (
+  SELECT 1 AS pick_rank, vec_id, emb_n, rel AS score
+  FROM scored ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", t{i} AS MATERIALIZED (
+  SELECT s.vec_id, s.emb_n,
+         {w_lam} * s.rel - {w_div} * max({dot('s.emb_n', 'p.emb_n')}) AS score
+  FROM scored s CROSS JOIN pk{i - 1} p
+  WHERE s.vec_id NOT IN (SELECT vec_id FROM pk{i - 1})
+  GROUP BY s.vec_id, s.emb_n, s.rel
+  ORDER BY score DESC, s.vec_id LIMIT 1
+), pk{i} AS MATERIALIZED (
+  SELECT * FROM pk{i - 1}
+  UNION ALL
+  SELECT {i} AS pick_rank, vec_id, emb_n, score FROM t{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(pick_rank AS INT) AS pick_rank, vec_id,
+       round(score, 6) AS score
+FROM pk{k}"""
+    )
+    return "".join(parts)
+
+
+@query("llm_mmr_diverse_sample", oracle=_mmr_oracle_sql(k=8, lam=0.7))
 def llm_mmr_diverse_sample(spark, sf_dir):
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
     subset selection: greedily pick k=8 vectors maximizing
@@ -1657,20 +1745,30 @@ def llm_mmr_diverse_sample(spark, sf_dir):
     orderBy+limit(1) — TakeOrdered, no full sort. Driver traffic is k
     rows total; candidate data never moves.
 
-    Rows-only: the greedy chain of float argmaxes has no SQL form; the
-    pytest bar re-runs the selection in numpy and requires the exact
-    same picked set and order, plus determinism across invocations
-    (ties broken by vec_id on both sides).
-    """
-    import numpy as np
+    Value-oracle (round 11, promoted from rows-only): with the
+    determinism discipline — double-first squares/dots as left-to-right
+    folds (bit-parity per the o_dot result), the exact-decimal centroid
+    mean rounded to 9, driver-side centroid normalization as an
+    explicit left fold (numpy's pairwise summation would NOT mirror),
+    and half-away-from-zero score rounding — the greedy chain is a pure
+    corpus function, unrolled by _mmr_oracle_sql. The pytest bar
+    additionally re-runs the selection in numpy and requires the same
+    picked set and order, plus determinism across invocations."""
+    import math
+
+    from adlspark.ops.parity import DEC
 
     K, LAM = 8, 0.7
     # Domain: unit-normalizable vectors — a zero-norm vector has no
     # direction (its x/nrm would abort under ANSI) and a NaN element
-    # poisons every cosine it touches
+    # poisons every cosine it touches. Squares are DOUBLE-first (a
+    # float32 multiply would not mirror the oracle's double op tree).
     _nrm0 = F.sqrt(
         F.aggregate(
-            F.transform(F.col("embedding"), lambda x: (x * x).cast("double")),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -1679,19 +1777,28 @@ def llm_mmr_diverse_sample(spark, sf_dir):
         ~F.exists("embedding", lambda x: F.isnan(x.cast("double")))
         & (_nrm0 > 0)
     ).select("vec_id", "embedding")
-    # centroid: posexplode -> per-dimension avg — map-side-combinable,
-    # driver receives dim rows (the model), never the vectors
+    # centroid: posexplode -> per-dimension exact-decimal mean (order-
+    # independent, rounded 9 — the determinism discipline) —
+    # map-side-combinable, driver receives dim rows (the model), never
+    # the vectors
+    _d = F.col("x").cast("double").try_cast(DEC)
     cent_rows = (
         e.select(F.posexplode("embedding").alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(F.round(F.sum(_d).cast("double") / F.count(_d), 9).alias("m"))
         .collect()
     )
-    cent_v = np.asarray(
-        [r["m"] for r in sorted(cent_rows, key=lambda r: r["pos"])],
-        dtype=np.float64,
-    )
-    cent_v /= np.linalg.norm(cent_v)
+    cent_v = [
+        float(r["m"]) for r in sorted(cent_rows, key=lambda r: r["pos"])
+    ]
+    # normalize with an explicit left-to-right fold — numpy's pairwise
+    # summation would not reproduce the oracle's list_sum order
+    _cn = 0.0
+    for v in cent_v:
+        _cn += v * v
+    _cn = math.sqrt(_cn)
+    if _cn > 0:  # exact-cancellation centroid: keep unnormalized (oracle mirrors)
+        cent_v = [v / _cn for v in cent_v]
 
     def dot_lit(col, vec):
         return F.aggregate(
@@ -1702,7 +1809,10 @@ def llm_mmr_diverse_sample(spark, sf_dir):
 
     nrm = F.sqrt(
         F.aggregate(
-            F.transform(F.col("embedding"), lambda x: (x * x).cast("double")),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -1719,7 +1829,7 @@ def llm_mmr_diverse_sample(spark, sf_dir):
     )
 
     picked: list[tuple[int, float]] = []
-    picked_vecs: list[np.ndarray] = []
+    picked_vecs: list[list[float]] = []
     remaining = scored
     for _ in range(K):
         if picked_vecs:
@@ -1748,10 +1858,17 @@ def llm_mmr_diverse_sample(spark, sf_dir):
         if top is None:  # pool exhausted (or empty partition): K > |pool|
             break
         picked.append((int(top["vec_id"]), float(top["score"])))
-        picked_vecs.append(np.asarray(top["emb_n"], dtype=np.float64))
+        picked_vecs.append([float(x) for x in top["emb_n"]])
         remaining = remaining.where(F.col("vec_id") != top["vec_id"])
 
+    def _round_away(x: float, nd: int = 6) -> float:
+        # DuckDB round(DOUBLE, n) is std::round — ties AWAY from zero;
+        # Python round() is banker's. Same scalar trick as
+        # vector.np_round_half_away.
+        s = x * (10.0 ** nd)
+        return math.copysign(math.floor(abs(s) + 0.5), s) / (10.0 ** nd)
+
     return spark.createDataFrame(
-        [(r + 1, vid, round(s, 6)) for r, (vid, s) in enumerate(picked)],
+        [(r + 1, vid, _round_away(s)) for r, (vid, s) in enumerate(picked)],
         "pick_rank int, vec_id long, score double",
     )

@@ -261,12 +261,16 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
 
 def test_semantic_dedup_single_shuffle(spark, sf_dir):
     """The SRP code computation must stay a narrow map: exactly one
-    Exchange (the bucket-code window) in the whole plan."""
+    DATA shuffle (the bucket-code window's hashpartitioning) in the
+    whole plan. The round-11 dimension guard adds model-sized
+    SinglePartition exchanges (the 1-row min_by reference-dim aggregate
+    + its broadcast) — those carry one row, not data, and are excluded
+    from the bar."""
     p = plan_of(spark, sf_dir, "llm_semantic_dedup")
     import re
 
-    n_exchanges = len(re.findall(r"\bExchange\b", p))
-    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{p[:2000]}"
+    n_data = len(re.findall(r"Arguments: hashpartitioning", p))
+    assert n_data <= 1, f"{n_data} data shuffles:\n{p[:2000]}"
     assert "Window" in p
 
 
