@@ -131,10 +131,18 @@ def o_emb_where(alias: str = "") -> str:
     """The full vector-domain predicate with an optional table alias —
     for oracle sites that filter an ALIASED embeddings relation (a join
     side), where the bare O_EMB_WHERE text would be ambiguous. The
-    reference-dim scalar subquery always binds the base table."""
+    reference-dim scalar subquery always binds the base table.
+
+    vec_id IS NOT NULL (round 11, with the dim guard): a NULL id has no
+    place in any deterministic tie-break — Spark sorts NULLS FIRST
+    where DuckDB sorts NULLS LAST, so a NULL-id row would silently
+    diverge in every ranked/argmax kernel. Out of domain, like
+    NULL/empty/ragged vectors. (The ref-dim subquery itself is immune:
+    min_by/arg_min skip NULL ordering keys identically — probed.)"""
     a = f"{alias}." if alias else ""
     return (
-        f"{a}embedding IS NOT NULL AND len({a}embedding) > 0 "
+        f"{a}vec_id IS NOT NULL "
+        f"AND {a}embedding IS NOT NULL AND len({a}embedding) > 0 "
         f"AND len({a}embedding) = "
         f"(SELECT arg_min(len(embedding), vec_id) FROM embeddings "
         f"WHERE {_O_EMB_VALID})"
@@ -151,15 +159,18 @@ def valid_embedding(col: Column) -> Column:
 
 
 def load_embeddings(spark, sf_dir):
-    """The embeddings table restricted to its vector domain: non-NULL,
-    non-empty, and matching the table's reference dimension (the
-    dimension of the lowest-vec_id valid row — Spark twin of
-    O_EMB_WHERE's scalar subquery). The 1-row dim relation is
+    """The embeddings table restricted to its vector domain: non-NULL
+    id, non-NULL non-empty vector, and matching the table's reference
+    dimension (the dimension of the lowest-vec_id valid row — Spark
+    twin of O_EMB_WHERE's scalar subquery). The 1-row dim relation is
     broadcast, so the guard is a narrow filter, not a shuffle."""
     from adlspark import tables
 
     e = tables.load(spark, sf_dir, "embeddings")
-    valid = e.where(valid_embedding(F.col("embedding")))
+    valid = e.where(
+        F.col("vec_id").isNotNull()
+        & valid_embedding(F.col("embedding"))
+    )
     ref = valid.agg(
         F.min_by(F.size("embedding"), F.col("vec_id")).alias("_ref_dim")
     )

@@ -105,6 +105,10 @@ def mixed_dim_dir(tmp_path_factory, sf_dir):
         (970011, [0.25] * (dim + 1), 1),
         (970021, [1.0], 2),
         (970031, [-0.75] * (2 * dim), None),
+        # correct dimension but NULL id: out of domain too — Spark
+        # sorts NULLs FIRST where DuckDB sorts them LAST, so a NULL id
+        # would silently diverge in every ranked/argmax kernel
+        (None, [0.5] * dim, 3),
     ]
     return _write_corpus(d, sf_dir, extra)
 
@@ -156,12 +160,13 @@ def test_min_row_defines_dim_parity(spark, mixed_dim_min_dir, key):
 
 
 def test_guard_drops_ragged_rows(spark, mixed_dim_dir):
-    """Direct statement of the domain: no ragged vec_id reaches a
-    vector kernel, and in particular the identical ragged PAIR never
-    pairs with itself."""
+    """Direct statement of the domain: no ragged or NULL-id vec_id
+    reaches a vector kernel, and in particular the identical ragged
+    PAIR never pairs with itself."""
     rows = all_queries()["llm_knn_graph"](spark, mixed_dim_dir).collect()
     ids = {r.vec_id for r in rows} | {r.neighbor_id for r in rows}
     assert ids.isdisjoint({970001, 970002, 970011, 970021, 970031}), ids
+    assert None not in ids, "NULL-id vector leaked into a kernel"
 
 
 def test_min_row_defines_dim_direct(spark, mixed_dim_min_dir):
