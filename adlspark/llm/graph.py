@@ -122,12 +122,14 @@ WITH w AS (
     ON a.band = c.band AND a.bk1 = c.bk1 AND a.bk2 = c.bk2
    AND a.gid < c.gid
 ), nbk AS (
-  SELECT gid, sum(nk) AS nbk FROM (
+  -- CAST: DuckDB widens sum(BIGINT) to HUGEINT; deg would carry it
+  -- into the edge-weight division (intermediate-CTE lint)
+  SELECT gid, CAST(sum(nk) AS BIGINT) AS nbk FROM (
     SELECT src AS gid, kdst AS nk FROM rp
     UNION ALL SELECT dst AS gid, ksrc AS nk FROM rp
   ) GROUP BY gid
 ), deg AS MATERIALIZED (
-  SELECT g.gid, g.k - 1 + coalesce(nbk.nbk, 0) AS deg
+  SELECT g.gid, CAST(g.k - 1 + coalesce(nbk.nbk, 0) AS BIGINT) AS deg
   FROM g LEFT JOIN nbk USING (gid)
 ), edges AS MATERIALIZED (
   SELECT e.src, e.dst, CAST(e.mult AS DOUBLE) / deg.deg AS w

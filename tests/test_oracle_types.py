@@ -127,6 +127,7 @@ def _split_top_level_ctes(sql: str):
         # scan to the AS ( that opens this CTE's body
         depth = 0
         in_str = False
+        mat = ""
         j = i
         while j < n:
             c = s[j]
@@ -146,6 +147,23 @@ def _split_top_level_ctes(sql: str):
                     t = j
                     while t > 0 and up[t - 1] in " \t\r\n":
                         t -= 1
+                    # optional MATERIALIZED / NOT MATERIALIZED between
+                    # AS and the body paren (the computed-oracle CTEs).
+                    # PRESERVED for probe reconstruction: stripping it
+                    # lets DuckDB inline a chained-CTE oracle
+                    # exponentially at bind time (the pagerank r8
+                    # probe exhausted the fd limit that way).
+                    local_mat = ""
+                    if t >= 12 and up[t - 12 : t] == "MATERIALIZED":
+                        local_mat = "MATERIALIZED"
+                        t -= 12
+                        while t > 0 and up[t - 1] in " \t\r\n":
+                            t -= 1
+                        if t >= 3 and up[t - 3 : t] == "NOT":
+                            local_mat = "NOT MATERIALIZED"
+                            t -= 3
+                            while t > 0 and up[t - 1] in " \t\r\n":
+                                t -= 1
                     if (
                         t >= 2
                         and up[t - 2 : t] == "AS"
@@ -154,6 +172,7 @@ def _split_top_level_ctes(sql: str):
                             or not (up[t - 3].isalnum() or up[t - 3] == "_")
                         )
                     ):
+                        mat = local_mat
                         break
                 depth += 1
             elif c == ")":
@@ -161,7 +180,11 @@ def _split_top_level_ctes(sql: str):
             j += 1
         if j >= n:
             break
-        header = re.sub(r"(?i)\bAS\s*\Z", "", s[start:j]).strip()
+        header = re.sub(
+            r"(?i)\bAS(\s+NOT\s+MATERIALIZED|\s+MATERIALIZED)?\s*\Z",
+            "",
+            s[start:j],
+        ).strip()
         name = header.split("(")[0].strip()
         # consume the balanced body
         depth = 1
@@ -179,7 +202,7 @@ def _split_top_level_ctes(sql: str):
             elif c == ")":
                 depth -= 1
             k += 1
-        ctes.append((name, header, s[j + 1 : k - 1]))
+        ctes.append((name, header, s[j + 1 : k - 1], mat))
         i = k
         while i < n and s[i] in " \t\n":
             i += 1
@@ -203,7 +226,8 @@ def test_oracle_intermediate_cte_types(key, lint_con):
     skipped = []
     for upto in range(len(ctes)):
         prefix = ", ".join(
-            f"{hdr} AS ({body})" for _, hdr, body in ctes[: upto + 1]
+            f"{hdr} AS {mat + ' ' if mat else ''}({body})"
+            for _, hdr, body, mat in ctes[: upto + 1]
         )
         probe = f"{kw} {prefix} SELECT * FROM {ctes[upto][0]} LIMIT 0"
         try:
@@ -253,7 +277,7 @@ SELECT y FROM atlas
 """
     recursive, ctes = _split_top_level_ctes(sql)
     assert not recursive
-    assert [n for n, _, _ in ctes] == ["bias", "atlas"]
+    assert [n for n, _, _, _ in ctes] == ["bias", "atlas"]
     assert ctes[0][1] == "bias (x)"  # column list preserved in the header
     assert ctes[0][2].strip() == "SELECT 1"
     assert ctes[1][2].strip() == "SELECT x + 1 AS y FROM bias"
@@ -277,7 +301,7 @@ SELECT o_custkey, CAST(s AS BIGINT) AS s FROM t
     assert not any("HUGEINT" in str(t).upper() for t in rel.types)
     # the CTE lint must catch it:
     recursive, ctes = _split_top_level_ctes(seeded)
-    assert [n for n, _, _ in ctes] == ["t"]
+    assert [n for n, _, _, _ in ctes] == ["t"]
     probe = f"WITH t AS ({ctes[0][2]}) SELECT * FROM t LIMIT 0"
     types = [str(t).upper() for t in lint_con.sql(probe).types]
     assert any("HUGEINT" in t for t in types), types
