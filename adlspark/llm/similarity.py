@@ -452,7 +452,62 @@ def llm_multimodal_struct(spark, sf_dir):
     )
 
 
-@query("llm_ann_ivf")  # rows-only: approximate by construction
+def _ann_ivf_oracle_sql() -> str:
+    """Direct-form oracle for the IVF search (round-11 promotion): the
+    IVF result is DETERMINISTIC — approximate only relative to exact
+    kNN, not to a re-run — so it gets a value oracle. The oracle is the
+    pre-quotient direct form (the same shape as
+    tests/test_dup_density._direct_ann_ivf): per-label exact-decimal
+    centroid means rounded to 9, argmax cell assignment and nprobe=3
+    probe cells via the identical rounded-4 cosine with (DESC sim,
+    cell ASC NULLS FIRST) ordering — Spark sorts NULL cells (NULL
+    label) first on ASC where DuckDB defaults last, and DESC puts
+    NaN first / NULL last identically on both engines (probed) — then
+    top-10 per probe by (sim DESC, neighbor_id). The quotient
+    machinery on the Spark side is thereby value-verified end to end
+    on every corpus, not just the dup-density fixture."""
+    from adlspark.ops.parity import _o_dec_total
+
+    dx = _o_dec_total("x")
+    csim = o_cosine("d.embedding", "c.centroid")
+    return f"""WITH dom AS MATERIALIZED (
+  SELECT vec_id, embedding, label FROM embeddings WHERE {O_EMB_WHERE}
+), cent AS MATERIALIZED (
+  SELECT label AS cell, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos,
+           round(CAST(sum({dx}) AS DOUBLE) / count({dx}), 9) AS m
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM dom)
+    GROUP BY label, pos
+  ) GROUP BY label
+), assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT d.vec_id, d.embedding, c.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY {csim} DESC, c.cell ASC NULLS FIRST) AS r
+    FROM dom d CROSS JOIN cent c
+  ) WHERE r = 1
+), pc AS MATERIALIZED (
+  SELECT probe_id, pe, cell FROM (
+    SELECT d.vec_id AS probe_id, d.embedding AS pe, c.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY {csim} DESC, c.cell ASC NULLS FIRST) AS r
+    FROM dom d CROSS JOIN cent c
+    WHERE d.vec_id % 100 = 0
+  ) WHERE r <= 3
+)
+SELECT probe_id, neighbor_id, sim, rnk FROM (
+  SELECT p.probe_id, a.vec_id AS neighbor_id,
+         {o_cosine('p.pe', 'a.embedding')} AS sim,
+         row_number() OVER (PARTITION BY p.probe_id
+           ORDER BY {o_cosine('p.pe', 'a.embedding')} DESC, a.vec_id) AS rnk
+  FROM pc p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.probe_id
+) WHERE rnk <= 10"""
+
+
+@query("llm_ann_ivf", oracle=_ann_ivf_oracle_sql())
 def llm_ann_ivf(spark, sf_dir):
     """IVF-style approximate nearest neighbor — the scale path for
     llm_sim_topk. Coarse quantizer = per-label centroids; every vector is
@@ -460,14 +515,23 @@ def llm_ann_ivf(spark, sf_dir):
     nprobe=3 nearest cells. At 100 TB: centroids are broadcast, the big
     side is scanned once for assignment (a narrow map), and the search
     join hits only cell partitions — candidate count scales with
-    N·nprobe/ncells instead of N."""
+    N·nprobe/ncells instead of N.
+
+    Value-oracle (round 11, promoted from rows-only): 'approximate'
+    describes the recall vs exact kNN, not the result's determinism —
+    with exact-decimal centroid means (rounded 9) the whole search is
+    a pure corpus function, and _ann_ivf_oracle_sql verifies the
+    quotiented kernel against the direct form on every corpus."""
+    from adlspark.ops.parity import DEC
+
     e = load_embeddings(spark, sf_dir)
     expl = e.select("label", F.posexplode("embedding")).select(
         "label", "pos", F.col("col").cast("double").alias("val")
     )
+    _dv = F.col("val").try_cast(DEC)
     cent = (
         expl.groupBy("label", "pos")
-        .agg((F.sum("val") / F.count(F.lit(1))).alias("c"))
+        .agg(F.round(F.sum(_dv).cast("double") / F.count(_dv), 9).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
@@ -559,7 +623,7 @@ def llm_ann_ivf(spark, sf_dir):
     )
     return (
         cands.select("probe_id", "neighbor_id", "sim")
-        .withColumn("rnk", F.row_number().over(w_nn))
+        .withColumn("rnk", F.row_number().over(w_nn).cast("long"))
         .where(F.col("rnk") <= 10)
     )
 

@@ -140,7 +140,13 @@ def _direct_ann_ivf(spark, sf_dir):
     )
     cent = (
         expl.groupBy("label", "pos")
-        .agg((F.sum("val") / F.count(F.lit(1))).alias("c"))
+        .agg(  # exact-decimal mean: mirrors the round-11 kernel change
+            F.round(
+                F.sum(F.col("val").try_cast("decimal(38,6)")).cast("double")
+                / F.count(F.col("val").try_cast("decimal(38,6)")),
+                9,
+            ).alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(

@@ -173,10 +173,10 @@ def test_surfaces_nonempty():
     # and ingest_idempotent (17 -> 15 events keys); r10 promoted
     # ingest_alert_log and ingest_schema_evolution (15 -> 13); r11
     # promoted llm_bpe_learn + llm_bpe_encode (docs 6 -> 4),
-    # llm_kmeans, and llm_mmr_diverse_sample (embed 5 -> 3)
+    # llm_kmeans, llm_mmr_diverse_sample, and llm_ann_ivf (embed 5 -> 2)
     assert len(EVENTS_ROWS_ONLY) >= 13
     assert len(DOC_ROWS_ONLY) >= 4
-    assert len(EMBED_ROWS_ONLY) >= 3
+    assert len(EMBED_ROWS_ONLY) >= 2
 
 
 @pytest.fixture(scope="module")
