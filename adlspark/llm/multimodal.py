@@ -139,7 +139,48 @@ def mm_metadata_pruned_scan(spark, sf_dir):
     )
 
 
-@query("mm_frame_sample")  # rows-only: binary payloads are synthesized
+def _frame_sample_oracle_sql(frame_bytes: int = 32, stride: int = 4) -> str:
+    """Direct SQL form of the frame sampler (round-11 promotion). Frames
+    are 2*frame_bytes-char slices of the UPPERCASE HEX encoding of the
+    payload — pure ASCII, so VARCHAR substring is byte-exact on both
+    engines and DuckDB's fast ASCII slicing applies (no per-row UTF-8
+    scan; DuckDB 1.0 has no BLOB substring and its sha256 only takes
+    VARCHAR, which fixed the stub feature's definition on the hex
+    form). b0 = first byte of sha256(frame hex), the same content-
+    derived stub as the kernel; the mean is an integer byte sum divided
+    once at the end — exact, order-independent."""
+    fw = 2 * frame_bytes  # hex chars per frame
+    step = stride * fw  # hex offset between sampled frames
+    return f"""WITH d AS MATERIALIZED (
+  SELECT doc_id, upper(hex(encode(text))) AS hx
+  FROM documents WHERE text IS NOT NULL
+), f AS MATERIALIZED (
+  SELECT doc_id, hx,
+         CAST(ceil(length(hx) / {fw}.0) AS BIGINT) AS n_frames
+  FROM d
+), s AS MATERIALIZED (
+  SELECT doc_id, j,
+         CAST(('0x' || substring(
+           sha256(substring(hx, CAST(j * {step} + 1 AS BIGINT), {fw})),
+           1, 2)) AS INT) AS b0
+  FROM f, unnest(generate_series(0, (n_frames - 1) // {stride})) t(j)
+  WHERE n_frames > 0
+), agg AS MATERIALIZED (
+  SELECT doc_id,
+         count(*) AS n_sampled,
+         round(CAST(max(CASE WHEN j = 0 THEN b0 END) AS DOUBLE) / 255.0,
+               6) AS f0_first,
+         round(CAST(CAST(sum(b0) AS BIGINT) AS DOUBLE)
+               / (255.0 * count(*)), 6) AS f0_mean
+  FROM s GROUP BY doc_id
+)
+SELECT f.doc_id, f.n_frames,
+       coalesce(a.n_sampled, 0) AS n_sampled,
+       a.f0_first, a.f0_mean
+FROM f LEFT JOIN agg a ON a.doc_id = f.doc_id"""
+
+
+@query("mm_frame_sample", oracle=_frame_sample_oracle_sql())
 def mm_frame_sample(spark, sf_dir):
     """Frame sampling over a "video" payload — the 1-row → N-frames batch
     shape (the other multimodal UDF signatures are 1→1): the payload is
@@ -150,8 +191,17 @@ def mm_frame_sample(spark, sf_dir):
     even when payloads are huge — at 100 TB the frame explosion happens
     inside the Arrow batch and aggregates before it ever hits a shuffle.
     Sampling is deterministic (fixed stride, content-derived features):
-    re-runs and re-partitions produce identical results."""
+    re-runs and re-partitions produce identical results.
+
+    Value-oracle (round 11, promoted from rows-only): frames are
+    defined on the uppercase-hex payload encoding (pure ASCII — the
+    representation both engines can slice and hash identically;
+    2*frame_bytes hex chars = frame_bytes payload bytes, so frame
+    counts are unchanged) and the stub feature is the first byte of
+    sha256(frame hex). The mean divides an exact integer byte sum once
+    at the end, mirroring _frame_sample_oracle_sql term by term."""
     frame_bytes, stride = 32, 4
+    fw = 2 * frame_bytes
     # Domain: payload-bearing rows only (see mm_binary_pipeline) —
     # a NULL payload has no frames and would kill the sampler.
     d = tables.load(spark, sf_dir, "documents").where(
@@ -164,23 +214,33 @@ def mm_frame_sample(spark, sf_dir):
         import hashlib as _hl
         import math as _math
 
+        def _round_away(x: float, nd: int = 6) -> float:
+            # DuckDB round(DOUBLE, n) is ties-away-from-zero; Python
+            # round() is banker's (same scalar trick as
+            # vector.np_round_half_away / llm_mmr_diverse_sample)
+            s = x * (10.0 ** nd)
+            return _math.copysign(_math.floor(abs(s) + 0.5), s) / (10.0 ** nd)
+
         for pdf in batches:
             doc_ids, n_frames, n_sampled, f_first, f_mean = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = [
-                    payload[i : i + frame_bytes]
-                    for i in range(0, len(payload), frame_bytes)
-                ]
+                hx = bytes(payload).hex().upper()
+                frames = [hx[i : i + fw] for i in range(0, len(hx), fw)]
                 sampled = frames[::stride]
-                feats = [
-                    _hl.sha256(fr).digest()[0] / 255.0 for fr in sampled
+                b0s = [
+                    _hl.sha256(fr.encode("ascii")).digest()[0]
+                    for fr in sampled
                 ]
                 doc_ids.append(doc_id)
                 n_frames.append(len(frames))
                 n_sampled.append(len(sampled))
-                f_first.append(round(feats[0], 6) if feats else None)
+                f_first.append(
+                    _round_away(b0s[0] / 255.0) if b0s else None
+                )
                 f_mean.append(
-                    round(_math.fsum(feats) / len(feats), 6) if feats else None
+                    _round_away(sum(b0s) / (255.0 * len(b0s)))
+                    if b0s
+                    else None
                 )
             yield pd.DataFrame(
                 {
