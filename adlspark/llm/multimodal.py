@@ -51,14 +51,41 @@ def decode_payload(payload: bytes) -> list[float]:
     return _decode_impl(payload)
 
 
-@query("mm_binary_pipeline")  # rows-only: binary payloads are synthesized
+@query(
+    "mm_binary_pipeline",
+    oracle="""
+WITH dec AS MATERIALIZED (
+  SELECT doc_id, lang, octet_length(encode(text)) AS n_bytes,
+         round(CAST(('0x' || substring(sha256(text), 1, 2)) AS INT)
+               / 255.0, 6) AS f0,
+         round(CAST(('0x' || substring(sha256(text), 3, 2)) AS INT)
+               / 255.0, 6) AS f1
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(CAST(f0 AS DECIMAL(38,6))) AS DOUBLE)
+             / count(f0), 6) AS avg_f0,
+       round(CAST(sum(CAST(f1 AS DECIMAL(38,6))) AS DOUBLE)
+             / count(f1), 6) AS avg_f1,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM dec GROUP BY lang
+""",
+)
 def mm_binary_pipeline(spark, sf_dir):
     """Full multimodal pipeline over an opaque binary column:
 
     documents → synthesize payload (utf-8 bytes of text — stands in for
     an image blob) + typed metadata struct → mapInPandas batch "decode"
     (stubbed) → per-lang feature aggregation.
-    """
+
+    Value-oracle (round 11, promoted from rows-only): the payload IS
+    the text's UTF-8 bytes, and DuckDB's sha256(VARCHAR) hashes exactly
+    those bytes — so the stubbed decode (sha256 digest bytes / 255,
+    rounded 6; k/255 can never land on a 1e-6 rounding tie, so
+    banker's-vs-away rounding cannot diverge) mirrors without any
+    kernel semantics change. The per-lang feature means use the repo's
+    exact-decimal davg discipline (plain F.avg would be partition-
+    order-dependent)."""
     # Domain: rows with a payload. A NULL-text doc has nothing to
     # decode — a real pipeline routes it to quarantine rather than
     # letting it kill the decode stage (the stub's NotImplementedError
@@ -106,10 +133,12 @@ def mm_binary_pipeline(spark, sf_dir):
     decoded = d.mapInPandas(
         decode_batches, "doc_id long, lang string, n_bytes long, f0 double, f1 double"
     )
+    from adlspark.ops.parity import davg
+
     return decoded.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("f0"), 6).alias("avg_f0"),
-        F.round(F.avg("f1"), 6).alias("avg_f1"),
+        davg("f0", 6).alias("avg_f0"),
+        davg("f1", 6).alias("avg_f1"),
         F.sum("n_bytes").alias("total_bytes"),
     )
 

@@ -172,11 +172,11 @@ def test_surfaces_nonempty():
     # the stronger oracle-parity gates): r9 promoted ingest_validate_json
     # and ingest_idempotent (17 -> 15 events keys); r10 promoted
     # ingest_alert_log and ingest_schema_evolution (15 -> 13); r11
-    # promoted llm_bpe_learn + llm_bpe_encode + mm_frame_sample
-    # (docs 6 -> 3), llm_kmeans, llm_mmr_diverse_sample, and
-    # llm_ann_ivf (embed 5 -> 2)
+    # promoted llm_bpe_learn + llm_bpe_encode + mm_frame_sample +
+    # mm_binary_pipeline (docs 6 -> 2), llm_kmeans,
+    # llm_mmr_diverse_sample, and llm_ann_ivf (embed 5 -> 2)
     assert len(EVENTS_ROWS_ONLY) >= 13
-    assert len(DOC_ROWS_ONLY) >= 3
+    assert len(DOC_ROWS_ONLY) >= 2
     assert len(EMBED_ROWS_ONLY) >= 2
 
 
