@@ -104,6 +104,16 @@ ORACLE_KEYS = [
     "llm_containment_dedup",
     "llm_dedup_exact",
     "llm_contamination_check",
+    # round-11 computed-oracle promotions: the duplicate-density corpus
+    # is the one standard corpus with identical embeddings (group sizes
+    # 1..K), so the promoted iterative/greedy/search oracles must hold
+    # here too (llm_ann_ivf additionally has the direct-form reference
+    # test below)
+    "llm_kmeans",
+    "llm_mmr_diverse_sample",
+    "llm_ann_ivf",
+    "mm_frame_sample",
+    "mm_binary_pipeline",
 ]
 
 
