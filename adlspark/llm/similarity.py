@@ -1104,8 +1104,20 @@ def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=None):
     scale. What stays distributed is what actually grows with the lake:
     ENCODING and SEARCH (see llm_ann_ivf_pq).
 
-    Returns (codebook nested list [m][k][d], sub_dim) — or (None, 0)
-    when the sample is empty (empty partition / no in-domain vectors).
+    INTEGER DOMAIN (round 11, the oracle-promotion discipline): inputs
+    clamp to [-8, 8] and quantize to a 1e-6 grid as int64 (real PQ
+    assumes roughly unit-norm inputs; the clamp is the declared input
+    domain, the grid is far below codebook error). Every distance,
+    argmin, and ADC lookup is then EXACT int64 arithmetic — identical
+    on numpy, Spark, and DuckDB regardless of summation order — and
+    the only float ops left (centroid mean, final de-scale) are
+    provably correctly-rounded on both engines (sums < 2^53, one
+    division, half-even int cast). That makes the whole train → encode
+    → search pipeline a pure corpus function.
+
+    Returns (codebook nested list [m][k][d] of int64 grid values, sub)
+    — or (None, 0) when the sample is empty (empty partition / no
+    in-domain vectors).
     """
     import numpy as np
 
@@ -1124,33 +1136,58 @@ def pq_fit(spark, sf_dir, m=8, k=16, iters=3, sample_mod=None):
     x = np.asarray(
         [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
     )  # (n, dim)
-    dim = x.shape[1]
+    xq = pq_quantize(x)  # (n, dim) int64 on the 1e-6 grid
+    dim = xq.shape[1]
+    if dim % m:  # PQ requires dim divisible by m (FAISS rule) — the
+        return None, 0  # corpus is out of the PQ domain, mirrored in SQL
     sub = dim // m
-    xs = x.reshape(len(x), m, sub)  # (n, m, sub)
+    xs = xq.reshape(len(xq), m, sub)  # (n, m, sub)
     codebook = np.transpose(xs[:k], (1, 0, 2)).copy()  # init: first k rows
 
     for _ in range(iters):
-        # (n, m, k) distances, argmin per subspace → (n, m) codes
+        # (n, m, k) int distances, argmin per subspace → (n, m) codes
+        # (np.argmin takes the FIRST min — the lowest-code tiebreak)
         d2 = ((xs[:, :, None, :] - codebook[None, :, :, :]) ** 2).sum(axis=3)
         codes = d2.argmin(axis=2)
         for ms in range(m):
             for c in range(k):
                 mask = codes[:, ms] == c
                 if mask.any():
-                    codebook[ms, c] = xs[mask, ms, :].mean(axis=0)
+                    # exact: int sums < 2^53 are exact in float64, the
+                    # division is correctly rounded, np.rint is
+                    # half-even — DuckDB's CAST(sum AS DOUBLE)/count
+                    # then CAST(.. AS BIGINT) is the identical op tree
+                    codebook[ms, c] = np.rint(
+                        xs[mask, ms, :].astype(np.float64).mean(axis=0)
+                    ).astype(np.int64)
     return codebook.tolist(), sub
+
+
+PQ_SCALE = 1_000_000  # 1e-6 quantization grid
+PQ_CLAMP = 8.0  # declared PQ input domain: values saturate at ±8
+
+
+def pq_quantize(x):
+    """Clamp to ±PQ_CLAMP and quantize to the int64 grid (half-even,
+    matching DuckDB's CAST(DOUBLE AS BIGINT)). NaN → 0 on both engines'
+    mirrored op trees (DuckDB isnan guard; np.nan_to_num here)."""
+    import numpy as np
+
+    c = np.clip(np.nan_to_num(x, nan=0.0), -PQ_CLAMP, PQ_CLAMP)
+    return np.rint(c * PQ_SCALE).astype(np.int64)
 
 
 def _pq_encode_udf(codebook, sub):
     """Vectorized PQ encoder: embedding → array of per-subspace argmin
     codes. One Arrow batch becomes an (n, m, sub) tensor; distances to
     all k codewords per subspace are one einsum-shaped broadcastted
-    subtraction — no per-row Python, no JVM expression blow-up."""
+    subtraction — no per-row Python, no JVM expression blow-up.
+    All arithmetic is exact int64 on the pq_quantize grid (round 11)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    cb = np.asarray(codebook, dtype=np.int64)  # (m, k, sub)
     m = cb.shape[0]
 
     @pandas_udf("array<int>")
@@ -1161,7 +1198,7 @@ def _pq_encode_udf(codebook, sub):
         n = x.shape[0]
         if n == 0:
             return pd.Series([], dtype=object)
-        xs = x.reshape(n, m, sub)  # (n, m, sub)
+        xs = pq_quantize(x).reshape(n, m, sub)  # (n, m, sub) int64
         # (n, m, k): squared distance to every codeword in every subspace
         d2 = ((xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
         codes = d2.argmin(axis=2).astype("int32")  # (n, m)
@@ -1170,7 +1207,101 @@ def _pq_encode_udf(codebook, sub):
     return encode
 
 
-@query("llm_ann_ivf_pq")  # rows-only: approximate by construction
+def _pq_oracle_sql(m: int = 8, k: int = 16, iters: int = 3) -> str:
+    """Direct-form oracle for the PQ-ANN search (round 11, the last
+    promotion of the ANN family). Mirrors the integer-domain pipeline
+    term by term: pq_quantize (isnan->0, clamp +-PQ_CLAMP, *PQ_SCALE,
+    half-even BIGINT cast — DuckDB's CAST(DOUBLE AS BIGINT) == np.rint),
+    the sampled trainer (mod = greatest(4, n // 4096), init = first k
+    sample rows, per-round exact int distances with lowest-code argmin
+    tie-break and half-even integer centroid means with per-cell
+    carry-forward), full-corpus encoding, per-probe ADC lookup tables,
+    and the final (de-scaled double, neighbor_id) top-10 rank. A corpus
+    whose reference dimension is not divisible by m is OUT of the PQ
+    domain on both sides (zero rows)."""
+    q = (
+        "CAST(CASE WHEN isnan(x) THEN 0.0 "
+        f"ELSE greatest(least(x, {PQ_CLAMP}), -{PQ_CLAMP}) END "
+        f"* {PQ_SCALE}.0 AS BIGINT)"
+    )
+    descale = f"{float(PQ_SCALE) * float(PQ_SCALE)!r}"
+    parts = [
+        f"""WITH dom AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE {O_EMB_WHERE}
+    AND len(embedding) % {m} = 0
+), vq AS MATERIALIZED (
+  SELECT vec_id, CAST((pos - 1) // (len // {m}) AS INT) AS ms,
+         CAST((pos - 1) % (len // {m}) AS INT) AS d, {q} AS v
+  FROM (SELECT vec_id, len(embedding) AS len,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM dom)
+), sid_map AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS sid
+  FROM dom
+  WHERE vec_id % (SELECT greatest(4, count(*) // 4096) FROM dom) = 0
+), sq AS MATERIALIZED (
+  SELECT s.sid, v.ms, v.d, v.v
+  FROM sid_map s JOIN vq v ON v.vec_id = s.vec_id
+), c0 AS MATERIALIZED (
+  SELECT ms, CAST(sid AS INT) AS c, d, v FROM sq WHERE sid < {k}
+)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f""", pa{r} AS MATERIALIZED (
+  SELECT sid, ms, c FROM (
+    SELECT s.sid, s.ms, cb.c,
+           row_number() OVER (PARTITION BY s.sid, s.ms
+             ORDER BY sum((s.v - cb.v) * (s.v - cb.v)), cb.c) AS rn
+    FROM sq s JOIN c{r - 1} cb ON cb.ms = s.ms AND cb.d = s.d
+    GROUP BY s.sid, s.ms, cb.c
+  ) WHERE rn = 1
+), up{r} AS MATERIALIZED (
+  SELECT q.ms, a.c, q.d,
+         CAST(CAST(CAST(sum(q.v) AS BIGINT) AS DOUBLE) / count(*)
+              AS BIGINT) AS v
+  FROM sq q JOIN pa{r} a ON a.sid = q.sid AND a.ms = q.ms
+  GROUP BY q.ms, a.c, q.d
+), c{r} AS MATERIALIZED (
+  SELECT p.ms, p.c, p.d, coalesce(u.v, p.v) AS v
+  FROM c{r - 1} p LEFT JOIN up{r} u
+    ON u.ms = p.ms AND u.c = p.c AND u.d = p.d
+)"""
+        )
+    parts.append(
+        f""", enc AS MATERIALIZED (
+  SELECT vec_id, ms, c FROM (
+    SELECT v.vec_id, v.ms, cb.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.ms
+             ORDER BY sum((v.v - cb.v) * (v.v - cb.v)), cb.c) AS rn
+    FROM vq v JOIN c{iters} cb ON cb.ms = v.ms AND cb.d = v.d
+    GROUP BY v.vec_id, v.ms, cb.c
+  ) WHERE rn = 1
+), lut AS MATERIALIZED (
+  SELECT p.vec_id AS probe_id, p.ms, cb.c,
+         CAST(sum((p.v - cb.v) * (p.v - cb.v)) AS BIGINT) AS pd2
+  FROM vq p JOIN c{iters} cb ON cb.ms = p.ms AND cb.d = p.d
+  WHERE p.vec_id % 100 = 0
+  GROUP BY p.vec_id, p.ms, cb.c
+), adc AS MATERIALIZED (
+  SELECT l.probe_id, e.vec_id AS neighbor_id,
+         CAST(sum(l.pd2) AS BIGINT) AS di
+  FROM enc e JOIN lut l ON l.ms = e.ms AND l.c = e.c
+  GROUP BY l.probe_id, e.vec_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+  SELECT probe_id, neighbor_id,
+         CAST(di AS DOUBLE) / {descale} AS adc_dist,
+         row_number() OVER (PARTITION BY probe_id
+           ORDER BY CAST(di AS DOUBLE) / {descale}, neighbor_id) AS rnk
+  FROM adc
+) WHERE rnk <= 10"""
+    )
+    return "".join(parts)
+
+
+@query("llm_ann_ivf_pq", oracle=_pq_oracle_sql())
 def llm_ann_ivf_pq(spark, sf_dir):
     """Product-quantized ANN — the MEMORY lever for 100 TB vector search
     (Jégou et al. 2011). Each 64-dim float vector (256 B) compresses to
@@ -1193,6 +1324,14 @@ def llm_ann_ivf_pq(spark, sf_dir):
     cell pruning composes in front of this scan in production; here the
     scan is exhaustive so the pytest recall check isolates quantization
     error alone.
+
+    Value-oracle (round 11, promoted from rows-only — the last ANN
+    key): on the pq_quantize integer grid every distance, argmin and
+    ADC lookup is exact int64 arithmetic, so train -> encode -> search
+    is a pure corpus function; _pq_oracle_sql unrolls the sampled
+    trainer and mirrors the full search in SQL. The quotient machinery
+    (block scan, count-aware keeps, member expansion) is thereby
+    value-verified against the direct form on every corpus.
     """
     import numpy as np
     import pandas as pd
@@ -1202,7 +1341,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
         return spark.createDataFrame(
             [], "probe_id long, neighbor_id long, adc_dist double, rnk int"
         )
-    cb = np.asarray(codebook)  # (m, k, sub)
+    cb = np.asarray(codebook, dtype=np.int64)  # (m, k, sub), grid ints
     m = cb.shape[0]
     e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
 
@@ -1272,11 +1411,15 @@ def llm_ann_ivf_pq(spark, sf_dir):
         pe = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in probe_part["payload"]]
         )  # (p, dim)
-        ps = pe.reshape(len(pids), m, sub)  # (p, m, sub)
-        # per-probe LUT: (p, m, k) squared distances probe-sub → codeword
+        ps = pq_quantize(pe).reshape(len(pids), m, sub)  # (p, m, sub) int
+        # per-probe LUT: (p, m, k) EXACT int squared distances
         lut = ((ps[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
-        # gather: dist (p, u) = sum_m lut[p, m, codes[u, m]]
-        dist = np.zeros((len(pids), len(nids)))
+        # gather: dist (p, u) = sum_m lut[p, m, codes[u, m]] — int64,
+        # exact, so no rounding discipline is needed anywhere: the
+        # block keep, the global keep, and the final rank all order the
+        # same de-scaled doubles (distinct ints stay distinct after
+        # /PQ_SCALE², so the order is the int order)
+        dist = np.zeros((len(pids), len(nids)), dtype=np.int64)
         for ms in range(m):
             dist += lut[:, ms, codes[:, ms]]
         out = []
@@ -1284,12 +1427,9 @@ def llm_ann_ivf_pq(spark, sf_dir):
             # deterministic count-aware keep: order by (dist, neighbor
             # gid); keep every group whose strictly-better expanded
             # count is < 10 (covers the block's expanded top-10).
-            # The keep MUST be decided on the 6-decimal ROUNDED dists —
-            # the global keep and the final rank order rounded values,
-            # so a keep on raw dists could drop a group whose raw dist
-            # loses in-block but whose rounded dist ties (and then wins
-            # on the neighbor-id tiebreak) in the final order.
-            dist_r = np_round_half_away(dist[pi], 6)
+            dist_r = dist[pi].astype(np.float64) / (
+                float(PQ_SCALE) * float(PQ_SCALE)
+            )
             order = np.lexsort((nids, dist_r))
             ds = dist_r[order]
             cum = np.cumsum(ncnt[order])

@@ -112,6 +112,7 @@ ORACLE_KEYS = [
     "llm_kmeans",
     "llm_mmr_diverse_sample",
     "llm_ann_ivf",
+    "llm_ann_ivf_pq",
     "mm_frame_sample",
     "mm_binary_pipeline",
 ]
@@ -216,12 +217,14 @@ def test_ann_ivf_dup_parity(spark, dup_dir):
 
 def test_ann_ivf_pq_dup_parity(spark, dup_dir):
     """Direct reference: exhaustive numpy ADC scan from the same trained
-    codebook (pq_fit is deterministic), same rounding and tie policy."""
-    from adlspark.llm.similarity import pq_fit
-    from adlspark.llm.vector import np_round_half_away
+    codebook (pq_fit is deterministic), in the round-11 integer domain:
+    exact int64 distances on the pq_quantize grid, de-scaled once for
+    the reported double (no rounding discipline needed — ints are
+    exact)."""
+    from adlspark.llm.similarity import PQ_SCALE, pq_fit, pq_quantize
 
     codebook, sub = pq_fit(spark, dup_dir)
-    cb = np.asarray(codebook)
+    cb = np.asarray(codebook, dtype=np.int64)
     m = cb.shape[0]
     rows = (
         adl_tables.load(spark, dup_dir, "embeddings")
@@ -231,7 +234,7 @@ def test_ann_ivf_pq_dup_parity(spark, dup_dir):
     ids = np.asarray([r.vec_id for r in rows], dtype=np.int64)
     vecs = np.asarray([np.asarray(r.embedding, np.float64) for r in rows])
     # encode exactly like _pq_encode_udf: per subspace argmin distance
-    splits = vecs.reshape(len(ids), m, sub)
+    splits = pq_quantize(vecs).reshape(len(ids), m, sub)
     codes = np.empty((len(ids), m), dtype=np.int64)
     for ms in range(m):
         d2 = ((splits[:, ms, None, :] - cb[None, ms, :, :]) ** 2).sum(axis=2)
@@ -240,13 +243,13 @@ def test_ann_ivf_pq_dup_parity(spark, dup_dir):
     want = []
     for p in np.where(probe_mask)[0]:
         lut = ((splits[p][:, None, :] - cb) ** 2).sum(axis=2)  # (m, k)
-        dist = np.zeros(len(ids))
+        dist = np.zeros(len(ids), dtype=np.int64)
         for ms in range(m):
             dist += lut[ms, codes[:, ms]]
-        dist_r = np_round_half_away(dist, 6)
-        order = np.lexsort((ids, dist_r))[:10]
+        dist_d = dist.astype(np.float64) / (float(PQ_SCALE) * float(PQ_SCALE))
+        order = np.lexsort((ids, dist_d))[:10]
         for rnk, j in enumerate(order, start=1):
-            want.append((int(ids[p]), int(ids[j]), float(dist_r[j]), rnk))
+            want.append((int(ids[p]), int(ids[j]), float(dist_d[j]), rnk))
     got = sorted(
         map(tuple, all_queries()["llm_ann_ivf_pq"](spark, dup_dir).collect())
     )
