@@ -59,15 +59,15 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # llm_embed_centroids, llm_multimodal_struct, llm_embed_near_dup,
 # llm_embed_quantize, llm_srp_bits, llm_semantic_dedup,
 # llm_hard_negative_mine, llm_knn_graph — and llm_kmeans,
-# llm_mmr_diverse_sample, llm_ann_ivf, mm_frame_sample,
-# mm_binary_pipeline were promoted to computed value oracles with
-# determinism-disciplined kernels (exact-decimal means, mirrored
-# folds, hex-frame features). All verified this session by a full
-# 257-key driver-sim sweep at sf0.01 + targeted sims per change + the
-# mixed-dim/edge/dup hostile gates + mutation witnesses + an sf0.1
-# sweep (BASELINE.md round-11 record), but the DRIVER's stamp is
-# pre-change, so these 16 lead the r12 window ahead of the r04/r05
-# staleness rotation. (llm_graph_pagerank's oracle gained
+# llm_mmr_diverse_sample, llm_ann_ivf, llm_ann_ivf_pq,
+# mm_frame_sample, mm_binary_pipeline were promoted to computed value
+# oracles with determinism-disciplined kernels (exact-decimal means,
+# mirrored folds, hex-frame features, the PQ integer grid). All
+# verified this session by full 257-key driver-sim sweeps at sf0.01 +
+# targeted sims per change + the mixed-dim/edge/dup hostile gates +
+# mutation witnesses + an sf0.1 sweep (BASELINE.md round-11 record),
+# but the DRIVER's stamp is pre-change, so these 17 lead the r12
+# window ahead of the r04/r05 staleness rotation. (llm_graph_pagerank's oracle gained
 # intermediate BIGINT casts this session too — it is already in the
 # r11 window below.)
 _VERIFY_WINDOW = [
