@@ -452,7 +452,7 @@ def llm_multimodal_struct(spark, sf_dir):
     )
 
 
-def _ann_ivf_oracle_sql() -> str:
+def _ann_ivf_oracle_sql(nprobe: int = 3) -> str:
     """Direct-form oracle for the IVF search (round-11 promotion): the
     IVF result is DETERMINISTIC — approximate only relative to exact
     kNN, not to a re-run — so it gets a value oracle. The oracle is the
@@ -495,7 +495,7 @@ def _ann_ivf_oracle_sql() -> str:
              ORDER BY {csim} DESC, c.cell ASC NULLS FIRST) AS r
     FROM dom d CROSS JOIN cent c
     WHERE d.vec_id % 100 = 0
-  ) WHERE r <= 3
+  ) WHERE r <= {nprobe}
 )
 SELECT probe_id, neighbor_id, sim, rnk FROM (
   SELECT p.probe_id, a.vec_id AS neighbor_id,
@@ -1415,10 +1415,14 @@ def llm_ann_ivf_pq(spark, sf_dir):
         # per-probe LUT: (p, m, k) EXACT int squared distances
         lut = ((ps[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
         # gather: dist (p, u) = sum_m lut[p, m, codes[u, m]] — int64,
-        # exact, so no rounding discipline is needed anywhere: the
-        # block keep, the global keep, and the final rank all order the
-        # same de-scaled doubles (distinct ints stay distinct after
-        # /PQ_SCALE², so the order is the int order)
+        # exact, so no rounding discipline is needed anywhere. The
+        # parity invariant is that the block keep, the global keep, the
+        # oracle, and the final rank ALL order the IDENTICAL de-scaled
+        # doubles, so any ties collapse identically on every side. The
+        # de-scale itself is NOT injective past 2^53 (64 dims saturated
+        # at the ±8 clamp reach ~1.6e16 > 2^53, where distinct ints CAN
+        # collapse to equal doubles) — so never rank the raw ints on
+        # one side and the doubles on another.
         dist = np.zeros((len(pids), len(nids)), dtype=np.int64)
         for ms in range(m):
             dist += lut[:, ms, codes[:, ms]]

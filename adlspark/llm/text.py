@@ -1493,34 +1493,44 @@ def llm_ngram_novelty(spark, sf_dir):
     signal used to rank crawl batches before the expensive dedup passes
     (high seen_frac ≈ boilerplate or near-dup of prior data).
 
-    Scale shape: the trigram table is the winnowing/substring-dedup
-    workhorse shape — explode to (doc, ngram), distinct, then one
-    hash-shuffle keyed BY NGRAM for the global first-occurrence
-    aggregate and an ngram-keyed join back; every stage is
-    map-side-combinable and skew-bounded by trigram frequency. The
-    seen fraction is a small-integer divide — deterministic in IEEE
-    double, so round-6 is drift-free.
+    Scale shape (tightened round 12 — the r11 drift watch-item): the
+    per-doc DISTINCT trigram set is built ARRAY-SIDE
+    (transform(sequence) + array_distinct inside one codegen'd
+    projection), so (a) the exploded rows are already (doc_id, ng)
+    pairs — no global .distinct() shuffle of the widest relation, and
+    (b) the token array is never replicated per exploded row (the old
+    explode(idx) carried `w` through Generate, copying the whole array
+    into every per-position UnsafeRow). The global first-occurrence is
+    a window min over the one ngram-keyed shuffle (replacing the old
+    groupBy + join-back pair), then the per-doc aggregate. 2 shuffles
+    total, down from 4; skew-bounded by trigram frequency. The seen
+    fraction is a small-integer divide — deterministic in IEEE double,
+    so round-6 is drift-free.
     """
     d = tables.load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    idx = F.when(
-        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    g = (
-        d.select("doc_id", F.explode(idx).alias("i"), "w")
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), 3)).alias("ng"),
-        )
-        .distinct()
+    tri = F.when(
+        F.size("w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("w", i),
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("ng")
     )
-    first_seen = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    first_doc = F.min("doc_id").over(Window.partitionBy("ng"))
     seen = F.sum(
         F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        g.join(first_seen, "ng")
+        g.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),

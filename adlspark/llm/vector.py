@@ -95,14 +95,19 @@ def np_round_half_away(x, ndigits: int = 4):
 # embeddings share one dimension, and |x| stays within DECIMAL(38,10)
 # whenever a key uses exact decimal summation (~1e27 headroom).
 #
-# NULL ELEMENTS (round 8): also outside the vector domain by
-# convention. Arrow→pandas degrades a null float element to NaN, so a
-# null-element vector reaches every numpy kernel as the already-handled
-# NaN-element case — but DuckDB keeps NULL (≠ NaN), so the oracles
-# would diverge. The raw-column fn_array/fn_higher_order keys, which
-# are NOT vector kernels, handle null elements explicitly instead
-# (skip-null folds, gated by the null_elem corpus in
-# tests/test_embed_robustness.py).
+# NULL ELEMENTS (round 8, ENFORCED round 12): also outside the vector
+# domain. Until round 12 this was convention only — Arrow→pandas
+# degrades a null float element to NaN, so a null-element vector
+# reached every numpy kernel as the already-handled NaN-element case,
+# while DuckDB kept NULL (≠ NaN) and the oracles silently diverged
+# (r11 ADVICE: the PQ quantize CASE maps a NULL element to +8e6, the
+# MMR list_sum admits it, the kmeans fold NULL-poisons). The guard now
+# EXCLUDES any vector containing a NULL element on both sides
+# (exists(x -> x IS NULL) ↔ len(list_filter(x -> x IS NULL)) > 0), and
+# the null_elem corpus in tests/test_embed_robustness.py sweeps every
+# embedding-oracle key for parity. The raw-column
+# fn_array/fn_higher_order keys, which are NOT vector kernels, still
+# handle null elements explicitly (skip-null folds, same corpus).
 
 # MIXED DIMENSIONS (probed round 11, guard landed same round): a
 # wrong-dimension vector — the model-version-mixup reality of a 100 TB
@@ -124,7 +129,10 @@ def np_round_half_away(x, ndigits: int = 4):
 # is the self-describing test-fixture equivalent, and its cost is one
 # arg_min over (vec_id, len) pairs, broadcast once.
 
-_O_EMB_VALID = "embedding IS NOT NULL AND len(embedding) > 0"
+_O_EMB_VALID = (
+    "embedding IS NOT NULL AND len(embedding) > 0"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
 
 
 def o_emb_where(alias: str = "") -> str:
@@ -143,6 +151,7 @@ def o_emb_where(alias: str = "") -> str:
     return (
         f"{a}vec_id IS NOT NULL "
         f"AND {a}embedding IS NOT NULL AND len({a}embedding) > 0 "
+        f"AND len(list_filter({a}embedding, x -> x IS NULL)) = 0 "
         f"AND len({a}embedding) = "
         f"(SELECT arg_min(len(embedding), vec_id) FROM embeddings "
         f"WHERE {_O_EMB_VALID})"
@@ -153,17 +162,25 @@ O_EMB_WHERE = o_emb_where()
 
 
 def valid_embedding(col: Column) -> Column:
-    """Spark twin of the NULL/empty half of O_EMB_WHERE (the dimension
-    half needs the table-level reference dim — see load_embeddings)."""
-    return col.isNotNull() & (F.size(col) > 0)
+    """Spark twin of the row-local half of O_EMB_WHERE — non-NULL,
+    non-empty, and no NULL elements (the dimension half needs the
+    table-level reference dim — see load_embeddings). The exists
+    predicate is x.isNull(), which is always true/false, so the
+    negation never 3VL-swallows a row."""
+    return (
+        col.isNotNull()
+        & (F.size(col) > 0)
+        & ~F.exists(col, lambda x: x.isNull())
+    )
 
 
 def load_embeddings(spark, sf_dir):
     """The embeddings table restricted to its vector domain: non-NULL
-    id, non-NULL non-empty vector, and matching the table's reference
-    dimension (the dimension of the lowest-vec_id valid row — Spark
-    twin of O_EMB_WHERE's scalar subquery). The 1-row dim relation is
-    broadcast, so the guard is a narrow filter, not a shuffle."""
+    id, non-NULL non-empty vector with no NULL elements, and matching
+    the table's reference dimension (the dimension of the lowest-vec_id
+    valid row — Spark twin of O_EMB_WHERE's scalar subquery). The 1-row
+    dim relation is broadcast, so the guard is a narrow filter, not a
+    shuffle."""
     from adlspark import tables
 
     e = tables.load(spark, sf_dir, "embeddings")

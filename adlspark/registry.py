@@ -40,108 +40,89 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # absent from this list keep their existing verdicts because their code
 # is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 11 (recomputed 2026-08-15 with
+# State entering driver round 12 (recomputed 2026-08-16 with
 # tools/verification_debt.py — the single source of truth):
-#   - 257 registry keys, ALL 257 carry a green latest verdict, debt =
-#     0, ZERO failed — round 10 came back fully green (50/50). The
-#     round-10 window spent nearly every slot on the decimal-swap
-#     re-entries, so the r03/r04 staleness cohort (62 keys) is now the
-#     oldest signal; VERDICT r10 item 1 makes retiring it THE r11 job.
-# Composition: 4 code-changed re-entries/promotions + the entire r03
-# cohort (34) + the 12 oldest r04 keys = 50. The 16 remaining r04
-# keys and the r05 block rotate in r12.
-#
-# MANDATORY r12 (b)-class re-entries, recorded here at the moment the
-# code changed (round-11 session 2, after this window was frozen): the
-# mixed-dimension reference-dim guard rewrote load_embeddings +
-# O_EMB_WHERE, touching the PLAN AND ORACLE of every vector kernel —
-# llm_sim_topk, llm_sim_threshold_join, llm_knn_label,
-# llm_embed_centroids, llm_multimodal_struct, llm_embed_near_dup,
-# llm_embed_quantize, llm_srp_bits, llm_semantic_dedup,
-# llm_hard_negative_mine, llm_knn_graph — and llm_kmeans,
-# llm_mmr_diverse_sample, llm_ann_ivf, llm_ann_ivf_pq,
-# mm_frame_sample, mm_binary_pipeline were promoted to computed value
-# oracles with determinism-disciplined kernels (exact-decimal means,
-# mirrored folds, hex-frame features, the PQ integer grid). All
-# verified this session by full 257-key driver-sim sweeps at sf0.01 +
-# targeted sims per change + the mixed-dim/edge/dup hostile gates +
-# mutation witnesses + an sf0.1 sweep (BASELINE.md round-11 record),
-# but the DRIVER's stamp is pre-change, so these 17 lead the r12
-# window ahead of the r04/r05 staleness rotation. (llm_graph_pagerank's oracle gained
-# intermediate BIGINT casts this session too — it is already in the
-# r11 window below.)
+#   - 257 registry keys, ALL 257 green at their latest verdict, debt =
+#     0, ZERO failed — r11 came back fully green (50/50) and retired
+#     the r03 cohort. Oldest signal now: 16 r04 keys, then the r05
+#     block (24).
+# Composition: 18 (b)-class re-entries + the 16 remaining r04 keys +
+# the 16 oldest r05 keys = 50. The rest of r05 (8 keys) and the r06
+# block rotate in r13.
 _VERIFY_WINDOW = [
-    # (a) failed in the latest window: none (r10 fully green).
-    # (b) code changed this session after a green verdict — re-enter.
-    #   stream_rate_limited_backfill: the ntile(8) staging frame is now
-    #   materialized (localCheckpoint) before the per-bucket write loop
-    #   so event_id ties/NULLs can't re-assign rows between loop
-    #   evaluations (r11 ADVICE item; HASH-PASSED sf0.01 + sf0.001
-    #   sims + tiny/empty corpus gates):
-    "stream_rate_limited_backfill",
-    #   rows-only -> COMPUTED value-oracle promotions (VERDICT r10
-    #   item 2): the BPE trainer/encoder and the pagerank iteration
-    #   are fixed-round deterministic corpus functions, unrolled into
-    #   chained MATERIALIZED DuckDB CTEs (greedy merge == list_reduce
-    #   fold; float op trees mirrored term by term). Kernel changes
-    #   rode along: encode's NULL-text guard + >1000-char opaque-token
-    #   cap + fertility 0-word NULL guard. All three HASH-PASSED
-    #   sf0.01 + sf0.001 sims and the auto-enrolled hostile-corpus
-    #   parity gates (null/unicode/edge/giant/empty docs):
-    "llm_bpe_learn",
-    "llm_bpe_encode",
-    "llm_graph_pagerank",
-    # (c) never-verified debt: none (first round with zero debt).
-    # (d) staleness rotation — the ENTIRE r03 cohort, oldest verdicts
-    #   in the registry (verification_debt.py ranking, list order):
-    "fn_struct",
-    "fn_url",
-    "ts_gap_fill",
-    "ts_funnel",
-    "subq_in",
-    "subq_exists_corr",
-    "subq_lateral",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "set_except_all",
-    "sort_multi",
-    "limit_topk",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_grouped_map",
-    "udf_map_in_pandas",
-    "udtf_python",
-    "catalog_entries",
-    "catalog_persistent",
-    "join_asof",
-    "agg_collect_sorted",
-    "win_rank_dense",
-    "win_first_last",
-    "win_nth_value",
-    "stream_tumbling_watermark",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_stateful_count",
-    "stream_foreach_batch_upsert",
-    "stream_transform_with_state",
-    #   ...then the 12 oldest r04 keys:
-    "llm_doc_chunk",
-    "llm_unigram_logprob",
-    "llm_stratified_sample",
-    "llm_token_histogram",
-    "llm_pack_bins",
-    "llm_bigram_logprob",
-    "llm_text_normalize",
-    "lake_scd2",
-    "lake_merge_upsert",
-    "lake_profile_columns",
-    "lake_schema_diff",
-    "lake_time_travel",
-    # Slot arithmetic: 4 (b) + 34 r03 + 12 r04 = 50.
+    # (a) failed in the latest window: none (r11 fully green).
+    # (b) code changed after the last green verdict — re-enter. Two
+    #   changes this session, SAME key set:
+    #   1. VERDICT r11 lead item — the 6 round-11 value-oracle
+    #      promotions whose oracle form the driver has never run
+    #      (llm_kmeans, llm_mmr_diverse_sample, llm_ann_ivf,
+    #      llm_ann_ivf_pq, mm_frame_sample, mm_binary_pipeline) plus
+    #      the 11 vector kernels whose plan+oracle the r11 mixed-dim
+    #      reference-dim guard rewrote after their window froze.
+    #   2. r11 ADVICE (round-12 session): the shared vector-domain
+    #      guard (load_embeddings / O_EMB_WHERE, one edit point) now
+    #      EXCLUDES null-element vectors on both engines, closing the
+    #      NULL-vs-NaN oracle divergence on the promoted keys; this
+    #      touches the same kernels/oracles again, plus rows-only
+    #      llm_pca_power. All 18 HASH-PASSED (pca rows-only) a
+    #      targeted sf0.01 driver sim after the guard change, and the
+    #      null_elem hostile corpus now parity-sweeps every
+    #      embedding-oracle key (tests/test_embed_robustness.py).
+    "llm_kmeans",
+    "llm_mmr_diverse_sample",
+    "llm_ann_ivf",
+    "llm_ann_ivf_pq",
+    "mm_frame_sample",
+    "mm_binary_pipeline",
+    "llm_sim_topk",
+    "llm_sim_threshold_join",
+    "llm_knn_label",
+    "llm_embed_centroids",
+    "llm_multimodal_struct",
+    "llm_embed_near_dup",
+    "llm_embed_quantize",
+    "llm_srp_bits",
+    "llm_semantic_dedup",
+    "llm_hard_negative_mine",
+    "llm_knn_graph",
+    "llm_pca_power",
+    # (c) never-verified debt: none.
+    # (d) staleness rotation — the 16 remaining r04 keys (VERDICT r11
+    #   item 2), verification_debt.py ranking order:
+    "lake_cdc_diff",
+    "lake_validate_rules",
+    "lake_gdpr_delete",
+    "ts_resample_ohlc",
+    "ts_retention",
+    "subq_not_in_null",
+    "subq_any_all",
+    "join_interval_bucketed",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "agg_mode",
+    "agg_heavy_hitters_cms",
+    "agg_median",
+    "agg_first_last_by",
+    "win_cume_pct",
+    "win_streak",
+    #   ...then the 16 oldest r05 keys:
+    "llm_perplexity_bucket",
+    "llm_soft_dedup_weight",
+    "llm_ngram_novelty",
+    "llm_cooccurrence_pmi",
+    "llm_rouge_overlap",
+    "llm_dsir_weight",
+    "llm_mixture_weights",
+    "lake_snapshot_rollback",
+    "fn_unpivot",
+    "fn_try_arith",
+    "ts_pattern_match",
+    "ts_rolling_corr",
+    "ts_attribution",
+    "ts_burst_detect",
+    "ts_active_users",
+    "ts_drift_psi",
+    # Slot arithmetic: 18 (b) + 16 r04 + 16 r05 = 50.
 ]
 
 

@@ -29,16 +29,19 @@ Remaining input contract, stated not tested: non-empty embeddings
 share one dimension, and |x| stays within DECIMAL(38,10) exact-sum
 headroom (~1e27) for the decimal-disciplined keys.
 
-NULL ELEMENTS (round 8): the raw-column fn_* array keys skip null
-elements explicitly and are gated below (null_elem_dir). For the
-VECTOR kernels the domain line is drawn differently: Arrow→pandas
-degrades a null float element to NaN, so a null-element vector reaches
-every numpy kernel as the NaN-element case the edge corpus already
-covers (filtered by the non-finite guards) — but DuckDB sees NULL, not
-NaN, so the ORACLES would diverge on such a corpus. Null-element
-vectors are therefore OUTSIDE the vector domain by convention (same
-tier as ragged dimensions), not swept; the fixtures have never carried
-them and vector.py documents the contract.
+NULL ELEMENTS (round 8, ENFORCED round 12): the raw-column fn_* array
+keys skip null elements explicitly and are gated below
+(null_elem_dir). For the VECTOR kernels, null-element vectors were
+OUTSIDE the domain by convention only until round 12: Arrow→pandas
+degrades a null float element to NaN, so a null-element vector reached
+every numpy kernel as the NaN-element case — but DuckDB sees NULL, not
+NaN, and the r11 ADVICE probe showed the promoted oracles (PQ
+quantize's CASE, MMR's list_sum domain test, kmeans' fold) silently
+diverging on such corpora. The shared domain guard
+(vector.load_embeddings / O_EMB_WHERE) now EXCLUDES null-element
+vectors on both engines, and test_null_element_parity sweeps EVERY
+embedding-oracle key over the null_elem corpus so the exclusion is
+verified, not asserted.
 """
 
 from __future__ import annotations
@@ -166,9 +169,10 @@ def null_elem_dir(tmp_path_factory, sf_dir):
     """Vectors with NULL ELEMENTS (distinct from NULL/empty vectors):
     a null first element (the fold-seed trap — a max fold seeded with
     element 1 stays NULL forever), a null mid element, and an all-null
-    vector. Targeted at the fn_* array-surface keys, which read the
-    embedding column raw; the vector kernels exclude these through
-    their load_embeddings domain and are swept by edge_embed_dir."""
+    vector. The fn_* array-surface keys read the embedding column raw
+    and skip nulls explicitly; every VECTOR kernel excludes these rows
+    through the shared load_embeddings/O_EMB_WHERE domain guard (round
+    12) — both behaviors are parity-swept below."""
     d = tmp_path_factory.mktemp("nullelem")
     for t in adl_tables.TABLES:
         tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
@@ -198,12 +202,20 @@ def null_elem_dir(tmp_path_factory, sf_dir):
     return str(d)
 
 
-@pytest.mark.parametrize("key", ["fn_higher_order", "fn_array"])
+@pytest.mark.parametrize(
+    "key",
+    sorted(set(EMBED_ORACLE_KEYS) | {"fn_higher_order", "fn_array"}),
+)
 def test_null_element_parity(spark, null_elem_dir, key):
-    """The round-8 advice fix: fn_higher_order's max fold must skip
-    null elements (oracle: list_aggregate 'max'), not go permanently
-    NULL off a NULL seed; exists/forall run on the null-filtered array
-    to match DuckDB's null-ignoring list_contains."""
+    """Round-8 advice fix + round-12 domain enforcement. For the fn_*
+    array keys: fn_higher_order's max fold must skip null elements
+    (oracle: list_aggregate 'max'), not go permanently NULL off a NULL
+    seed; exists/forall run on the null-filtered array to match
+    DuckDB's null-ignoring list_contains. For every vector-kernel key:
+    the null-element rows are excluded by the shared domain guard on
+    BOTH engines, so kernel and oracle must agree on this corpus (the
+    r11 ADVICE divergence class: NULL→NaN Arrow degradation vs
+    DuckDB's 3VL NULL)."""
     from adlspark.testing import compare
 
     con = _ddb(null_elem_dir)

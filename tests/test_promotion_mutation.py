@@ -2,11 +2,14 @@
 
 A computed oracle is only worth its promotion if it actually PINS the
 kernel's parameters and iteration structure — a green gate that would
-stay green under a wrong kernel is decoration. Each test here runs a
-deliberately mutated kernel (one fewer Lloyd round, a different MMR
-lambda, a different IVF probe set) against the SHIPPED oracle and
-requires the compare to FAIL, mirroring the repo's margin-narrowing
-mutation checks in test_dup_density.
+stay green under a wrong kernel is decoration. Each test here compares
+a deliberately mutated kernel (one fewer Lloyd round, a different k)
+against the SHIPPED oracle — or, where the kernel hardcodes the
+parameter, the SHIPPED kernel against a mutated oracle (the MMR
+precedent: same comparison, one side perturbed) — and requires the
+compare to FAIL, mirroring the repo's margin-narrowing mutation checks
+in test_dup_density. Round 12 adds the ANN witnesses (IVF nprobe, PQ
+trainer iteration count) the r11 ADVICE flagged as missing.
 """
 
 from __future__ import annotations
@@ -62,6 +65,33 @@ def test_mmr_oracle_pins_lambda(spark, sf_dir, con):
         compare(df, con, _mmr_oracle_sql(k=8, lam=0.5), key="llm_mmr~mut")
     # and the un-mutated oracle passes on the same collected frame
     compare(df, con, all_oracles()["llm_mmr_diverse_sample"], key="llm_mmr")
+
+
+def test_ann_ivf_oracle_pins_nprobe(spark, sf_dir, con):
+    """The IVF oracle must encode the probe-cell budget: against an
+    nprobe=2 oracle the shipped nprobe=3 kernel finds neighbors in a
+    third cell the oracle never searches — compare must fail. (Kernel
+    hardcodes nprobe, so the oracle side is mutated, like the MMR
+    lambda test.)"""
+    from adlspark.llm.similarity import _ann_ivf_oracle_sql, llm_ann_ivf
+
+    df = llm_ann_ivf(spark, sf_dir)  # shipped kernel, nprobe=3
+    with pytest.raises(AssertionError):
+        compare(df, con, _ann_ivf_oracle_sql(nprobe=2), key="llm_ivf~mut")
+    # and the un-mutated oracle passes on the same frame
+    compare(df, con, all_oracles()["llm_ann_ivf"], key="llm_ivf")
+
+
+def test_ann_ivf_pq_oracle_pins_trainer_iters(spark, sf_dir, con):
+    """The PQ oracle's unrolled-CTE trainer must encode the Lloyd
+    round count: a 2-round oracle yields different codebooks, hence
+    different ADC distances, than the shipped 3-round kernel."""
+    from adlspark.llm.similarity import _pq_oracle_sql, llm_ann_ivf_pq
+
+    df = llm_ann_ivf_pq(spark, sf_dir)  # shipped kernel, iters=3
+    with pytest.raises(AssertionError):
+        compare(df, con, _pq_oracle_sql(iters=2), key="llm_pq~mut")
+    compare(df, con, all_oracles()["llm_ann_ivf_pq"], key="llm_pq")
 
 
 def test_frame_sample_oracle_pins_stride(spark, sf_dir, con):
