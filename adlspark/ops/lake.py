@@ -755,9 +755,21 @@ def lake_merge_upsert(spark, sf_dir):
     )
 
 
-@query("lake_compact_small_files")  # rows-only: filesystem side effects
+@query("lake_compact_small_files")  # rows-only: see docstring
 def lake_compact_small_files(spark, sf_dir):
     """Small-file compaction — the lake's OPTIMIZE primitive. A
+
+    ROWS-ONLY BY CAUSE (assessed for promotion round 12, declined):
+    the output is physical file statistics — file counts and byte
+    sums are functions of the WRITER ENVIRONMENT (parquet library
+    version, compression codec, row-group sizing, and Spark's
+    round-robin placement, which probe-measurably varies with input
+    partitioning for sub-64-row corpora: 2 rows → 3 files), not of
+    the corpus, so no DuckDB expression can compute them. The
+    invariants that ARE corpus functions (row conservation, the
+    ceil-target output-file bound) are pinned by
+    tests/test_fixture_invariants.py::test_compaction_invariants
+    instead.
     deliberately fragmented staging of orders (64 tiny files — the
     classic streaming-ingest pathology: listing cost, footer overhead
     and task-per-file scheduling all scale with file count, not bytes)
@@ -1094,9 +1106,16 @@ def lake_cdc_diff(spark, sf_dir):
     )
 
 
-@query("lake_vacuum_orphans")  # rows-only: filesystem side effects
+@query("lake_vacuum_orphans")  # rows-only: see lake_compact_small_files
 def lake_vacuum_orphans(spark, sf_dir):
     """VACUUM planning: find staged files on disk that no catalog entry
+
+    ROWS-ONLY BY CAUSE (round 12): bytes_reclaimable is a physical
+    file size — a writer-environment function, not a corpus function
+    (same analysis as lake_compact_small_files). The corpus-derivable
+    invariants (b1 is the only orphan batch; per-batch file count 1;
+    reclaimable bytes positive iff events is non-empty) are pinned by
+    tests/test_fixture_invariants.py::test_vacuum_invariants.
     references — aborted writes, superseded compactions, failed batches
     leave orphans that cost storage and confuse listings; every table
     format ships a vacuum for them. Three batches are staged (b0, b1,

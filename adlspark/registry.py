@@ -46,9 +46,9 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     0, ZERO failed — r11 came back fully green (50/50) and retired
 #     the r03 cohort. Oldest signal now: 16 r04 keys, then the r05
 #     block (24).
-# Composition: 18 (b)-class re-entries + the 16 remaining r04 keys +
-# the 16 oldest r05 keys = 50. The rest of r05 (8 keys) and the r06
-# block rotate in r13.
+# Composition: 18 (b)-class re-entries + 4 round-12 stream promotions
+# + the 16 remaining r04 keys + the 12 oldest r05 keys = 50. The rest
+# of r05 (12 keys) and the r06 block rotate in r13.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r11 fully green).
     # (b) code changed after the last green verdict — re-enter. Two
@@ -86,6 +86,21 @@ _VERIFY_WINDOW = [
     "llm_hard_negative_mine",
     "llm_knn_graph",
     "llm_pca_power",
+    #   3. Round-12 rows-only -> value-oracle promotions (VERDICT r11
+    #      item 5, target rows-only 18 -> <=14): the four stream keys
+    #      whose availableNow/complete (or single-batch append) result
+    #      is a pure corpus function — OHLC bars, sliding histogram,
+    #      the attribution interval join, the drained per-user state.
+    #      Each carries a mutation witness + empty-corpus gate and
+    #      auto-enrolled in the hostile events corpora; all four
+    #      HASH-PASSED sf0.01 + sf0.001 sims. (lake_compact_small_files
+    #      / lake_vacuum_orphans were assessed and stay rows-only with
+    #      the cause documented in their docstrings: physical file/byte
+    #      stats are writer-environment functions.)
+    "stream_tumbling_ohlc",
+    "stream_sliding_watermark",
+    "stream_stream_join",
+    "stream_transform_with_state",
     # (c) never-verified debt: none.
     # (d) staleness rotation — the 16 remaining r04 keys (VERDICT r11
     #   item 2), verification_debt.py ranking order:
@@ -118,11 +133,7 @@ _VERIFY_WINDOW = [
     "fn_try_arith",
     "ts_pattern_match",
     "ts_rolling_corr",
-    "ts_attribution",
-    "ts_burst_detect",
-    "ts_active_users",
-    "ts_drift_psi",
-    # Slot arithmetic: 18 (b) + 16 r04 + 16 r05 = 50.
+    # Slot arithmetic: 18 (b) + 4 promotions + 16 r04 + 12 r05 = 50.
 ]
 
 

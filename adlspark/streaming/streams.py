@@ -236,13 +236,36 @@ def stream_foreach_batch_upsert(spark, sf_dir):
     return merged.groupBy("event_type").agg(F.sum("n").cast("long").alias("n"))
 
 
-@query("stream_transform_with_state")
+def _tws_oracle_sql(event_id_mod: int | None = None) -> str:
+    """Value oracle for stream_transform_with_state (round-12
+    promotion): the final state per user — after the update-mode
+    stream drains and the max-per-user projection — is exactly the
+    per-user event count, whichever stateful API computed it (TWS v2
+    or the applyInPandasWithState fallback; both fold every row into
+    the key's counter, NULL user_id keys included — grouped state
+    keeps a None key exactly like GROUP BY keeps NULL). No watermark
+    is involved, so NULL-ts rows count too. ``event_id_mod`` is the
+    mutation hook: a filtered oracle simulates a kernel that lost
+    rows between micro-batches."""
+    where = (
+        f"WHERE event_id % {event_id_mod} = 0" if event_id_mod else ""
+    )
+    return f"""
+SELECT user_id, count(*) AS n_events FROM events {where} GROUP BY user_id
+"""
+
+
+@query("stream_transform_with_state", oracle=_tws_oracle_sql())
 def stream_transform_with_state(spark, sf_dir):
     """Spark 4 stateful-processing v2 (transformWithStateInPandas): a
     StatefulProcessor keeping a per-user running count in a ValueState —
     the successor API to applyInPandasWithState, with typed state,
     timers, and RocksDB-backed stores (required provider; set per
     session).
+
+    Value-oracle (round 12, promoted from rows-only): the drained
+    final state is a pure corpus function (per-user count) on either
+    API path — see _tws_oracle_sql.
 
     ENV GATE: the TWS python protocol needs google.protobuf, which is
     broken in this container (ImportError: cannot import descriptor —
@@ -300,7 +323,38 @@ def stream_transform_with_state(spark, sf_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
-@query("stream_stream_join")
+def _ssj_oracle_sql(window_min: int = 15) -> str:
+    """Value oracle for stream_stream_join (round-12 promotion): on a
+    single availableNow batch (every harness corpus is one parquet
+    file) an APPEND-mode inner stream-stream join emits each match
+    immediately — inner joins never wait for the watermark, and no
+    eviction happens mid-batch — so the sink equals the batch interval
+    join. The banding is exactly-once by construction (each qualifying
+    pair matches in one band assignment — ops/banding.py), so the
+    oracle is the UNBANDED interval join. NULL ts / NULL user_id rows
+    drop on both engines (null join keys / null time predicates).
+    Multi-file backlogs processed as several micro-batches can drop
+    late rows per the documented watermark contract — that path is the
+    stress tools' territory, outside this oracle's single-batch
+    domain. ``window_min`` parameterizes the attribution window for
+    the mutation witness."""
+    return f"""
+WITH v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts FROM events
+  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+), p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT v.user_id, count(*) AS n_attributed
+FROM v JOIN p ON p.user_id = v.user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL {window_min} MINUTE
+GROUP BY v.user_id
+"""
+
+
+@query("stream_stream_join", oracle=_ssj_oracle_sql())
 def stream_stream_join(spark, sf_dir):
     """Stream-stream inner join with watermarks + event-time range (the
     view→purchase attribution join): both sides carry a 30-minute
@@ -310,6 +364,10 @@ def stream_stream_join(spark, sf_dir):
     makes stream-stream joins feasible on an unbounded source. Append
     mode (the only mode stream-stream inner joins support); output is
     the per-user attribution count.
+
+    Value-oracle (round 12, promoted from rows-only): single-batch
+    availableNow + append-mode inner join = the batch interval join;
+    see _ssj_oracle_sql for the domain statement.
 
     The join key is BANDED (user_id, 15-min bucket) — the same trick as
     the batch ``join_theta_range``: views duplicate into their own and
@@ -362,7 +420,51 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
-@query("stream_tumbling_ohlc")
+def _stream_ohlc_oracle_sql(hours: int = 24) -> str:
+    """Value oracle for stream_tumbling_ohlc (round-12 promotion): with
+    availableNow over static fixture data and complete output mode, the
+    sink table IS the full-corpus aggregate — the same determinism
+    argument as the batch ts_tumbling/ts_sliding precedent, pinned
+    independently by tests/test_streaming_equivalence. The SQL is the
+    ts_resample_ohlc gaps-free form restricted to Spark's streaming
+    window domain (F.window DROPS null-ts rows, hence ts IS NOT NULL;
+    user_id is coalesced in PARTITION BY only — the DuckDB 1.0
+    null-window-key nondeterminism note in
+    tests/test_event_null_robustness.py). ``hours`` parameterizes the
+    bar width so the mutation witness can prove the oracle pins it."""
+    bucket = hours * 3600
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         -- make_timestamp(µs) is a NAIVE timestamp (to_timestamp would
+         -- be TIMESTAMPTZ and its DATE cast depends on DuckDB's
+         -- session TimeZone); FLOOR handles pre-epoch µs correctly
+         CAST(make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))
+                  / {bucket}) * {bucket} AS BIGINT) * 1000000)
+              AS DATE) AS day,
+         CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events WHERE ts IS NOT NULL
+), r AS (
+  SELECT user_id, day, value,
+         row_number() OVER (
+           PARTITION BY coalesce(user_id, -1), day
+           ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (
+           PARTITION BY coalesce(user_id, -1), day
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT day, user_id,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+       count(*) AS n
+FROM r GROUP BY day, user_id
+"""
+
+
+@query("stream_tumbling_ohlc", oracle=_stream_ohlc_oracle_sql())
 def stream_tumbling_ohlc(spark, sf_dir):
     """Daily OHLC bars per user computed IN the stream (complete mode):
     open/close via min_by/max_by on the deterministic (ts, event_id)
@@ -370,7 +472,13 @@ def stream_tumbling_ohlc(spark, sf_dir):
     ts_resample_ohlc derives with windows, which is exactly what makes
     the bars maintainable incrementally by the state store (no
     row_number, no sort: each new event folds into its (user, day)
-    state in O(1)). Streaming/batch equivalence is pytest-asserted."""
+    state in O(1)). Streaming/batch equivalence is pytest-asserted.
+
+    Value-oracle (round 12, promoted from rows-only): availableNow +
+    complete mode over non-late static data makes the sink table a
+    pure corpus function (the ts_tumbling/ts_sliding batch precedent);
+    _stream_ohlc_oracle_sql mirrors the full aggregate including the
+    (ts, event_id) open/close tiebreak and the null-ts window drop."""
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(
         F.window("ts", "1 day").alias("w"), "user_id"
@@ -394,13 +502,42 @@ def stream_tumbling_ohlc(spark, sf_dir):
     return spark.table(name)
 
 
-@query("stream_sliding_watermark")
+def _stream_sliding_oracle_sql(slide: int = 1800) -> str:
+    """Value oracle for stream_sliding_watermark (round-12 promotion,
+    same argument as _stream_ohlc_oracle_sql): the ts_sliding oracle
+    shape — each event expands to its two 1-hour/30-minute windows by
+    epoch arithmetic (FLOOR, not integer division: truncation
+    disagrees with window bucketing for pre-epoch µs) — plus the
+    event_type grouping the streaming key carries. ``slide``
+    parameterizes the window step for the mutation witness (slide =
+    window width ⇒ one window per event ⇒ a different histogram)."""
+    return f"""
+WITH e AS (
+  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / {slide}) * {slide}
+              AS BIGINT) AS tb, event_type
+  FROM events WHERE ts IS NOT NULL
+), w AS (
+  SELECT tb AS w_epoch, event_type FROM e
+  UNION ALL
+  SELECT tb - {slide} AS w_epoch, event_type FROM e WHERE {slide} < 3600
+)
+SELECT w_epoch, event_type, count(*) AS n
+FROM w GROUP BY w_epoch, event_type
+"""
+
+
+@query("stream_sliding_watermark", oracle=_stream_sliding_oracle_sql())
 def stream_sliding_watermark(spark, sf_dir):
     """Sliding 1-hour windows every 30 minutes per event_type in
     streaming mode (complete output; each event folds into exactly two
     window states — the state store holds one row per (window, type)).
     Mirrors the batch ts_sliding key; streaming/batch equality is
-    pytest-asserted in test_streaming_equivalence."""
+    pytest-asserted in test_streaming_equivalence.
+
+    Value-oracle (round 12, promoted from rows-only): availableNow +
+    complete mode over non-late static data makes the sink table a
+    pure corpus function; the oracle is the hash-green ts_sliding form
+    with the event_type key added."""
     ev = events_stream(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")

@@ -155,3 +155,57 @@ def test_measure_columns_nan_free():
                 "(NaN/inf) values — o_dsum oracles will crash "
                 "asymmetrically"
             )
+
+
+def test_compaction_invariants(spark):
+    """The corpus-derivable half of lake_compact_small_files (the
+    physical file/byte stats are writer-environment functions — the
+    docstring's rows-only cause): compaction conserves bytes and rows,
+    strictly reduces file count on the 64-way fragmented staging, and
+    the output file count respects the ceil(bytes/target) sizing."""
+    import math
+
+    from adlspark.registry import all_queries
+
+    rows = {
+        r["phase"]: r
+        for r in all_queries()["lake_compact_small_files"](
+            spark, SF_DIR
+        ).collect()
+    }
+    before, after = rows["before"], rows["after"]
+    assert before["n_files"] == 64
+    assert after["n_files"] < before["n_files"]
+    assert after["n_files"] == max(
+        1, math.ceil(before["total_bytes"] / (8 * 1024 * 1024))
+    )
+    # bytes shrink (the 64 dropped footers dominate tiny files — the
+    # very pathology the key demonstrates), and ROWS are conserved
+    # exactly through the rewrite
+    assert after["total_bytes"] <= before["total_bytes"]
+    from adlspark.io.ingest import work_dir
+    import os
+
+    base = work_dir(SF_DIR, "compaction")
+    n_in = spark.read.parquet(os.path.join(base, "fragmented")).count()
+    n_out = spark.read.parquet(os.path.join(base, "compacted")).count()
+    assert n_in == n_out > 0
+
+
+def test_vacuum_invariants(spark):
+    """Corpus-derivable half of lake_vacuum_orphans: exactly one
+    orphan batch (b1, the aborted ingest), coalesce(1) staging gives
+    one file per batch, and reclaimable bytes are positive iff events
+    rows were staged."""
+    from adlspark.registry import all_queries
+
+    rows = all_queries()["lake_vacuum_orphans"](spark, SF_DIR).collect()
+    by = {(r["batch"], r["status"]): r for r in rows}
+    assert set(by) == {
+        ("b0", "referenced"),
+        ("b1", "orphan"),
+        ("b2", "referenced"),
+    }
+    for r in rows:
+        assert r["n_files"] == 1
+    assert by[("b1", "orphan")]["bytes_reclaimable"] > 0

@@ -28,6 +28,13 @@ PROMOTED = [
     "llm_bpe_learn",
     "llm_bpe_encode",
     "llm_graph_pagerank",
+    # round-12 stream promotions: empty events → empty sink table on
+    # both sides (the availableNow batch sees zero rows; complete mode
+    # emits an empty aggregate)
+    "stream_tumbling_ohlc",
+    "stream_sliding_watermark",
+    "stream_stream_join",
+    "stream_transform_with_state",
 ]
 
 

@@ -102,3 +102,114 @@ def test_frame_sample_oracle_pins_stride(spark, sf_dir, con):
         compare(
             df, con, _frame_sample_oracle_sql(stride=2), key="mm_frame~mut"
         )
+
+
+def test_stream_ohlc_oracle_pins_bar_width(spark, sf_dir, con):
+    """Round-12 stream promotions: the OHLC oracle must encode the
+    1-day bar — a 48-hour oracle merges adjacent days into one bar
+    labeled by the bucket start. (12 hours would be a NO-OP mutation:
+    the DATE cast collapses both half-day buckets back to the same
+    day, so the narrower width must come from the wider side.)"""
+    from adlspark.streaming.streams import (
+        _stream_ohlc_oracle_sql,
+        stream_tumbling_ohlc,
+    )
+
+    df = stream_tumbling_ohlc(spark, sf_dir)  # shipped kernel, 1-day bars
+    with pytest.raises(AssertionError):
+        compare(df, con, _stream_ohlc_oracle_sql(hours=48), key="s_ohlc~mut")
+    compare(
+        df, con, all_oracles()["stream_tumbling_ohlc"], key="s_ohlc"
+    )
+
+
+def test_stream_sliding_oracle_pins_slide(spark, sf_dir, con):
+    """slide == width (3600) means one window per event instead of
+    two — a different histogram on any fixture."""
+    from adlspark.streaming.streams import (
+        _stream_sliding_oracle_sql,
+        stream_sliding_watermark,
+    )
+
+    df = stream_sliding_watermark(spark, sf_dir)  # shipped, 1h/30m
+    with pytest.raises(AssertionError):
+        compare(
+            df, con, _stream_sliding_oracle_sql(slide=3600), key="s_slide~mut"
+        )
+    compare(
+        df, con, all_oracles()["stream_sliding_watermark"], key="s_slide"
+    )
+
+
+def test_stream_stream_join_oracle_pins_window(spark, sf_dir, tmp_path):
+    """A 30-minute attribution oracle admits strictly more
+    view→purchase pairs than the shipped 15-minute kernel. The sf
+    fixtures' view→purchase deltas happen to all fall inside 15
+    minutes (probed: widening to 30 is a NO-OP there and narrowing to
+    5 drops nothing at sf0.001), so the witness runs on a crafted
+    corpus with purchases at +10 and +20 minutes — only the +10 one
+    is attributable at 15."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adlspark import tables as adl_tables
+    from adlspark.streaming.streams import _ssj_oracle_sql, stream_stream_join
+
+    d = str(tmp_path / "ssjmut")
+    os.makedirs(d)
+    for t in adl_tables.TABLES:
+        if t == "events":
+            tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+            df0 = tbl.to_pandas().iloc[:3].reset_index(drop=True)
+            t0 = df0.loc[0, "ts"]
+            df0["user_id"] = 7
+            df0["event_type"] = ["view", "purchase", "purchase"]
+            df0["ts"] = [
+                t0,
+                t0 + pd.Timedelta(minutes=10),
+                t0 + pd.Timedelta(minutes=20),
+            ]
+            pq.write_table(
+                pa.Table.from_pandas(
+                    df0, schema=tbl.schema, preserve_index=False
+                ),
+                os.path.join(d, "events.parquet"),
+            )
+        else:
+            shutil.copyfile(
+                os.path.join(sf_dir, f"{t}.parquet"),
+                os.path.join(d, f"{t}.parquet"),
+            )
+    mcon = duckdb.connect()
+    try:
+        for t in adl_tables.TABLES:
+            mcon.execute(
+                f"CREATE VIEW {t} AS"
+                f" SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        df = stream_stream_join(spark, d)  # shipped kernel, 15 min
+        with pytest.raises(AssertionError):
+            compare(df, mcon, _ssj_oracle_sql(window_min=30), key="s_ssj~mut")
+        compare(df, mcon, all_oracles()["stream_stream_join"], key="s_ssj")
+    finally:
+        mcon.close()
+
+
+def test_tws_oracle_pins_row_totality(spark, sf_dir, con):
+    """A kernel that lost rows between micro-batches (simulated by the
+    half-corpus oracle) must hash-mismatch the per-user counts."""
+    from adlspark.streaming.streams import (
+        _tws_oracle_sql,
+        stream_transform_with_state,
+    )
+
+    df = stream_transform_with_state(spark, sf_dir)
+    with pytest.raises(AssertionError):
+        compare(df, con, _tws_oracle_sql(event_id_mod=2), key="s_tws~mut")
+    compare(
+        df, con, all_oracles()["stream_transform_with_state"], key="s_tws"
+    )

@@ -175,8 +175,12 @@ def test_surfaces_nonempty():
     # promoted llm_bpe_learn + llm_bpe_encode + mm_frame_sample +
     # mm_binary_pipeline (docs 6 -> 2), llm_kmeans,
     # llm_mmr_diverse_sample, llm_ann_ivf, and llm_ann_ivf_pq
-    # (embed 5 -> 1: llm_pca_power, the LAPACK eigensolver, remains)
-    assert len(EVENTS_ROWS_ONLY) >= 13
+    # (embed 5 -> 1: llm_pca_power, the LAPACK eigensolver, remains);
+    # r12 promoted stream_tumbling_ohlc, stream_sliding_watermark,
+    # stream_stream_join, and stream_transform_with_state (13 -> 9:
+    # the six §2-contract stream keys + stream_hll_distinct +
+    # agg_hll_partial_merge + lake_vacuum_orphans remain)
+    assert len(EVENTS_ROWS_ONLY) >= 9
     assert len(DOC_ROWS_ONLY) >= 2
     assert len(EMBED_ROWS_ONLY) >= 1
 
