@@ -93,7 +93,7 @@ def llm_near_dup_pairs(spark, sf_dir):
     return prefix_filter_pairs(d, tau=0.95)
 
 
-def prefix_filter_pairs(d, tau: float, expand: bool = True):
+def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None):
     """Prefix-filtering exact set-similarity self-join (reusable kernel).
 
     ``d`` must have columns (doc_id, lang, toks) with distinct token
@@ -121,6 +121,11 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True):
     conjunct, so null-keyed docs never pair — and expand=False
     consumers (connected components, triangle counting) must see them
     as isolated nodes, not as one spurious identity clique.
+
+    ``counters``: optional dict for scale studies
+    (tools/stress_unique.py) — when given, the surviving candidate
+    count is materialized into counters["candidates"] (one extra
+    count() action; never passed by registry keys).
     """
     # 0. one representative per unique (lang, token set); null-keyed
     # rows pass through as singleton groups (see docstring)
@@ -196,6 +201,9 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True):
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
+    if counters is not None:
+        cand = cand.localCheckpoint(eager=True)
+        counters["candidates"] = cand.count()
     verify = cand.join(
         g.select(F.col("gid").alias("id1"), F.col("toks").alias("toks1")), "id1"
     ).join(
