@@ -628,3 +628,15 @@ def test_compression_codecs_sizes_and_codec_metadata(spark, sf_dir):
         assert meta.row_group(0).column(0).compression.lower() == codec, codec
         sizes[codec] = sum(os.path.getsize(p) for p in parts)
     assert sizes["zstd"] <= sizes["snappy"], sizes
+
+
+def test_ngram_novelty_two_exchanges(spark, sf_dir):
+    """Round-12 rewrite: trigram sets are built array-side (no global
+    .distinct() shuffle of the exploded relation, no token-array copy
+    through Generate) and first-occurrence is a window min over ONE
+    ngram-keyed exchange, then the per-doc aggregate — exactly 2
+    Exchanges. A third means the join-back/distinct shape regressed."""
+    p = plan_of(spark, sf_dir, "llm_ngram_novelty")
+    assert p.count(") Exchange") == 2, p
+    # the window carries the first-occurrence min — not a join
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
