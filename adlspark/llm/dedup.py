@@ -231,6 +231,46 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None):
     return cross.unionByName(within)
 
 
+# SCALE.md round-12 rung-selection rule, made executable: above this
+# median prefix-token document frequency the exact prefix join is past
+# its domain (vocabulary / shingle-space saturation — every "rare"
+# prefix token is actually hot, candidate volume goes ~quadratic) and
+# the sketch rung (llm_dedup_minhash, measured flat on the same
+# corpus) should run instead.
+PREFIX_DF_SATURATION = 50
+
+
+def prefix_df_median(d, tau: float) -> float:
+    """Median document frequency of the tokens that would enter the
+    prefix index at threshold ``tau`` — the one-aggregate diagnostic
+    behind SCALE.md's dedup-ladder deployment rule (round 12, measured
+    on the dup-free rung: the saturated 31-word corpus reads df≈90 on
+    its 3-shingle prefixes and produced 54M dead candidates, while the
+    sf fixtures' shingle prefixes read df≈1). ``d`` is the same
+    (doc_id, lang, toks) frame prefix_filter_pairs takes. Cost: the
+    same explode + df aggregate the kernel itself runs, one exact
+    median, one driver scalar — run it BEFORE committing a corpus to
+    the exact rung. Returns 0.0 for an empty/degenerate corpus."""
+    tok = (
+        d.where(F.col("toks").isNotNull())
+        .select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("t"))
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("sz") - F.floor(F.col("sz") * F.lit(tau)).cast("long") + F.lit(1)
+    )
+    prefix = (
+        tok.join(freq, "t")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "t")),
+        )
+        .where(F.col("rn") <= prefix_len)
+    )
+    row = prefix.agg(F.expr("percentile(df, 0.5)").alias("m")).collect()[0]
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
 PAIR_CHUNK = 512
 
 

@@ -324,18 +324,23 @@ def stream_transform_with_state(spark, sf_dir):
 
 
 def _ssj_oracle_sql(window_min: int = 15) -> str:
-    """Value oracle for stream_stream_join (round-12 promotion): on a
-    single availableNow batch (every harness corpus is one parquet
-    file) an APPEND-mode inner stream-stream join emits each match
-    immediately — inner joins never wait for the watermark, and no
-    eviction happens mid-batch — so the sink equals the batch interval
-    join. The banding is exactly-once by construction (each qualifying
-    pair matches in one band assignment — ops/banding.py), so the
-    oracle is the UNBANDED interval join. NULL ts / NULL user_id rows
-    drop on both engines (null join keys / null time predicates).
-    Multi-file backlogs processed as several micro-batches can drop
-    late rows per the documented watermark contract — that path is the
-    stress tools' territory, outside this oracle's single-batch
+    """Value oracle for stream_stream_join (round-12 promotion): the
+    whole backlog lands in ONE data micro-batch — the file source
+    without maxFilesPerTrigger gives availableNow everything at once,
+    for single-file fixtures AND Spark-written directories alike
+    (probed: a 4-part directory reads as batch 0 = all rows + an empty
+    finalization batch; pinned by
+    tests/test_streaming_equivalence.py::test_ssj_oracle_holds_on_
+    directory_layout). Within one batch an APPEND-mode inner
+    stream-stream join emits each match immediately — inner joins
+    never wait for the watermark, and no eviction happens mid-batch —
+    so the sink equals the batch interval join. The banding is
+    exactly-once by construction (each qualifying pair matches in one
+    band assignment — ops/banding.py), so the oracle is the UNBANDED
+    interval join. NULL ts / NULL user_id rows drop on both engines
+    (null join keys / null time predicates). A deployment that SETS
+    maxFilesPerTrigger over an out-of-order backlog re-enters the
+    documented multi-batch watermark contract — outside this oracle's
     domain. ``window_min`` parameterizes the attribution window for
     the mutation witness."""
     return f"""

@@ -291,3 +291,32 @@ def test_pagerank_lumping_on_dup_corpus(spark, dup_dir):
         r = (1.0 - d) / n + d * (inflow + dm / n)
     spark_vec = np.array([got[v] for v in ids])
     assert np.abs(spark_vec - r).max() < 1e-9
+
+
+def test_prefix_df_diagnostic_separates_the_rungs(spark, sf_dir):
+    """The SCALE.md round-12 rung-selection rule as executable code:
+    the fixture's 3-SHINGLE prefixes are df-sparse (the exact rung's
+    domain) while UNIGRAM prefixes over the same 31-word vocabulary
+    read saturated — prefix_df_median must separate the two, with the
+    saturation constant between them."""
+    from pyspark.sql import functions as F
+
+    from adlspark import tables
+    from adlspark.llm.dedup import PREFIX_DF_SATURATION, prefix_df_median
+
+    docs = tables.load(spark, sf_dir, "documents")
+    shingled = docs.withColumn("_toks", F.split("text", " ")).select(
+        "doc_id", "lang",
+        F.expr(
+            "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+            " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+        ).alias("toks"),
+    )
+    unigram = docs.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    sparse = prefix_df_median(shingled, tau=0.30)
+    saturated = prefix_df_median(unigram, tau=0.30)
+    assert sparse < PREFIX_DF_SATURATION <= saturated, (sparse, saturated)
+    # degenerate corpus: no rows -> 0.0, not a crash
+    assert prefix_df_median(unigram.where(F.lit(False)), tau=0.30) == 0.0

@@ -403,6 +403,55 @@ def test_checkpoint_restart_survives_provider_swap(spark, sf_dir, tmp_path):
         assert want in pinned, f"pinned {pinned}, started under {first}"
 
 
+def test_ssj_oracle_holds_on_directory_layout(spark, sf_dir, tmp_path):
+    """The stream_stream_join value oracle's batching premise, pinned:
+    a Spark-written DIRECTORY of part files (the production layout,
+    and the stress sets') still lands in ONE data micro-batch under
+    availableNow without maxFilesPerTrigger, so the append-mode inner
+    join equals the batch interval join on this layout too."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from adlspark import tables as adl_tables
+    from adlspark.streaming import streams
+
+    d = str(tmp_path / "dirlayout")
+    os.makedirs(d)
+    for t in adl_tables.TABLES:
+        if t == "events":
+            tables.load(spark, sf_dir, "events").repartition(4).write.parquet(
+                os.path.join(d, "events.parquet")
+            )
+        else:
+            shutil.copyfile(
+                os.path.join(sf_dir, f"{t}.parquet"),
+                os.path.join(d, f"{t}.parquet"),
+            )
+    df = streams.stream_stream_join(spark, d)
+    got = sorted(tuple(r) for r in df.collect())
+    # one DATA batch (+ the empty finalization batch availableNow adds)
+    data_batches = [
+        p for p in streams.LAST_QUERY_PROGRESS if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == 1, [
+        (p["batchId"], p["numInputRows"]) for p in streams.LAST_QUERY_PROGRESS
+    ]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet/*.parquet')"
+        )
+        from adlspark.streaming.streams import _ssj_oracle_sql
+
+        want = sorted(tuple(r) for r in con.execute(_ssj_oracle_sql()).fetchall())
+    finally:
+        con.close()
+    assert got == want
+
+
 def test_checkpoint_restart_survives_operator_upgrade(spark, sf_dir, tmp_path):
     """The OTHER production upgrade path (round-12, VERDICT r11 item
     6): restart from an existing checkpoint after a SCHEMA-COMPATIBLE
