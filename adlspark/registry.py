@@ -131,9 +131,17 @@ _VERIFY_WINDOW = [
     "lake_snapshot_rollback",
     "fn_unpivot",
     "fn_try_arith",
-    "ts_pattern_match",
-    "ts_rolling_corr",
-    # Slot arithmetic: 18 (b) + 4 promotions + 16 r04 + 12 r05 = 50.
+    #   (b)-class late re-entries (displacing the last two r05 slots,
+    #   ts_pattern_match / ts_rolling_corr, to r13): the connected-
+    #   components loop gained adaptive pointer doubling (round ≥ 4:
+    #   label ← min(label, label[label]); O(log diameter) rounds on
+    #   the chain-shaped graphs the dup-free rung exposed, same
+    #   fixpoint — see llm_dedup_cluster). Both HASH-PASSED sf0.01 +
+    #   sf0.001 sims after the change.
+    "llm_dedup_cluster",
+    "llm_dedup_canonical",
+    # Slot arithmetic: 18 (b) + 4 promotions + 16 r04 + 10 r05
+    #   + 2 (b)-late = 50.
 ]
 
 
