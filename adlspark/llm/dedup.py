@@ -774,7 +774,9 @@ def llm_dedup_cluster(spark, sf_dir):
     # per round — O(log diameter) total. Same-session measurements:
     # sf0.1 9 rounds/8.5 s plain → 6 rounds/7.2 s doubled; the 5k-doc
     # dup-free rung 19.3 → 16.7 s; the 50k-doc rung 956 → 681 s (48g
-    # driver — plain also OOMs a default-memory session there).
+    # driver; that rung needs the heap either way — its 268M-candidate
+    # prefix join OOMs a default-1g local JVM before the loop runs,
+    # loop variant irrelevant — probed both).
     # Invariant both steps preserve: label(n) is always a gid inside
     # n's component and only ever decreases, so the fixpoint (stable
     # under neighbor-min AND label-of-label) is the component-min
