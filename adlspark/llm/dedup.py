@@ -248,12 +248,20 @@ def prefix_df_median(d, tau: float) -> float:
     its 3-shingle prefixes and produced 54M dead candidates, while the
     sf fixtures' shingle prefixes read df≈1). ``d`` is the same
     (doc_id, lang, toks) frame prefix_filter_pairs takes. Cost: the
-    same explode + df aggregate the kernel itself runs, one exact
+    same explode + df aggregate the kernel itself runs — INCLUDING the
+    stage-0 identity quotient and null-key exclusion, so on dup-dense
+    corpora the diagnostic reads the df the kernel's prefix index
+    actually sees (k exact copies contribute 1, not k) — one exact
     median, one driver scalar — run it BEFORE committing a corpus to
     the exact rung. Returns 0.0 for an empty/degenerate corpus."""
-    tok = (
-        d.where(F.col("toks").isNotNull())
-        .select("doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("t"))
+    nullkey = F.col("lang").isNull() | F.col("toks").isNull()
+    reps = (
+        d.where(~nullkey)
+        .groupBy("lang", F.array_sort("toks").alias("_skey"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks"))
+    )
+    tok = reps.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("t")
     )
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     prefix_len = (

@@ -757,7 +757,13 @@ def lake_merge_upsert(spark, sf_dir):
 
 @query("lake_compact_small_files")  # rows-only: see docstring
 def lake_compact_small_files(spark, sf_dir):
-    """Small-file compaction — the lake's OPTIMIZE primitive. A
+    """Small-file compaction — the lake's OPTIMIZE primitive.
+
+    A deliberately fragmented staging of orders (64 tiny files — the
+    classic streaming-ingest pathology: listing cost, footer overhead
+    and task-per-file scheduling all scale with file count, not bytes)
+    is compacted to ceil(total_bytes / target) files and the before /
+    after file statistics are returned.
 
     ROWS-ONLY BY CAUSE (assessed for promotion round 12, declined):
     the output is physical file statistics — file counts and byte
@@ -770,11 +776,6 @@ def lake_compact_small_files(spark, sf_dir):
     ceil-target output-file bound) are pinned by
     tests/test_fixture_invariants.py::test_compaction_invariants
     instead.
-    deliberately fragmented staging of orders (64 tiny files — the
-    classic streaming-ingest pathology: listing cost, footer overhead
-    and task-per-file scheduling all scale with file count, not bytes)
-    is compacted to ceil(total_bytes / target) files and the before /
-    after file statistics are returned.
 
     Scale shape: sizing reads the file LISTING only (path + length from
     the binaryFile source's metadata columns — content is never
@@ -1109,13 +1110,6 @@ def lake_cdc_diff(spark, sf_dir):
 @query("lake_vacuum_orphans")  # rows-only: see lake_compact_small_files
 def lake_vacuum_orphans(spark, sf_dir):
     """VACUUM planning: find staged files on disk that no catalog entry
-
-    ROWS-ONLY BY CAUSE (round 12): bytes_reclaimable is a physical
-    file size — a writer-environment function, not a corpus function
-    (same analysis as lake_compact_small_files). The corpus-derivable
-    invariants (b1 is the only orphan batch; per-batch file count 1;
-    reclaimable bytes positive iff events is non-empty) are pinned by
-    tests/test_fixture_invariants.py::test_vacuum_invariants.
     references — aborted writes, superseded compactions, failed batches
     leave orphans that cost storage and confuse listings; every table
     format ships a vacuum for them. Three batches are staged (b0, b1,
@@ -1131,6 +1125,13 @@ def lake_vacuum_orphans(spark, sf_dir):
     whole algorithm. Deleting the files is the storage layer's move —
     the operator produces the deletion manifest, which is what Delta's
     VACUUM DRY RUN returns.
+
+    ROWS-ONLY BY CAUSE (round 12): bytes_reclaimable is a physical
+    file size — a writer-environment function, not a corpus function
+    (same analysis as lake_compact_small_files). The corpus-derivable
+    invariants (b1 is the only orphan batch; per-batch file count 1;
+    reclaimable bytes positive iff events is non-empty) are pinned by
+    tests/test_fixture_invariants.py::test_vacuum_invariants.
     """
     import shutil as _sh
 

@@ -1,4 +1,10 @@
-"""§2 K — Structured Streaming operators (rows-only driver checks).
+"""§2 K — Structured Streaming operators.
+
+Oracle status: four keys carry computed value oracles since round 12
+(stream_tumbling_ohlc, stream_sliding_watermark, stream_stream_join,
+stream_transform_with_state — availableNow/complete over static data is
+a pure corpus function); the remaining K keys are rows-only by the
+SURVEY §2 contract (engine-internal state/progress statistics).
 
 Test harness pattern: ``readStream`` over the events parquet with
 ``trigger(availableNow=True)`` → memory sink → return the sink table.
@@ -451,11 +457,16 @@ WITH e AS (
   FROM events WHERE ts IS NOT NULL
 ), r AS (
   SELECT user_id, day, value,
+         -- (user_id IS NULL, coalesce(...)) instead of the bare
+         -- sentinel: NULL ids partition as (true, -1), a real -1 id as
+         -- (false, -1) — disjoint for ANY id domain, with no NULL
+         -- partition key (the DuckDB 1.0 nondeterministic-NULL-window
+         -- bug, tests/test_event_null_robustness.py)
          row_number() OVER (
-           PARTITION BY coalesce(user_id, -1), day
+           PARTITION BY (user_id IS NULL), coalesce(user_id, -1), day
            ORDER BY ts, event_id) AS rn_a,
          row_number() OVER (
-           PARTITION BY coalesce(user_id, -1), day
+           PARTITION BY (user_id IS NULL), coalesce(user_id, -1), day
            ORDER BY ts DESC, event_id DESC) AS rn_d
   FROM e
 )

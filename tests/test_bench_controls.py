@@ -1,0 +1,58 @@
+"""Burst-localization logic in bench.py (round 13).
+
+BENCH_r12 was collected during a co-tenant CPU burst that inflated two
+alphabetically contiguous key blocks; the judge had to adjudicate by
+hand with an idle-box rerun. bench.py now interleaves a control-key
+re-timing every WINDOW_SIZE keys and flags burst windows from the
+artifact alone — these tests pin the flagging semantics with synthetic
+load shapes (the real bench run is the driver's job, not pytest's).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+bench = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bench)
+
+
+def test_burst_flagged_against_run_median():
+    # idle run with a two-window co-tenant burst (the r12 shape):
+    # windows 2 and 3 read hot vs the run's own median
+    ratios = [1.0, 0.9, 2.4, 2.6, 1.1, 1.0, 0.95, 1.05]
+    assert bench.flag_bursts(ratios) == [2, 3]
+
+
+def test_uniform_ambient_load_not_flagged():
+    # globally slow box: every window lifted together — that is the
+    # whole-run CONTROL_KEYS signal, not a window burst
+    ratios = [2.1, 2.0, 2.2, 1.9, 2.05, 2.1]
+    assert bench.flag_bursts(ratios) == []
+
+
+def test_none_entries_skipped_and_short_runs_unflagged():
+    assert bench.flag_bursts([None, 1.0, None, 3.0]) == [3]
+    assert bench.flag_bursts([5.0]) == []  # one window: no comparison
+    assert bench.flag_bursts([]) == []
+    assert bench.flag_bursts([None, None]) == []
+
+
+def test_threshold_boundary():
+    # exactly at threshold × median flags; just under does not
+    ratios = [1.0, 1.0, bench.BURST_THRESHOLD * 1.0]
+    assert bench.flag_bursts(ratios) == [2]
+    ratios = [1.0, 1.0, bench.BURST_THRESHOLD * 1.0 - 0.01]
+    assert bench.flag_bursts(ratios) == []
+
+
+def test_window_constants_sane():
+    # the interleave must cover a 257-key run with >=2 windows for the
+    # median to mean anything, and the control must be a registered key
+    assert 257 // bench.WINDOW_SIZE >= 2
+    from adlspark.registry import all_queries
+
+    assert bench.WINDOW_CONTROL_KEY in all_queries()
