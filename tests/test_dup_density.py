@@ -320,3 +320,15 @@ def test_prefix_df_diagnostic_separates_the_rungs(spark, sf_dir):
     assert sparse < PREFIX_DF_SATURATION <= saturated, (sparse, saturated)
     # degenerate corpus: no rows -> 0.0, not a crash
     assert prefix_df_median(unigram.where(F.lit(False)), tau=0.30) == 0.0
+    # round 13: the rule is now self-dispatching — near_dup() must route
+    # the df-sparse shingle domain to the exact rung and the saturated
+    # unigram domain to the LSH rung (full ladder tests in
+    # tests/test_near_dup_auto.py)
+    from adlspark.llm.dedup import near_dup
+
+    info = {}
+    near_dup(shingled, tau=0.30, route_info=info)
+    assert info["route"] == "exact_prefix", info
+    info = {}
+    near_dup(unigram, tau=0.30, route_info=info)
+    assert info["route"] == "minhash_lsh", info

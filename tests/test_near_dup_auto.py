@@ -1,0 +1,145 @@
+"""The self-dispatching near-dup ladder (VERDICT round-12 item 2).
+
+``near_dup(d, tau)`` turns SCALE.md's rung-selection runbook into one
+call: measure ``prefix_df_median`` (the df the exact kernel's prefix
+index would see) and route exact-prefix vs MinHash-LSH. These tests pin
+
+- the dispatch flip between the fixture's df-sparse shingle domain and
+  its saturated unigram domain (the two measured SCALE.md rungs),
+- exact-route output identity with prefix_filter_pairs,
+- LSH-route precision-exactness (every emitted pair is a true tau-pair
+  with the exact jaccard) and deterministic full recall on the fixture,
+- guaranteed recall 1.0 for exact duplicates under the LSH route (the
+  quotient makes identical sets co-bucket by construction),
+- the registered llm_near_dup_auto key's oracle premise: the fixture
+  shingle domain stays below PREFIX_DF_SATURATION so the router
+  provably takes the exact (SQL-expressible) rung there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adlspark import tables
+from adlspark.llm.dedup import (
+    PREFIX_DF_SATURATION,
+    minhash_lsh_pairs,
+    near_dup,
+    prefix_df_median,
+    prefix_filter_pairs,
+)
+
+
+def _shingled(spark, sf_dir):
+    return (
+        tables.load(spark, sf_dir, "documents")
+        .withColumn("_toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+            ).alias("toks"),
+        )
+    )
+
+
+def _unigram(spark, sf_dir):
+    return tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+
+def _pairs(df):
+    return {(r.id1, r.id2): r.jaccard for r in df.collect()}
+
+
+def test_dispatch_flips_between_rungs(spark, sf_dir):
+    info = {}
+    near_dup(_shingled(spark, sf_dir), tau=0.30, route_info=info)
+    assert info["route"] == "exact_prefix", info
+    assert info["prefix_df_median"] < PREFIX_DF_SATURATION
+    info = {}
+    near_dup(_unigram(spark, sf_dir), tau=0.30, route_info=info)
+    assert info["route"] == "minhash_lsh", info
+    assert info["prefix_df_median"] >= PREFIX_DF_SATURATION
+
+
+def test_exact_route_output_identical_to_prefix_kernel(spark, sf_dir):
+    d = _shingled(spark, sf_dir)
+    assert _pairs(near_dup(d, tau=0.30)) == _pairs(prefix_filter_pairs(d, tau=0.30))
+
+
+def test_lsh_route_precision_exact_and_fixture_recall(spark, sf_dir):
+    # unigram at tau=0.95 routes LSH (df median ~345 >> saturation);
+    # the fixture's 486 true pairs are all high-J near-copies, so the
+    # 4x4 banding catches every one DETERMINISTICALLY (fixed xxhash64
+    # seeds — this is a pinned property of this corpus, not a flake)
+    d = _unigram(spark, sf_dir)
+    info = {}
+    got = _pairs(near_dup(d, tau=0.95, route_info=info))
+    assert info["route"] == "minhash_lsh"
+    want = _pairs(prefix_filter_pairs(d, tau=0.95))
+    assert set(got) <= set(want), "LSH emitted a non-tau pair (precision broken)"
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, (k, v, want[k])
+    assert got == want, (
+        f"LSH recall dropped on the fixture: {len(got)}/{len(want)} pairs"
+    )
+
+
+def test_lsh_exact_duplicate_recall_is_guaranteed(spark):
+    # identical token sets quotient to one representative -> identical
+    # signatures -> identical buckets: within-group pairs are emitted by
+    # construction, never by hash luck
+    rows = [
+        (i * 10 + c, "en", ["alpha", "beta", f"gamma{i}", f"delta{i}"])
+        for i in range(6)
+        for c in range(3)  # 3 exact copies of each of 6 distinct sets
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, toks array<string>"
+    )
+    got = _pairs(minhash_lsh_pairs(d, tau=0.95))
+    want = {
+        (i * 10 + a, i * 10 + b): 1.0
+        for i in range(6)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    }
+    assert set(want) <= set(got)
+    for k in want:
+        assert got[k] == 1.0
+
+
+def test_lsh_null_and_empty_rows_pair_with_nothing(spark):
+    rows = [
+        (1, "en", ["a", "b", "c"]),
+        (2, "en", ["a", "b", "c"]),
+        (3, None, ["a", "b", "c"]),  # null lang: no equi-join partner
+        (4, "en", None),  # null toks
+        (5, "en", []),  # empty set: 0/0 is not a pair
+        (6, "en", []),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, toks array<string>"
+    )
+    got = _pairs(minhash_lsh_pairs(d, tau=0.5))
+    assert got == {(1, 2): 1.0}
+
+
+def test_registered_key_premise_and_parity(spark, sf_dir, ddb):
+    # the llm_near_dup_auto oracle is the EXACT shingle join — valid
+    # only while the shingle domain routes exact; pin the premise and
+    # run the driver's own compare
+    m = prefix_df_median(_shingled(spark, sf_dir), tau=0.30)
+    assert m < PREFIX_DF_SATURATION, (
+        f"fixture shingle domain saturated (df median {m}): the "
+        "llm_near_dup_auto SQL oracle premise no longer holds"
+    )
+    from adlspark.registry import all_oracles, all_queries
+    from adlspark.testing import compare
+
+    df = all_queries()["llm_near_dup_auto"](spark, sf_dir)
+    compare(df, ddb, all_oracles()["llm_near_dup_auto"], key="near_dup_auto")
