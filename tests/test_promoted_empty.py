@@ -35,6 +35,9 @@ PROMOTED = [
     "stream_sliding_watermark",
     "stream_stream_join",
     "stream_transform_with_state",
+    # round-13 promotion: empty embeddings → empty spectrum on both
+    # sides (kernel's head(1) guard; oracle's (SELECT n FROM nn) > 0)
+    "llm_pca_power",
 ]
 
 

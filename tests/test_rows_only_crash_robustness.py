@@ -175,14 +175,17 @@ def test_surfaces_nonempty():
     # promoted llm_bpe_learn + llm_bpe_encode + mm_frame_sample +
     # mm_binary_pipeline (docs 6 -> 2), llm_kmeans,
     # llm_mmr_diverse_sample, llm_ann_ivf, and llm_ann_ivf_pq
-    # (embed 5 -> 1: llm_pca_power, the LAPACK eigensolver, remains);
+    # (embed 5 -> 1: llm_pca_power, the LAPACK eigensolver, remained);
     # r12 promoted stream_tumbling_ohlc, stream_sliding_watermark,
     # stream_stream_join, and stream_transform_with_state (13 -> 9:
     # the six §2-contract stream keys + stream_hll_distinct +
-    # agg_hll_partial_merge + lake_vacuum_orphans remain)
+    # agg_hll_partial_merge + lake_vacuum_orphans remain); r13 promoted
+    # llm_pca_power (fixed-round power iteration replaced the
+    # eigensolver — embed 1 -> 0, the embeddings rows-only surface is
+    # now EMPTY and its parametrized gate vacuously green)
     assert len(EVENTS_ROWS_ONLY) >= 9
     assert len(DOC_ROWS_ONLY) >= 2
-    assert len(EMBED_ROWS_ONLY) >= 1
+    assert len(EMBED_ROWS_ONLY) >= 0
 
 
 @pytest.fixture(scope="module")
