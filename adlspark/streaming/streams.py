@@ -70,14 +70,21 @@ def events_stream(spark, sf_dir):
 
     path = _os.path.join(sf_dir, "events.parquet")
     batch_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(batch_schema)
+    # Multi-batch seam (round 13): ADLSPARK_STREAM_MAX_FILES forces the
+    # backlog through maxFilesPerTrigger-sized micro-batches — the
+    # production replay shape — so tests can drive every kernel through
+    # real batch boundaries (watermark advancement, state carry-over)
+    # instead of the one-data-batch availableNow default. Unset in the
+    # driver harness: the single-batch premise several value oracles
+    # pin (see _ssj_oracle_sql) stays the default contract.
+    max_files = _os.environ.get("ADLSPARK_STREAM_MAX_FILES")
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", int(max_files))
     if _os.path.isdir(path):
-        s = spark.readStream.schema(batch_schema).parquet(path)
+        s = reader.parquet(path)
     else:
-        s = (
-            spark.readStream.schema(batch_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        s = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     ts_type = dict(s.dtypes).get("ts")
     if ts_type == "bigint":
         return s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
