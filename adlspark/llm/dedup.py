@@ -202,7 +202,19 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None):
         .distinct()
     )
     if counters is not None:
-        cand = cand.localCheckpoint(eager=True)
+        # DISK_ONLY, not localCheckpoint(eager): the candidate set is
+        # the one frame here that scales with corpus² on saturated
+        # vocabularies (268M pairs on the 10× dup-free rung), and a
+        # MEMORY_AND_DISK materialization pins the unified manager's
+        # protected storage region — the round-12 rung needed a 48 GB
+        # local JVM because later stages' shuffle sorters could no
+        # longer acquire execution memory (probed round 13: the OOM
+        # lands in ShuffleExchangeExec's round-robin determinism sort,
+        # "unable to acquire 65536 bytes"). On disk the reuse costs one
+        # serialized read and the heap stays execution-only.
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.DISK_ONLY)
         counters["candidates"] = cand.count()
     verify = cand.join(
         g.select(F.col("gid").alias("id1"), F.col("toks").alias("toks1")), "id1"
@@ -429,11 +441,17 @@ def chunked_self_pairs(df, arr, out_a, out_b, payload=(), chunk=PAIR_CHUNK):
     serializes on a single core and GC-thrashes the executor while the
     rest of the cluster idles. Here the array is sliced into ≤chunk
     pieces, chunk PAIRS (i ≤ j) are exploded first — |k/chunk|² small
-    rows carrying two ~chunk-element slices — then round-robin
-    ``repartition(spark.sql.shuffle.partitions)`` spreads them (an
-    explicit-numPartitions shuffle, which AQE never re-coalesces) before
-    the element-level explodes, so no task generates more than ~chunk²
-    rows per chunk pair. Output: payload columns + (out_a, out_b) with
+    rows carrying two ~chunk-element slices — then a CONTENT-HASH
+    ``repartition(p, xxhash64(_i, _j, _ca))`` spreads them (an
+    explicit-numPartitions shuffle, which AQE never re-coalesces)
+    before the element-level explodes, so no task generates more than
+    ~chunk² rows per chunk pair. Hash, not round-robin (round 13):
+    RoundRobinPartitioning makes Spark SORT every map partition first
+    for retry determinism (spark.sql.execution.sortBeforeRepartition),
+    and on the 10× dup-free rung that sorter was where the heap died;
+    hash partitioning is retry-deterministic by construction — no sort,
+    same spread (the hash covers the chunk CONTENT, so the (0,0) chunk
+    pairs of different groups land on different partitions). Output: payload columns + (out_a, out_b) with
     out_a < out_b by value — exactly the rows of the naive
     explode×explode ``a < b`` expansion (including over arrays with
     duplicate values); only the physical distribution changes.
@@ -453,7 +471,7 @@ def chunked_self_pairs(df, arr, out_a, out_b, payload=(), chunk=PAIR_CHUNK):
         .select(*payload, "_chs", F.posexplode("_chs").alias("_i", "_ca"))
         .select(*payload, "_i", "_ca", F.posexplode("_chs").alias("_j", "_cb"))
         .where(F.col("_j") >= F.col("_i"))
-        .repartition(p)
+        .repartition(p, F.xxhash64("_i", "_j", "_ca"))
         .select(*payload, "_i", "_j", F.explode("_ca").alias("_ea"), "_cb")
         .select(*payload, "_i", "_j", "_ea", F.explode("_cb").alias("_eb"))
         .where(
@@ -473,9 +491,10 @@ def chunked_cartesian(df, arr_a, arr_b, out_a, out_b, payload=(), chunk=PAIR_CHU
     per-task expansion work — the cross-group sibling of
     chunked_self_pairs (same one-Generate-task pathology: a rep pair
     between two mega-groups expands k_a·k_b rows on one core). Slices
-    both arrays, explodes to chunk pairs, repartitions, then explodes
-    elements. Output: payload + (out_a, out_b), exactly the naive
-    cartesian's rows; callers apply their own orientation rules.
+    both arrays, explodes to chunk pairs, repartitions by content hash
+    (no round-robin determinism sort — see chunked_self_pairs), then
+    explodes elements. Output: payload + (out_a, out_b), exactly the
+    naive cartesian's rows; callers apply their own orientation rules.
     """
     p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     payload = list(payload)
@@ -483,7 +502,7 @@ def chunked_cartesian(df, arr_a, arr_b, out_a, out_b, payload=(), chunk=PAIR_CHU
         df.select(*payload, _chunks(arr_a, chunk).alias("_cha"), F.col(arr_b))
         .select(*payload, F.explode("_cha").alias("_ca"), _chunks(arr_b, chunk).alias("_chb"))
         .select(*payload, "_ca", F.explode("_chb").alias("_cb"))
-        .repartition(p)
+        .repartition(p, F.xxhash64("_ca", "_cb"))
         .select(*payload, F.explode("_ca").alias(out_a), "_cb")
         .select(*payload, out_a, F.explode("_cb").alias(out_b))
     )

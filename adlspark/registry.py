@@ -40,108 +40,95 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # absent from this list keep their existing verdicts because their code
 # is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 12 (recomputed 2026-08-16 with
+# State entering driver round 13 (recomputed 2026-08-16 with
 # tools/verification_debt.py — the single source of truth):
-#   - 257 registry keys, ALL 257 green at their latest verdict, debt =
-#     0, ZERO failed — r11 came back fully green (50/50) and retired
-#     the r03 cohort. Oldest signal now: 16 r04 keys, then the r05
-#     block (24).
-# Composition: 18 (b)-class re-entries + 4 round-12 stream promotions
-# + the 16 remaining r04 keys + the 12 oldest r05 keys = 50. The rest
-# of r05 (12 keys) and the r06 block rotate in r13.
+#   - 258 registry keys; the 257 pre-existing ALL green at their latest
+#     verdict, debt = 0, ZERO failed — r12 came back fully green
+#     (50/50) and retired the r04 cohort. Oldest signal now: the 14
+#     r05 keys, then the 17 r06 keys (VERDICT r12 item 1: retire both).
+# Composition: 1 never-verified + 18 (b)-class re-entries + 14 r05 +
+# 17 r06 = 50.
 _VERIFY_WINDOW = [
-    # (a) failed in the latest window: none (r11 fully green).
-    # (b) code changed after the last green verdict — re-enter. Two
-    #   changes this session, SAME key set:
-    #   1. VERDICT r11 lead item — the 6 round-11 value-oracle
-    #      promotions whose oracle form the driver has never run
-    #      (llm_kmeans, llm_mmr_diverse_sample, llm_ann_ivf,
-    #      llm_ann_ivf_pq, mm_frame_sample, mm_binary_pipeline) plus
-    #      the 11 vector kernels whose plan+oracle the r11 mixed-dim
-    #      reference-dim guard rewrote after their window froze.
-    #   2. r11 ADVICE (round-12 session): the shared vector-domain
-    #      guard (load_embeddings / O_EMB_WHERE, one edit point) now
-    #      EXCLUDES null-element vectors on both engines, closing the
-    #      NULL-vs-NaN oracle divergence on the promoted keys; this
-    #      touches the same kernels/oracles again, plus rows-only
-    #      llm_pca_power. All 18 HASH-PASSED (pca rows-only) a
-    #      targeted sf0.01 driver sim after the guard change, and the
-    #      null_elem hostile corpus now parity-sweeps every
-    #      embedding-oracle key (tests/test_embed_robustness.py).
-    "llm_kmeans",
-    "llm_mmr_diverse_sample",
-    "llm_ann_ivf",
-    "llm_ann_ivf_pq",
-    "mm_frame_sample",
-    "mm_binary_pipeline",
-    "llm_sim_topk",
-    "llm_sim_threshold_join",
-    "llm_knn_label",
-    "llm_embed_centroids",
-    "llm_multimodal_struct",
-    "llm_embed_near_dup",
-    "llm_embed_quantize",
-    "llm_srp_bits",
-    "llm_semantic_dedup",
-    "llm_hard_negative_mine",
-    "llm_knn_graph",
+    # (a) failed in the latest window: none (r12 fully green).
+    # (c) never-verified: the round-13 self-dispatching near-dup ladder
+    #   entry point (VERDICT r12 item 2) — routes the fixture's
+    #   df-sparse shingle domain to the exact prefix rung, so the SQL
+    #   oracle is the exact shingle join; sim HASH-PASSED at sf0.01.
+    "llm_near_dup_auto",
+    # (b) code/oracle changed after the last green verdict — re-enter:
+    #   1. llm_pca_power: round-13 promotion rows-only -> computed
+    #      value oracle (VERDICT r12 item 4) — fixed-round power
+    #      iteration with deflation replaced the eigensolver; the
+    #      driver has never run the oracle form. Sim HASH-PASSED at
+    #      sf0.01; mutation witness + empty/hostile gates in pytest.
     "llm_pca_power",
-    #   3. Round-12 rows-only -> value-oracle promotions (VERDICT r11
-    #      item 5, target rows-only 18 -> <=14): the four stream keys
-    #      whose availableNow/complete (or single-batch append) result
-    #      is a pure corpus function — OHLC bars, sliding histogram,
-    #      the attribution interval join, the drained per-user state.
-    #      Each carries a mutation witness + empty-corpus gate and
-    #      auto-enrolled in the hostile events corpora; all four
-    #      HASH-PASSED sf0.01 + sf0.001 sims. (lake_compact_small_files
-    #      / lake_vacuum_orphans were assessed and stay rows-only with
-    #      the cause documented in their docstrings: physical file/byte
-    #      stats are writer-environment functions.)
+    #   2. stream_tumbling_ohlc: r12 ADVICE — the oracle's row_number
+    #      partition key is now (user_id IS NULL, coalesce(user_id,-1))
+    #      so a real -1 id can never share a sequence with NULL ids.
     "stream_tumbling_ohlc",
-    "stream_sliding_watermark",
-    "stream_stream_join",
-    "stream_transform_with_state",
-    # (c) never-verified debt: none.
-    # (d) staleness rotation — the 16 remaining r04 keys (VERDICT r11
-    #   item 2), verification_debt.py ranking order:
-    "lake_cdc_diff",
-    "lake_validate_rules",
-    "lake_gdpr_delete",
-    "ts_resample_ohlc",
-    "ts_retention",
-    "subq_not_in_null",
-    "subq_any_all",
-    "join_interval_bucketed",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "agg_mode",
-    "agg_heavy_hitters_cms",
-    "agg_median",
-    "agg_first_last_by",
-    "win_cume_pct",
-    "win_streak",
-    #   ...then the 16 oldest r05 keys:
-    "llm_perplexity_bucket",
-    "llm_soft_dedup_weight",
-    "llm_ngram_novelty",
-    "llm_cooccurrence_pmi",
-    "llm_rouge_overlap",
-    "llm_dsir_weight",
-    "llm_mixture_weights",
-    "lake_snapshot_rollback",
-    "fn_unpivot",
-    "fn_try_arith",
-    #   (b)-class late re-entries (displacing the last two r05 slots,
-    #   ts_pattern_match / ts_rolling_corr, to r13): the connected-
-    #   components loop gained adaptive pointer doubling (round ≥ 4:
-    #   label ← min(label, label[label]); O(log diameter) rounds on
-    #   the chain-shaped graphs the dup-free rung exposed, same
-    #   fixpoint — see llm_dedup_cluster). Both HASH-PASSED sf0.01 +
-    #   sf0.001 sims after the change.
+    #   3. The pair-expansion kernel change (VERDICT r12 item 5): the
+    #      chunked expansion helpers now repartition by CONTENT HASH
+    #      instead of round-robin (eliminating the map-side
+    #      sortBeforeRepartition pass where the 10x dup-free rung's
+    #      heap died), and the stress counters path materializes the
+    #      candidate set DISK_ONLY. Same rows, different physical
+    #      distribution — every key transitively using
+    #      prefix_filter_pairs / chunked_self_pairs / chunked_cartesian
+    #      / expand_member_pairs re-enters (AST closure over the llm
+    #      modules, round-13 session):
+    "llm_near_dup_pairs",
+    "llm_ngram_jaccard",
     "llm_dedup_cluster",
     "llm_dedup_canonical",
-    # Slot arithmetic: 18 (b) + 4 promotions + 16 r04 + 10 r05
-    #   + 2 (b)-late = 50.
+    "llm_dedup_minhash",
+    "llm_dedup_editdist",
+    "llm_minhash_estimate",
+    "llm_containment_dedup",
+    "llm_graph_triangles",
+    "llm_ann_ivf",
+    "llm_ann_ivf_pq",
+    "llm_embed_near_dup",
+    "llm_knn_graph",
+    "llm_knn_label",
+    "llm_sim_threshold_join",
+    # (d) staleness rotation (VERDICT r12 item 1) — the full r05 cohort
+    #   (14 keys, verification_debt.py ranking order):
+    "ts_pattern_match",
+    "ts_rolling_corr",
+    "ts_attribution",
+    "ts_burst_detect",
+    "ts_active_users",
+    "ts_drift_psi",
+    "subq_in_multi",
+    "join_asof_tolerance",
+    "agg_corr_matrix",
+    "agg_mutual_info",
+    "agg_cohort_overlap",
+    "agg_chi2_independence",
+    "win_time_range",
+    "stream_checkpoint_recovery",
+    #   ...and the full r06 cohort (17 keys), leaving r07 as the oldest
+    #   verdict anywhere after this window lands:
+    "llm_dedup_exact",
+    "llm_simhash",
+    "llm_winnow_fingerprint",
+    "llm_minhash_signature",
+    "llm_incremental_dedup",
+    "llm_prefix_dedup",
+    "llm_dedup_bloom",
+    "llm_paragraph_dedup",
+    "llm_dedup_cross_source",
+    "llm_vocab_coverage",
+    "llm_temperature_sample",
+    "llm_dataset_card",
+    "lake_compact_small_files",
+    "lake_vacuum_orphans",
+    "join_theta_range",
+    "agg_hll_partial_merge",
+    "stream_hll_distinct",
+    # Slot arithmetic: 1 new + 2 + 15 (b) + 14 r05 + 17 r06 = 49, +1
+    #   oldest-r07 fill:
+    "llm_fingerprint",
 ]
 
 
