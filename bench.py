@@ -109,6 +109,30 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.groupBy("r_name").count().collect()
     warm.mapInPandas(lambda it: it, warm.schema).count()
+    # Round 13: the first ~32 keys (alphabetically agg_*) used to read
+    # 1.3-1.5x baseline in EVERY fresh process while later windows read
+    # ~0.85x — first-use costs of the machinery the original warm-up
+    # didn't touch (big-table scan/page cache, decimal-agg codegen,
+    # broadcast exchange, window exec). Warm each once, untimed, on the
+    # shared input tables so no specific key gets a private advantage.
+    from pyspark.sql import Window as _W
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("s"),
+        F.avg("l_extendedprice").alias("a"),
+    ).collect()
+    ords = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li.join(
+        F.broadcast(ords.limit(1000)),
+        li["l_orderkey"] == ords["o_orderkey"],
+    ).count()
+    li.limit(10000).withColumn(
+        "rn",
+        F.row_number().over(
+            _W.partitionBy("l_returnflag").orderBy("l_orderkey")
+        ),
+    ).count()
 
     base = load_baseline()
     ctrl_base = base.get(WINDOW_CONTROL_KEY, 0.0)
