@@ -291,25 +291,74 @@ def prefix_df_median(d, tau: float) -> float:
     return float(row["m"]) if row["m"] is not None else 0.0
 
 
-def minhash_lsh_pairs(d, tau: float, n_hashes: int = 16, bands: int = 4):
+def lsh_plan(tau: float, recall: float = 0.98, max_hashes: int = 64):
+    """Pick MinHash banding (rows_per_band, bands) for threshold ``tau``
+    — the S-curve tuning step every textbook LSH deployment performs
+    and a fixed 4×4 scheme skips. The collision probability of a pair
+    at Jaccard j is 1-(1-j^r)^b: MORE rows per band r = a sharper
+    filter against sub-threshold pairs, at the cost of more bands b
+    (hence hashes) to keep recall at tau. This scans r upward and keeps
+    the largest r whose minimal b fits the hash budget, guaranteeing
+    1-(1-tau^r)^b ≥ ``recall`` at the threshold.
+
+    Why it matters, measured (SCALE.md round 13): on the 10× dup-free
+    rung's saturated UNIGRAM domain (background pair similarity ≈ 0.6)
+    the fixed 4×4 scheme — S-curve midpoint (1/4)^(1/4) ≈ 0.71 —
+    candidates ~43% of all 1.25B pairs at tau=0.95 and ran >28 minutes
+    where the exact rung took 243 s; the tuned (r=11, b=5) plan
+    collides sub-threshold pairs at 0.6^11-per-band (~1.8% overall)
+    and finishes in minutes. tau is clamped to [0.05, 0.99]: at
+    tau→1.0 the minimal-b formula degenerates (exact duplicates are
+    caught by the quotient regardless).
+    """
+    import math
+
+    t = min(max(tau, 0.05), 0.99)
+    best = None
+    for r in range(1, max_hashes + 1):
+        p = t**r
+        if p < 1e-12:  # 1-p rounds to 1.0 in double — no sharper plan fits
+            break
+        b = math.ceil(math.log(1 - recall) / math.log(1 - p))
+        if r * b > max_hashes:
+            if best is not None:
+                break  # b(r) grows ~recall-factor/t^r: larger r never fits
+            continue
+        best = (r, b)
+    # nothing reaches the recall target inside the budget (tau ~0.05):
+    # spend the whole budget on 1-row bands — the best recall available
+    return best if best is not None else (1, max_hashes)
+
+
+def minhash_lsh_pairs(d, tau: float, n_hashes: int | None = None,
+                      bands: int | None = None):
     """MinHash-LSH near-dup pairs over a generic (doc_id, lang, toks)
     frame — the sketch rung of the dedup ladder, with the SAME output
     contract as prefix_filter_pairs: same-lang (id1, id2, jaccard) with
     exact token-set Jaccard ≥ tau, id1 < id2, jaccard rounded to 6.
 
+    Banding is TAU-ADAPTIVE by default (``lsh_plan``: the largest
+    rows-per-band whose recall-0.98 band count fits a 64-hash budget,
+    e.g. tau=0.95 → 11×5, tau=0.30 → 1×11), because a fixed scheme has
+    one S-curve midpoint and mis-tuning it is catastrophic on corpora
+    with high background similarity — measured on the saturated 10×
+    rung, SCALE.md round 13. Pass ``n_hashes``/``bands`` explicitly to
+    pin a scheme.
+
     Candidates come from a banded bucket self-join (never all-pairs;
-    bucket volume tracks true-dup density — measured FLAT on the
-    dup-free 50k rung where the exact rung went candidate-quadratic,
-    SCALE.md round 12), then every candidate is verified by exact
-    array_intersect Jaccard, so there are NO false positives and the
-    jaccard values are exact; the approximation is RECALL ONLY — a true
-    pair whose sets share no band (P_miss = (1-tau^r)^b per pair,
-    ~1.2e-3 at tau=0.95 with 4×4 banding) is absent. Identical sets are
-    quotiented first (identical sigs ⇒ identical buckets ⇒ guaranteed
-    candidates, so exact-duplicate recall is 1.0 by construction);
-    null-keyed and empty-toks rows pair with nothing, matching the
-    exact kernel's join semantics.
+    bucket volume tracks the density of NEAR-tau pairs), then every
+    candidate is verified by exact array_intersect Jaccard, so there
+    are NO false positives and the jaccard values are exact; the
+    approximation is RECALL ONLY — a true pair whose sets share no
+    band (P_miss = (1-tau^r)^b ≤ 0.02 by construction) is absent.
+    Identical sets are quotiented first (identical sigs ⇒ identical
+    buckets ⇒ guaranteed candidates, so exact-duplicate recall is 1.0
+    by construction); null-keyed and empty-toks rows pair with
+    nothing, matching the exact kernel's join semantics.
     """
+    if bands is None or n_hashes is None:
+        rows_per_band, bands = lsh_plan(tau)
+        n_hashes = rows_per_band * bands
     rows_per_band = n_hashes // bands
     nullkey = F.col("lang").isNull() | F.col("toks").isNull()
     g = (

@@ -74,8 +74,9 @@ def test_exact_route_output_identical_to_prefix_kernel(spark, sf_dir):
 def test_lsh_route_precision_exact_and_fixture_recall(spark, sf_dir):
     # unigram at tau=0.95 routes LSH (df median ~345 >> saturation);
     # the fixture's 486 true pairs are all high-J near-copies, so the
-    # 4x4 banding catches every one DETERMINISTICALLY (fixed xxhash64
-    # seeds — this is a pinned property of this corpus, not a flake)
+    # tuned banding (lsh_plan: 11x5 at tau=0.95) catches every one
+    # DETERMINISTICALLY (fixed xxhash64 seeds — this is a pinned
+    # property of this corpus, not a flake)
     d = _unigram(spark, sf_dir)
     info = {}
     got = _pairs(near_dup(d, tau=0.95, route_info=info))
@@ -143,3 +144,41 @@ def test_registered_key_premise_and_parity(spark, sf_dir, ddb):
 
     df = all_queries()["llm_near_dup_auto"](spark, sf_dir)
     compare(df, ddb, all_oracles()["llm_near_dup_auto"], key="near_dup_auto")
+
+
+def test_lsh_plan_recall_guarantee_and_budget():
+    """The banding planner must hit >= 0.98 collision probability AT the
+    threshold within the 64-hash budget wherever that is feasible, pick
+    sharper (larger rows-per-band) filters for higher tau, and clamp
+    degenerate thresholds."""
+    from adlspark.llm.dedup import lsh_plan
+
+    prev_r = None
+    for tau in (0.3, 0.5, 0.7, 0.8, 0.9, 0.95, 0.99):
+        r, b = lsh_plan(tau)
+        assert r * b <= 64, (tau, r, b)
+        recall = 1 - (1 - tau**r) ** b
+        assert recall >= 0.98, (tau, r, b, recall)
+        if prev_r is not None:
+            assert r >= prev_r, "sharpness must not decrease with tau"
+        prev_r = r
+    # infeasible target (tau ~ 0.05): best-effort full budget, no crash
+    assert lsh_plan(0.01) == (1, 64)
+    # clamp: tau >= 1 behaves as 0.99 (exact dups ride the quotient)
+    assert lsh_plan(1.0) == lsh_plan(0.99)
+    assert lsh_plan(2.0) == lsh_plan(0.99)
+
+
+def test_lsh_plan_beats_fixed_banding_on_background_similarity():
+    """The round-13 rung finding as an invariant: at tau=0.95 the tuned
+    plan's collision probability for a BACKGROUND pair at J=0.6 (the
+    saturated rung's typical similarity, where fixed 4x4 banding
+    candidated ~43% of all pairs and ran 6x slower than the exact
+    rung) must be under 5%."""
+    from adlspark.llm.dedup import lsh_plan
+
+    r, b = lsh_plan(0.95)
+    background = 1 - (1 - 0.6**r) ** b
+    fixed = 1 - (1 - 0.6**4) ** 4
+    assert fixed > 0.40, fixed  # the mis-tuning this replaces
+    assert background < 0.05, (r, b, background)
