@@ -93,7 +93,73 @@ def llm_near_dup_pairs(spark, sf_dir):
     return prefix_filter_pairs(d, tau=0.95)
 
 
-def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None):
+def _nullkey():
+    """NULL-lang-or-NULL-toks predicate (lazy: building a Column needs
+    an active session, so this cannot be a module constant)."""
+    return F.col("lang").isNull() | F.col("toks").isNull()
+
+
+def quotient_token_sets(d):
+    """Stage-0 identity quotient shared by the near-dup ladder kernels
+    (prefix_filter_pairs, minhash_lsh_pairs, prefix_df_median/near_dup
+    — ONE definition so the router's diagnostic can never drift from
+    the rungs it routes between): one representative per unique
+    (lang, sorted token set) with gid = min member doc_id + the member
+    list; NULL-lang/NULL-toks rows pass through as their OWN singleton
+    groups (groupBy treats NULLs as equal, but a NULL key satisfies no
+    equi conjunct in the direct join or any oracle, and expand=False
+    consumers need them as isolated nodes, not one spurious clique).
+    localCheckpointed eagerly — every consumer reads it ≥3 times."""
+    grouped = (
+        d.where(~_nullkey())
+        .groupBy("lang", F.array_sort("toks").alias("_skey"))
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+            F.first("toks").alias("toks"),
+        )
+        .drop("_skey")
+    )
+    singletons = d.where(_nullkey()).select(
+        "lang",
+        F.col("doc_id").alias("gid"),
+        F.array("doc_id").alias("members"),
+        "toks",
+    )
+    return grouped.unionByName(singletons).localCheckpoint(eager=True)
+
+
+def _prefix_index(g, tau: float):
+    """The df-ordered prefix inverted index over a quotient's
+    representatives: each rep keeps its |A| - floor(τ·|A|) + 1 RAREST
+    tokens under the global (df ASC, token) order. One frame, consumed
+    twice by the candidate self-join — localCheckpointed. Shared by
+    the kernel and the near_dup router's saturation diagnostic (the
+    median df of exactly these rows IS the rung-selection signal)."""
+    reps = g.where(~_nullkey()).select(
+        F.col("gid").alias("doc_id"), "lang", "toks"
+    )
+    tok = reps.select(
+        "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("sz") - F.floor(F.col("sz") * F.lit(tau)).cast("long") + F.lit(1)
+    )
+    return (
+        tok.join(freq, "t")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "t")),
+        )
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "lang", "sz", "t", "df", "rn")
+        .localCheckpoint(eager=True)
+    )
+
+
+def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None,
+                        prebuilt=None):
     """Prefix-filtering exact set-similarity self-join (reusable kernel).
 
     ``d`` must have columns (doc_id, lang, toks) with distinct token
@@ -126,49 +192,21 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None):
     (tools/stress_unique.py) — when given, the surviving candidate
     count is materialized into counters["candidates"] (one extra
     count() action; never passed by registry keys).
+
+    ``prebuilt``: optional (g, prefix) pair from quotient_token_sets /
+    _prefix_index — the near_dup router builds both for its saturation
+    diagnostic and passes them through so the routed exact run never
+    recomputes the index.
     """
     # 0. one representative per unique (lang, token set); null-keyed
     # rows pass through as singleton groups (see docstring)
-    nullkey = F.col("lang").isNull() | F.col("toks").isNull()
-    grouped = (
-        d.where(~nullkey)
-        .groupBy("lang", F.array_sort("toks").alias("_skey"))
-        .agg(
-            F.min("doc_id").alias("gid"),
-            F.collect_list("doc_id").alias("members"),
-            F.first("toks").alias("toks"),
-        )
-        .drop("_skey")
-    )
-    singletons = d.where(nullkey).select(
-        "lang",
-        F.col("doc_id").alias("gid"),
-        F.array("doc_id").alias("members"),
-        "toks",
-    )
-    g = grouped.unionByName(singletons).localCheckpoint(
-        eager=True
-    )  # feeds freq, prefix, verify ×2, expand ×3
-    reps = g.where(~nullkey).select(F.col("gid").alias("doc_id"), "lang", "toks")
-    tok = reps.select(
-        "doc_id", "lang", F.size("toks").alias("sz"), F.explode("toks").alias("t")
-    )
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    prefix_len = (
-        F.col("sz") - F.floor(F.col("sz") * F.lit(tau)).cast("long") + F.lit(1)
-    )
-    prefix = (
-        tok.join(freq, "t")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "t")
-            ),
-        )
-        .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "lang", "sz", "t", "rn")
-        .localCheckpoint(eager=True)  # consumed twice by the self-join
-    )
+    if prebuilt is not None:
+        # (g, prefix) from the near_dup router — the diagnostic already
+        # built exactly these frames; never rebuild them
+        g, prefix = prebuilt
+    else:
+        g = quotient_token_sets(d)  # feeds prefix, verify ×2, expand ×3
+        prefix = _prefix_index(g, tau)  # consumed twice by the self-join
     a, b = prefix.alias("a"), prefix.alias("b")
     # Positional filter (PPJoin): tokens are ranked by the SAME global
     # order in every doc, so for a match at ranks (i, j) every shared
@@ -252,7 +290,7 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None):
 PREFIX_DF_SATURATION = 50
 
 
-def prefix_df_median(d, tau: float) -> float:
+def prefix_df_median(d, tau: float, prefix=None) -> float:
     """Median document frequency of the tokens that would enter the
     prefix index at threshold ``tau`` — the one-aggregate diagnostic
     behind SCALE.md's dedup-ladder deployment rule (round 12, measured
@@ -260,33 +298,16 @@ def prefix_df_median(d, tau: float) -> float:
     its 3-shingle prefixes and produced 54M dead candidates, while the
     sf fixtures' shingle prefixes read df≈1). ``d`` is the same
     (doc_id, lang, toks) frame prefix_filter_pairs takes. Cost: the
-    same explode + df aggregate the kernel itself runs — INCLUDING the
-    stage-0 identity quotient and null-key exclusion, so on dup-dense
-    corpora the diagnostic reads the df the kernel's prefix index
-    actually sees (k exact copies contribute 1, not k) — one exact
-    median, one driver scalar — run it BEFORE committing a corpus to
-    the exact rung. Returns 0.0 for an empty/degenerate corpus."""
-    nullkey = F.col("lang").isNull() | F.col("toks").isNull()
-    reps = (
-        d.where(~nullkey)
-        .groupBy("lang", F.array_sort("toks").alias("_skey"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("toks").alias("toks"))
-    )
-    tok = reps.select(
-        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("t")
-    )
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    prefix_len = (
-        F.col("sz") - F.floor(F.col("sz") * F.lit(tau)).cast("long") + F.lit(1)
-    )
-    prefix = (
-        tok.join(freq, "t")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "t")),
-        )
-        .where(F.col("rn") <= prefix_len)
-    )
+    SAME quotient + explode + df aggregate + prefix window the kernel
+    itself runs (quotient_token_sets / _prefix_index — one definition,
+    not a copy, so on dup-dense corpora the diagnostic reads the df the
+    kernel's prefix index actually sees: k exact copies contribute 1,
+    not k) — plus one exact median, one driver scalar — run it BEFORE
+    committing a corpus to the exact rung. Returns 0.0 for an
+    empty/degenerate corpus. ``prefix``: optional prebuilt
+    _prefix_index frame (the near_dup router shares one build)."""
+    if prefix is None:
+        prefix = _prefix_index(quotient_token_sets(d), tau)
     row = prefix.agg(F.expr("percentile(df, 0.5)").alias("m")).collect()[0]
     return float(row["m"]) if row["m"] is not None else 0.0
 
@@ -331,7 +352,7 @@ def lsh_plan(tau: float, recall: float = 0.98, max_hashes: int = 64):
 
 
 def minhash_lsh_pairs(d, tau: float, n_hashes: int | None = None,
-                      bands: int | None = None):
+                      bands: int | None = None, g=None):
     """MinHash-LSH near-dup pairs over a generic (doc_id, lang, toks)
     frame — the sketch rung of the dedup ladder, with the SAME output
     contract as prefix_filter_pairs: same-lang (id1, id2, jaccard) with
@@ -342,8 +363,11 @@ def minhash_lsh_pairs(d, tau: float, n_hashes: int | None = None,
     e.g. tau=0.95 → 11×5, tau=0.30 → 1×11), because a fixed scheme has
     one S-curve midpoint and mis-tuning it is catastrophic on corpora
     with high background similarity — measured on the saturated 10×
-    rung, SCALE.md round 13. Pass ``n_hashes``/``bands`` explicitly to
-    pin a scheme.
+    rung, SCALE.md round 13. ``n_hashes`` alone raises/lowers the
+    planner's hash budget; ``n_hashes`` + ``bands`` pins a scheme
+    exactly (``bands`` must divide a positive rows-per-band out of the
+    budget — validated, since a silent ``n_hashes // bands == 0`` would
+    explode into a zero-argument xxhash64 deep in the plan).
 
     Candidates come from a banded bucket self-join (never all-pairs;
     bucket volume tracks the density of NEAR-tau pairs), then every
@@ -354,24 +378,33 @@ def minhash_lsh_pairs(d, tau: float, n_hashes: int | None = None,
     Identical sets are quotiented first (identical sigs ⇒ identical
     buckets ⇒ guaranteed candidates, so exact-duplicate recall is 1.0
     by construction); null-keyed and empty-toks rows pair with
-    nothing, matching the exact kernel's join semantics.
+    nothing, matching the exact kernel's join semantics. ``g``:
+    optional prebuilt quotient_token_sets frame (the near_dup router
+    shares one build across diagnostic and rung).
     """
-    if bands is None or n_hashes is None:
-        rows_per_band, bands = lsh_plan(tau)
-        n_hashes = rows_per_band * bands
-    rows_per_band = n_hashes // bands
-    nullkey = F.col("lang").isNull() | F.col("toks").isNull()
-    g = (
-        d.where(~nullkey)
-        .groupBy("lang", F.array_sort("toks").alias("_skey"))
-        .agg(
-            F.min("doc_id").alias("gid"),
-            F.collect_list("doc_id").alias("members"),
-            F.first("toks").alias("toks"),
+    if bands is None:
+        # n_hashes (when given) is a budget for the planner, not a
+        # band-less scheme
+        rows_per_band, bands = lsh_plan(
+            tau, max_hashes=n_hashes if n_hashes is not None else 64
         )
-        .drop("_skey")
-        .localCheckpoint(eager=True)  # feeds sig, verify ×2, expansion ×2
-    )
+        n_hashes = rows_per_band * bands
+    else:
+        if n_hashes is None:
+            raise ValueError("bands given without n_hashes — pass both to pin")
+        rows_per_band = n_hashes // bands
+        if bands < 1 or rows_per_band < 1:
+            raise ValueError(
+                f"invalid banding: n_hashes={n_hashes}, bands={bands} "
+                f"(rows_per_band={rows_per_band})"
+            )
+        n_hashes = rows_per_band * bands  # drop unusable tail hashes
+    rows_per_band = n_hashes // bands
+    if g is None:
+        g = quotient_token_sets(d)  # feeds sig, verify ×2, expansion ×2
+    # (a shared quotient may carry null-keyed singleton rows: their
+    # null toks explode to no signature rows and their null lang
+    # equi-matches nothing — zero pairs either way, same contract)
     sh = g.select("gid", "lang", F.explode("toks").alias("t"))
     sig = sh.groupBy("gid", "lang").agg(
         *[
@@ -451,18 +484,25 @@ def near_dup(d, tau: float, saturation: float = PREFIX_DF_SATURATION,
     Both rungs return the same (id1, id2, jaccard) contract, so callers
     compose downstream (clustering, canonical pick) unchanged.
     ``route_info`` (optional dict) receives {"prefix_df_median",
-    "route", "saturation"} for observability; the diagnostic costs one
-    explode+agg over the quotient — negligible next to either rung.
+    "route", "saturation"} for observability. The quotient and the
+    prefix index are built ONCE: the diagnostic reads its median off
+    the same frames the routed exact run then joins (prebuilt=), so
+    routing adds one percentile aggregate, not a second index build;
+    the LSH route reuses the quotient and skips the index entirely
+    going forward (its one-time materialization is the price of the
+    diagnostic itself).
     """
-    m = prefix_df_median(d, tau)
+    g = quotient_token_sets(d)
+    prefix = _prefix_index(g, tau)
+    m = prefix_df_median(d, tau, prefix=prefix)
     route = "exact_prefix" if m < saturation else "minhash_lsh"
     if route_info is not None:
         route_info.update(
             {"prefix_df_median": m, "route": route, "saturation": saturation}
         )
     if route == "exact_prefix":
-        return prefix_filter_pairs(d, tau)
-    return minhash_lsh_pairs(d, tau)
+        return prefix_filter_pairs(d, tau, prebuilt=(g, prefix))
+    return minhash_lsh_pairs(d, tau, g=g)
 
 
 PAIR_CHUNK = 512

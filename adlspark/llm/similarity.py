@@ -1626,11 +1626,18 @@ v0 AS MATERIALIZED (
   FROM cov{k} c JOIN {prev} va ON va.i = c.i JOIN {prev} vb ON vb.i = c.j
 )""")
     union = "\nUNION ALL ".join(
-        f"SELECT {k} AS component, (SELECT l FROM lam{k}) AS l"
+        f"SELECT {k} AS dk, (SELECT l FROM lam{k}) AS l"
         for k in range(1, n_comp + 1)
     )
+    # component = DESCENDING-VALUE rank (deflation index dk breaks
+    # rounded ties deterministically): on a spectrum without dominant
+    # gaps the fixed-round Rayleigh values need not come out of the
+    # deflation chain sorted, and the 'top-5' contract presents them
+    # largest-first on both engines
     parts.append(f"""
-SELECT component, round(l, 6) AS eigenvalue,
+SELECT CAST(row_number() OVER (ORDER BY round(l, 6) DESC, dk) AS INT)
+         AS component,
+       round(l, 6) AS eigenvalue,
        round(CASE WHEN (SELECT t FROM tr) = 0 THEN 0.0
                   ELSE l / (SELECT t FROM tr) END, 6) AS explained_ratio
 FROM ({union})
@@ -1640,10 +1647,14 @@ WHERE (SELECT n FROM nn) > 0""")
 
 @query("llm_pca_power", oracle=_pca_power_oracle_sql())
 def llm_pca_power(spark, sf_dir):
-    """Distributed PCA of the embedding corpus: top-5 principal
-    eigenvalues + explained-variance ratios of the covariance matrix,
-    by FIXED-ROUND power iteration with deflation (16 matvec rounds per
-    component, init 1/√d, reset per component).
+    """Distributed PCA of the embedding corpus: FIXED-ROUND
+    power-iteration ESTIMATES of the top-5 covariance eigenvalues +
+    explained-variance ratios (16 matvec rounds per component with
+    deflation, init 1/√d reset per component, Rayleigh-quotient
+    values, reported in descending order). On spectra with dominant
+    gaps the estimates converge to the true eigenvalues at rate
+    (λ₂/λ₁)^16; on near-isotropic spectra they are Rayleigh quotients
+    within the spectrum's range — see the honesty note below.
 
     The scale architecture is the classic two-phase Gram accumulation
     (the same shape MLlib's RowMatrix.computePrincipalComponents uses):
@@ -1731,7 +1742,7 @@ def llm_pca_power(spark, sf_dir):
     trace = float(np.trace(C))
     v0 = np.full(d, 1.0 / np.sqrt(d))
     Ck = C
-    rows = []
+    vals = []
     for comp in range(1, PCA_COMPONENTS + 1):
         v = v0
         for _ in range(PCA_ITERS):
@@ -1743,15 +1754,22 @@ def llm_pca_power(spark, sf_dir):
             # oracle's CASE does the same
         lam = float((Ck @ v) @ v)
         ratio = 0.0 if trace == 0.0 else lam / trace
-        rows.append(
+        vals.append(
             (
-                comp,
                 float(np_round_half_away(np.asarray([lam]), 6)[0]),
                 float(np_round_half_away(np.asarray([ratio]), 6)[0]),
             )
         )
         if comp < PCA_COMPONENTS:
             Ck = Ck - lam * np.outer(v, v)
+    # present largest-first (component = descending-value rank, rounded
+    # value with deflation-index tiebreak — mirrored in the oracle's
+    # row_number): the deflation chain need not emit sorted values on a
+    # spectrum without dominant gaps
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i][0], i))
+    rows = [
+        (rank + 1, vals[i][0], vals[i][1]) for rank, i in enumerate(order)
+    ]
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
     )

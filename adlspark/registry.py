@@ -46,8 +46,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     verdict, debt = 0, ZERO failed — r12 came back fully green
 #     (50/50) and retired the r04 cohort. Oldest signal now: the 14
 #     r05 keys, then the 17 r06 keys (VERDICT r12 item 1: retire both).
-# Composition: 1 never-verified + 18 (b)-class re-entries + 14 r05 +
-# 17 r06 = 50.
+# Composition: 1 never-verified + 17 (b)-class re-entries + 14 r05 +
+# 17 r06 + 1 oldest-r07 fill = 50.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r12 fully green).
     # (c) never-verified: the round-13 self-dispatching near-dup ladder

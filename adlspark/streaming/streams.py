@@ -80,7 +80,17 @@ def events_stream(spark, sf_dir):
     # pin (see _ssj_oracle_sql) stays the default contract.
     max_files = _os.environ.get("ADLSPARK_STREAM_MAX_FILES")
     if max_files:
-        reader = reader.option("maxFilesPerTrigger", int(max_files))
+        try:
+            n_files = int(max_files)
+        except ValueError:
+            raise ValueError(
+                f"ADLSPARK_STREAM_MAX_FILES={max_files!r} is not an integer"
+            ) from None
+        if n_files < 1:
+            raise ValueError(
+                f"ADLSPARK_STREAM_MAX_FILES={max_files!r} must be >= 1"
+            )
+        reader = reader.option("maxFilesPerTrigger", n_files)
     if _os.path.isdir(path):
         s = reader.parquet(path)
     else:

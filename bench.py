@@ -109,30 +109,14 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.groupBy("r_name").count().collect()
     warm.mapInPandas(lambda it: it, warm.schema).count()
-    # Round 13: the first ~32 keys (alphabetically agg_*) used to read
-    # 1.3-1.5x baseline in EVERY fresh process while later windows read
-    # ~0.85x — first-use costs of the machinery the original warm-up
-    # didn't touch (big-table scan/page cache, decimal-agg codegen,
-    # broadcast exchange, window exec). Warm each once, untimed, on the
-    # shared input tables so no specific key gets a private advantage.
-    from pyspark.sql import Window as _W
-
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("s"),
-        F.avg("l_extendedprice").alias("a"),
-    ).collect()
-    ords = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    li.join(
-        F.broadcast(ords.limit(1000)),
-        li["l_orderkey"] == ords["o_orderkey"],
-    ).count()
-    li.limit(10000).withColumn(
-        "rn",
-        F.row_number().over(
-            _W.partitionBy("l_returnflag").orderBy("l_orderkey")
-        ),
-    ).count()
+    # Probed round 13 and deliberately NOT widened: pre-running a
+    # decimal agg / broadcast join / window on lineitem changed the
+    # first-window timings by <1% (agg_group_q1 2.545 -> 2.534 s), so
+    # the first-window inflation the per-window controls flag is not
+    # plan-compile cost, and extra warm-up would only shift in-run
+    # timings away from the protocol BASELINE.md medians were recorded
+    # under. The controls make window 0 visible; the baselines carry
+    # the same first-window state for the alphabetically-first keys.
 
     base = load_baseline()
     ctrl_base = base.get(WINDOW_CONTROL_KEY, 0.0)

@@ -561,6 +561,7 @@ def test_pca_power_matches_numpy_reference(spark, sf_dir):
     evals = np.linalg.eigvalsh(C)
     lo, hi = float(evals.min()), float(evals.max())
     Ck = C.copy()
+    ref = []
     for comp in range(1, PCA_COMPONENTS + 1):
         v = np.full(d, 1.0 / np.sqrt(d))
         for _ in range(PCA_ITERS):
@@ -569,11 +570,21 @@ def test_pca_power_matches_numpy_reference(spark, sf_dir):
             if s != 0.0:
                 v = w / s
         lam = float((Ck @ v) @ v)
-        got_ev, got_ratio = out[comp]
-        assert abs(got_ev - lam) < 1e-6, (comp, got_ev, lam)
-        assert abs(got_ratio - lam / trace) < 1e-6
-        assert lo - 1e-9 <= got_ev <= hi + 1e-9, (comp, got_ev, lo, hi)
+        ref.append(lam)
         Ck = Ck - lam * np.outer(v, v)
+    # kernel reports descending-value rank order (rounded, deflation
+    # index tiebreak) — mirror it
+    ref_sorted = sorted(
+        range(len(ref)), key=lambda i: (-round(ref[i], 6), i)
+    )
+    for rank, i in enumerate(ref_sorted, start=1):
+        got_ev, got_ratio = out[rank]
+        assert abs(got_ev - ref[i]) < 1e-6, (rank, got_ev, ref[i])
+        assert abs(got_ratio - ref[i] / trace) < 1e-6
+        assert lo - 1e-9 <= got_ev <= hi + 1e-9, (rank, got_ev, lo, hi)
+    # descending presentation is part of the contract
+    evs = [out[r][0] for r in range(1, PCA_COMPONENTS + 1)]
+    assert evs == sorted(evs, reverse=True), evs
 
 
 def test_containment_dedup_sound_and_flags_planted_prefix_dups(spark, sf_dir):
