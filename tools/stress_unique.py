@@ -189,10 +189,12 @@ RESULTS = "/tmp/stress_unique_results.jsonl"
 
 def run(spark, copies: int):
     """One timed pass per key. The prefix keys run the kernel WITH the
-    candidate counter (one extra count() on the localCheckpointed
-    candidate frame — negligible next to verify), so candidates and
-    wall-time come from the same execution. Results append to RESULTS
-    as they land (a killed run keeps its finished keys)."""
+    candidate counter (one extra count() on the DISK_ONLY-persisted
+    candidate frame — round 13; a MEMORY_AND_DISK materialization of
+    the 268M-candidate set pinned protected storage and needed a 48 GB
+    JVM), so candidates and wall-time come from the same execution.
+    Results append to RESULTS as they land (a killed run keeps its
+    finished keys)."""
     from adlspark import tables
     from adlspark.llm.dedup import prefix_filter_pairs
     from pyspark.sql import functions as F
