@@ -1930,3 +1930,68 @@ def llm_rouge_overlap(spark, sf_dir):
             ).alias("rouge2_recall"),
         )
     )
+
+
+@query(
+    "llm_domain_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC NULLS LAST, doc_id) AS kept_rank,
+         count(*) OVER (PARTITION BY source) AS domain_docs
+  FROM documents
+  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+)
+SELECT source, doc_id, n_chars, kept_rank, domain_docs
+FROM ranked WHERE kept_rank <= 10
+""",
+)
+def llm_domain_cap(spark, sf_dir):
+    """Per-domain document caps — the web-corpus quota step: no single
+    domain (source) may contribute more than N documents, keeping the
+    N best under a deterministic priority (longest first, doc_id
+    tiebreak). Every large crawl-curation pipeline runs this between
+    dedup and mixing, because domain volume is power-law distributed
+    and an uncapped head domain dominates the token budget.
+
+    Scale shape: a per-domain count aggregate runs first and its (tiny
+    — the head of the power law) result is broadcast, splitting the
+    corpus into an under-cap slice (keeps every row; its ranks are
+    informational) and an over-cap slice (the only rows where ranking
+    DECIDES anything). Both slices end in the same per-domain
+    row_number window, so the union is exactly the naive single-window
+    result — the split's value is skew isolation, not avoided work:
+    at 100 TB the head domain's billions of rows sort alone in the
+    over-cap slice (where the cap prunes them to N immediately, and
+    AQE's skew handling applies), instead of sharing a shuffle with
+    the long tail, and only `cap` rows per head domain survive into
+    downstream stages. NULL source / NULL doc_id rows are out of
+    domain on both engines (a NULL window partition key is also
+    DuckDB-nondeterministic); NULL n_chars sorts last
+    (desc_nulls_last ↔ DESC NULLS LAST, explicitly — engine defaults
+    differ).
+    """
+    cap = 10
+    d = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select("source", "doc_id", "n_chars")
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("domain_docs"))
+    with_n = d.join(F.broadcast(counts), "source")
+    w = Window.partitionBy("source").orderBy(
+        F.desc_nulls_last("n_chars"), F.asc("doc_id")
+    )
+    over = (
+        with_n.where(F.col("domain_docs") > cap)
+        .withColumn("kept_rank", F.row_number().over(w))
+        .where(F.col("kept_rank") <= cap)
+    )
+    under = with_n.where(F.col("domain_docs") <= cap).withColumn(
+        "kept_rank", F.row_number().over(w)
+    )
+    return over.unionByName(under).select(
+        "source", "doc_id", "n_chars", "kept_rank", "domain_docs"
+    )

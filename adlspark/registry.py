@@ -46,15 +46,18 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     verdict, debt = 0, ZERO failed — r12 came back fully green
 #     (50/50) and retired the r04 cohort. Oldest signal now: the 14
 #     r05 keys, then the 17 r06 keys (VERDICT r12 item 1: retire both).
-# Composition: 1 never-verified + 17 (b)-class re-entries + 14 r05 +
-# 17 r06 + 1 oldest-r07 fill = 50.
+# Composition: 2 never-verified + 17 (b)-class re-entries + 14 r05 +
+# 17 r06 = 50.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r12 fully green).
     # (c) never-verified: the round-13 self-dispatching near-dup ladder
     #   entry point (VERDICT r12 item 2) — routes the fixture's
     #   df-sparse shingle domain to the exact prefix rung, so the SQL
-    #   oracle is the exact shingle join; sim HASH-PASSED at sf0.01.
+    #   oracle is the exact shingle join; sim HASH-PASSED at sf0.01 —
+    #   and the per-domain quota curation step (skew-isolating
+    #   over/under-cap split), sim HASH-PASSED at sf0.01 + sf0.001.
     "llm_near_dup_auto",
+    "llm_domain_cap",
     # (b) code/oracle changed after the last green verdict — re-enter:
     #   1. llm_pca_power: round-13 promotion rows-only -> computed
     #      value oracle (VERDICT r12 item 4) — fixed-round power
@@ -126,9 +129,9 @@ _VERIFY_WINDOW = [
     "join_theta_range",
     "agg_hll_partial_merge",
     "stream_hll_distinct",
-    # Slot arithmetic: 1 new + 2 + 15 (b) + 14 r05 + 17 r06 = 49, +1
-    #   oldest-r07 fill:
-    "llm_fingerprint",
+    # Slot arithmetic: 2 new + 2 + 15 (b) + 14 r05 + 17 r06 = 50.
+    # (The oldest-r07 fill slot went to llm_domain_cap; r07 rotates
+    # in r14.)
 ]
 
 
