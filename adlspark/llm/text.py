@@ -1960,18 +1960,20 @@ def llm_domain_cap(spark, sf_dir):
     — the head of the power law) result is broadcast, splitting the
     corpus into an under-cap slice (keeps every row; its ranks are
     informational) and an over-cap slice (the only rows where ranking
-    DECIDES anything). Both slices end in the same per-domain
-    row_number window, so the union is exactly the naive single-window
-    result — the split's value is skew isolation, not avoided work:
-    at 100 TB the head domain's billions of rows sort alone in the
-    over-cap slice (where the cap prunes them to N immediately, and
-    AQE's skew handling applies), instead of sharing a shuffle with
-    the long tail, and only `cap` rows per head domain survive into
-    downstream stages. NULL source / NULL doc_id rows are out of
-    domain on both engines (a NULL window partition key is also
-    DuckDB-nondeterministic); NULL n_chars sorts last
-    (desc_nulls_last ↔ DESC NULLS LAST, explicitly — engine defaults
-    differ).
+    DECIDES anything). The over-cap slice's ``row_number ≤ cap``
+    filter compiles to PARTIAL + FINAL ``WindowGroupLimit`` around the
+    exchange (Spark 3.5 InferWindowGroupLimit — plan-verified): each
+    map partition keeps only its LOCAL top-``cap`` per domain before
+    shuffling, so a billion-row head domain ships ≤ cap rows per map
+    partition into the sort, never its full volume — the classic
+    scalable grouped top-k, for free from the declarative form. The
+    under-cap slice's window has no such limit (it keeps all rows),
+    but its domains are ≤ cap rows each by construction. Filters reach
+    the scan (PushedFilters: IsNotNull(source), IsNotNull(doc_id)).
+    NULL source / NULL doc_id rows are out of domain on both engines
+    (a NULL window partition key is also DuckDB-nondeterministic);
+    NULL n_chars sorts last (desc_nulls_last ↔ DESC NULLS LAST,
+    explicitly — engine defaults differ).
     """
     cap = 10
     d = (

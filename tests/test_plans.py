@@ -640,3 +640,16 @@ def test_ngram_novelty_two_exchanges(spark, sf_dir):
     assert p.count(") Exchange") == 2, p
     # the window carries the first-occurrence min — not a join
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """The over-cap slice's rank<=cap filter must compile to partial +
+    final WindowGroupLimit (Spark 3.5 InferWindowGroupLimit): each map
+    partition ships at most cap rows per domain into the sort — the
+    property that makes the quota step survive a billion-row head
+    domain. Also: the domain-count side is broadcast and the not-null
+    guards reach the parquet scan."""
+    p = plan_of(spark, sf_dir, "llm_domain_cap")
+    assert p.count("WindowGroupLimit") >= 2, p[:2000]  # partial + final
+    assert "BroadcastHashJoin" in p
+    assert "IsNotNull(source)" in p and "IsNotNull(doc_id)" in p
