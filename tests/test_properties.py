@@ -952,3 +952,72 @@ def test_pagerank_matches_numpy_power_iteration_and_converges(spark, sf_dir):
     assert np.abs(history[8] - history[50]).sum() <= (d ** 8 / (1 - d)) * residuals[
         0
     ], "truncation error exceeds the geometric bound"
+
+
+@pytest.mark.parametrize("tau,seed", [(0.95, 11), (0.8, 12), (0.5, 13)])
+def test_minhash_lsh_pairs_precision_and_guaranteed_recall(spark, tau, seed):
+    """The LSH rung's structural invariants on the same adversarial
+    random-family corpora the exact kernel is property-tested on:
+
+    - PRECISION is exact by construction (every candidate is verified
+      with array_intersect): output ⊆ brute-force tau-pairs, with the
+      exact Jaccard values;
+    - IDENTICAL sets are recalled with probability 1 (the quotient
+      collapses them before hashing — never hash luck).
+
+    Recall BELOW J=1.0 is deliberately NOT asserted per-corpus: it is
+    probabilistic by design and pinned analytically by lsh_plan's
+    formula tests (>= 0.98 collision probability at tau), not by any
+    fixed-seed sample.
+    """
+    import itertools
+    import random
+
+    from adlspark.llm.dedup import minhash_lsh_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    doc_id = 0
+    for fam in range(10):
+        base = rng.sample(vocab, rng.randint(5, 18))
+        lang = rng.choice(["en", "de"])
+        n_exact = rng.randint(2, 3)  # exact copies: recall must be 1.0
+        for _ in range(n_exact):
+            docs.append((doc_id, lang, sorted(set(base))))
+            doc_id += 1
+        for _ in range(rng.randint(0, 2)):  # mutated siblings
+            toks = list(base)
+            if rng.random() < 0.5 and len(toks) > 3:
+                toks.remove(rng.choice(toks))
+            else:
+                w = rng.choice(vocab)
+                if w not in toks:
+                    toks.append(w)
+            docs.append((doc_id, lang, sorted(set(toks))))
+            doc_id += 1
+
+    brute = {}
+    identical = set()
+    for (i1, l1, t1), (i2, l2, t2) in itertools.combinations(docs, 2):
+        if l1 != l2:
+            continue
+        inter = len(set(t1) & set(t2))
+        j = inter / (len(t1) + len(t2) - inter)
+        if j >= tau:
+            brute[(min(i1, i2), max(i1, i2))] = round(j, 6)
+        if t1 == t2:
+            identical.add((min(i1, i2), max(i1, i2)))
+
+    d = spark.createDataFrame(
+        docs, "doc_id long, lang string, toks array<string>"
+    ).localCheckpoint(eager=True)
+    got = {
+        (r.id1, r.id2): r.jaccard for r in minhash_lsh_pairs(d, tau=tau).collect()
+    }
+    assert set(got) <= set(brute), set(got) - set(brute)
+    for k, v in got.items():
+        assert abs(v - brute[k]) < 1e-9, (k, v, brute[k])
+    assert identical <= set(got), identical - set(got)
+    for k in identical:
+        assert got[k] == 1.0
