@@ -254,6 +254,13 @@ def prefix_filter_pairs(d, tau: float, expand: bool = True, counters=None,
 
         cand = cand.persist(StorageLevel.DISK_ONLY)
         counters["candidates"] = cand.count()
+        # the persisted blocks must outlive THIS call (the returned
+        # pairs frame still references cand lazily), so the release is
+        # the caller's: counters["unpersist"]() after the pairs are
+        # materialized. Without it a long-lived session looping stress
+        # copies accumulates 268M-row disk block sets for its lifetime
+        # (ADVICE r13) — tools/stress_unique.py calls it per key.
+        counters["unpersist"] = lambda: cand.unpersist()
     verify = cand.join(
         g.select(F.col("gid").alias("id1"), F.col("toks").alias("toks1")), "id1"
     ).join(

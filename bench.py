@@ -16,6 +16,12 @@ BASELINE.md median in the JSON itself, so a burst is localizable to a
 key block from the artifact alone: ambient load = every window ratio
 high together; a burst = a contiguous subset high vs the run's own
 window median (flag_bursts below, pinned by tests/test_bench_controls.py).
+
+Round 14: window 0's recurring elevation is the diagnosed position-based
+process warm-up, so the artifact now reclassifies it as
+expected_warm_window0 when the decay shape matches (split_expected_warm),
+and records window_ratio_median / window_median_elevated to cover
+flag_bursts' median breakdown case (a burst spanning >= half the run).
 """
 
 from __future__ import annotations
@@ -40,8 +46,13 @@ BURST_THRESHOLD = 1.5
 # for a fixed set of long-untouched, medium-cost keys (their timings come
 # from the main run itself). Controls high across the board = ambient
 # load; controls ~1.0 with one hot key = real regression.
+# join_inner is deliberately NOT here (ADVICE r13): it is the interleaved
+# window control, warmed once and re-timed ~9 times before its main-loop
+# slot, so its main-loop timing is fully warm and would bias the
+# control_median low vs a baseline median recorded under the same
+# protocol only for the FIRST window-control slot.
 CONTROL_KEYS = (
-    "agg_stats", "agg_group_q1", "llm_tfidf", "ts_session", "join_inner",
+    "agg_stats", "agg_group_q1", "llm_tfidf", "ts_session",
 )
 
 
@@ -70,7 +81,18 @@ def flag_bursts(window_ratios, threshold: float = BURST_THRESHOLD):
     uniform ambient load lifts every window together (ratios/median ≈ 1,
     nothing flagged here — the whole-run CONTROL_KEYS ratios carry that
     signal), while a time-windowed co-tenant burst lifts a contiguous
-    subset (flagged). None entries (missing baseline) are skipped."""
+    subset (flagged). None entries (missing baseline) are skipped.
+
+    Breakdown point (ADVICE r13): a burst spanning >= half the windows
+    lifts the run median itself, so ratios/median reads ~1 inside the
+    burst and nothing is flagged here — the median's 50% breakdown
+    point, same as any robust center. That saturated case is carried by
+    the artifact's window_ratio_median field instead: main() records
+    the raw median and sets window_median_elevated when it reads >=
+    BURST_THRESHOLD vs 1.0, which combined with the whole-run
+    CONTROL_KEYS ratios distinguishes a half-run burst (median high,
+    controls near 1 for keys timed outside it) from ambient load
+    (median high, controls uniformly high)."""
     vals = [r for r in window_ratios if r is not None]
     if len(vals) < 2:
         return []
@@ -82,6 +104,36 @@ def flag_bursts(window_ratios, threshold: float = BURST_THRESHOLD):
         for i, r in enumerate(window_ratios)
         if r is not None and r / med >= threshold
     ]
+
+
+def split_expected_warm(window_ratios, bursts):
+    """Separate the position-0 process-warm signature from genuine
+    bursts (VERDICT r13 item 6).
+
+    Commit ec533b4 diagnosed window 0's recurring elevation as
+    position-based process warm-up (first-use JVM/codegen/worker-pool
+    state the pre-run warmers cannot fully pre-pay — probed: widening
+    the warm-up changed first-window timings <1%), deliberately left in
+    the timings so they stay comparable with BASELINE.md's protocol.
+    The artifact should therefore say so instead of re-costing a judge
+    adjudication every round. Signature: the elevation is strictly
+    positional — window 0 reads hot while window 1 (the immediately
+    following wall-clock interval) reads normal. A real co-tenant burst
+    is a time interval, so one that catches window 0 also catches
+    window 1 (r13's driver run: bursts [0, 2] with window 1 at 1.1 —
+    window 0 warm, window 2 genuine).
+
+    Returns (bursts_without_expected_warm, expected_warm: bool); only
+    reclassifies index 0, and only when window 1 exists, has a ratio,
+    and is itself unflagged."""
+    if (
+        0 in bursts
+        and 1 not in bursts
+        and len(window_ratios) >= 2
+        and window_ratios[1] is not None
+    ):
+        return [i for i in bursts if i != 0], True
+    return list(bursts), False
 
 
 def main() -> None:
@@ -149,7 +201,22 @@ def main() -> None:
             )
         timings[k] = time_key(k)
 
-    burst_windows = flag_bursts([w["control_ratio"] for w in window_controls])
+    window_ratios = [w["control_ratio"] for w in window_controls]
+    burst_windows, expected_warm0 = split_expected_warm(
+        window_ratios, flag_bursts(window_ratios)
+    )
+    if expected_warm0:
+        window_controls[0]["expected_warm"] = True
+    ratio_vals = [r for r in window_ratios if r is not None]
+    window_ratio_median = (
+        round(statistics.median(ratio_vals), 2) if ratio_vals else None
+    )
+    # the median's own level vs 1.0 carries the saturated-burst /
+    # ambient-load signal flag_bursts cannot (see its docstring)
+    window_median_elevated = (
+        window_ratio_median is not None
+        and window_ratio_median >= BURST_THRESHOLD
+    )
 
     controls: dict[str, float] = {}
     control_median = None
@@ -186,6 +253,9 @@ def main() -> None:
         "sf": sf_val,
         "window_controls": window_controls,
         "burst_windows": burst_windows,
+        "expected_warm_window0": expected_warm0,
+        "window_ratio_median": window_ratio_median,
+        "window_median_elevated": window_median_elevated,
     }
     print(json.dumps(detail))
     if not only:  # a BENCH_KEYS subset run must not clobber the full record
@@ -203,8 +273,11 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "controls_vs_baseline": controls,
         "control_median": control_median,
-        "window_controls": [w["control_ratio"] for w in window_controls],
+        "window_controls": window_ratios,
         "burst_windows": burst_windows,
+        "expected_warm_window0": expected_warm0,
+        "window_ratio_median": window_ratio_median,
+        "window_median_elevated": window_median_elevated,
     }
     if only:
         # subset runs are the iterate-on-one-key loop: per-key detail in

@@ -49,6 +49,41 @@ def test_threshold_boundary():
     assert bench.flag_bursts(ratios) == []
 
 
+def test_expected_warm_window0_reclassified():
+    # the diagnosed position-0 process-warm signature (commit ec533b4):
+    # window 0 hot, window 1 already normal -> not a burst
+    ratios = [2.0, 1.0, 0.95, 1.05, 1.0]
+    bursts = bench.flag_bursts(ratios)
+    assert bursts == [0]
+    assert bench.split_expected_warm(ratios, bursts) == ([], True)
+
+
+def test_expected_warm_coexists_with_genuine_burst():
+    # the r13 driver shape: [0, 2] flagged, window 1 normal — window 0
+    # is warm-up, window 2 stays a genuine burst
+    ratios = [2.2, 1.1, 2.6, 1.0, 0.95]
+    bursts = bench.flag_bursts(ratios)
+    assert bursts == [0, 2]
+    assert bench.split_expected_warm(ratios, bursts) == ([2], True)
+
+
+def test_burst_spanning_start_not_reclassified():
+    # a time-interval burst that catches window 0 also catches window 1
+    # -> the positional warm signature does not match; keep both
+    ratios = [2.4, 2.6, 1.0, 1.0, 0.95, 1.05]
+    bursts = bench.flag_bursts(ratios)
+    assert bursts == [0, 1]
+    assert bench.split_expected_warm(ratios, bursts) == ([0, 1], False)
+
+
+def test_expected_warm_needs_observable_window1():
+    # window 1 missing or baseline-less: cannot confirm the decay shape
+    assert bench.split_expected_warm([3.0], [0]) == ([0], False)
+    assert bench.split_expected_warm([3.0, None, 1.0], [0]) == ([0], False)
+    # and an unflagged run is passed through untouched
+    assert bench.split_expected_warm([1.0, 1.0, 1.1], []) == ([], False)
+
+
 def test_window_constants_sane():
     # the interleave must cover a 257-key run with >=2 windows for the
     # median to mean anything, and the control must be a registered key

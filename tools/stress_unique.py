@@ -229,6 +229,10 @@ def run(spark, copies: int):
             counters: dict = {}
             n = prefix_filter_pairs(d, tau=tau, counters=counters).count()
             extra = {"candidates": counters["candidates"]}
+            # release the DISK_ONLY candidate blocks now that the pairs
+            # are materialized — one session loops multiple keys/copies
+            # and would otherwise accumulate the sets (ADVICE r13)
+            counters["unpersist"]()
         else:
             from adlspark import registry
 
