@@ -1997,3 +1997,140 @@ def llm_domain_cap(spark, sf_dir):
     return over.unionByName(under).select(
         "source", "doc_id", "n_chars", "kept_rank", "domain_docs"
     )
+
+
+@query(
+    "llm_curation_pipeline",
+    oracle="""
+WITH dedup AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND source IS NOT NULL
+), feat AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')))
+           AS n_stop,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS DOUBLE)
+           / greatest(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')), 1) AS ttr
+  FROM dedup WHERE rn = 1
+), kept AS (
+  SELECT doc_id, lang, source, n_chars, n_words,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC NULLS LAST, doc_id)
+           AS kept_rank
+  FROM feat WHERE n_words >= 30 AND n_stop >= 1 AND ttr > 0.3
+)
+SELECT doc_id, lang, source, n_chars, n_words, kept_rank,
+       CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM kept WHERE kept_rank <= 12
+""",
+)
+def llm_curation_pipeline(spark, sf_dir):
+    """End-to-end curation COMPOSITION (VERDICT r13 item 5): exact
+    dedup -> quality gate -> per-domain cap -> deterministic split, the
+    four stages a training-data pipeline chains between crawl and
+    tokenizer, composed in ONE dataflow so stage-contract mismatches
+    (the thing the per-stage keys cannot catch) are under the value
+    oracle. Output is the curated-corpus manifest: one row per
+    surviving document with its cap rank and split assignment.
+
+    Stage shapes, chosen so the composition adds NOTHING beyond the
+    minimum two shuffles:
+
+    1. exact dedup — row_number() = 1 over (md5(text), doc_id): ONE
+       hash exchange on the content hash; the rank<=1 filter compiles
+       to partial+final WindowGroupLimit (plan-pinned,
+       tests/test_plans.py), so each map partition forwards one row
+       per local content-hash group, and k exact copies cost k/p rows
+       per partition, never a groupBy+self-join's second exchange.
+    2. quality gate — Gopher-lite (word-count floor, stopword-hit
+       floor, type-token-ratio floor) evaluated as codegen expressions
+       DURING the same pass; no shuffle, and the gate runs BEFORE the
+       cap window so dropped docs never enter the second exchange.
+       The TTR boundary is exact cross-engine: both engines divide the
+       same two small integers and compare the same nearest-double
+       literal.
+    3. domain cap — row_number() <= cap over (source; n_chars DESC
+       NULLS LAST, doc_id): the second hash exchange. Unlike
+       llm_domain_cap (which must keep ALL under-cap rows and so
+       splits over/under around the broadcast count), here EVERY row
+       is rank-filtered, so the plain declarative window IS the
+       scalable form — WindowGroupLimit bounds a billion-row head
+       domain to cap rows per map partition before the shuffle.
+    4. split — llm_train_split's engine-independent md5-bucket 80/10/10
+       as a pure projection on the survivors (membership a function of
+       doc_id only: stable under re-runs and corpus growth).
+
+    At 100 TB: two content/domain-keyed exchanges whose map outputs are
+    WindowGroupLimit-bounded, everything else scan-local; the manifest
+    (<= cap x |domains| rows) is the only thing downstream.
+    """
+    cap = 12
+    d = tables.load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    w_dedup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    canon = (
+        d.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    words = F.expr("filter(split(text, ' '), x -> x <> '')")
+    n_words = F.size(words)
+    n_stop = F.expr(
+        "size(filter(split(text, ' '), x -> x IN"
+        " ('the', 'and', 'of', 'to', 'a', 'in', 'is', 'that')))"
+    )
+    ttr = F.size(F.array_distinct(words)).cast("double") / F.greatest(
+        n_words, F.lit(1)
+    )
+    kept = canon.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        ttr.alias("ttr"),
+    ).where((F.col("n_words") >= 30) & (F.col("n_stop") >= 1) & (F.col("ttr") > 0.3))
+    w_cap = Window.partitionBy("source").orderBy(
+        F.desc_nulls_last("n_chars"), F.asc("doc_id")
+    )
+    capped = kept.withColumn("kept_rank", F.row_number().over(w_cap)).where(
+        F.col("kept_rank") <= cap
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return capped.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_words",
+        "kept_rank",
+        split.alias("split"),
+    )

@@ -653,3 +653,21 @@ def test_domain_cap_uses_window_group_limit(spark, sf_dir):
     assert p.count("WindowGroupLimit") >= 2, p[:2000]  # partial + final
     assert "BroadcastHashJoin" in p
     assert "IsNotNull(source)" in p and "IsNotNull(doc_id)" in p
+
+
+def test_curation_pipeline_two_bounded_exchanges(spark, sf_dir):
+    """The composition key must not cost more than its stages' minimum:
+    exactly 2 Exchanges (content-hash dedup window, domain cap window),
+    BOTH wrapped in partial+final WindowGroupLimit (rank<=1 and
+    rank<=cap filters both infer the limit), quality gate evaluated
+    between them with no shuffle, no joins anywhere, and the three
+    not-null guards pushed to the parquet scan."""
+    p = plan_of(spark, sf_dir, "llm_curation_pipeline")
+    assert p.count(") Exchange") == 2, p
+    assert p.count(") WindowGroupLimit") == 4, p[:2000]  # 2x (partial+final)
+    assert "Join" not in p, p
+    assert (
+        "IsNotNull(text)" in p
+        and "IsNotNull(doc_id)" in p
+        and "IsNotNull(source)" in p
+    )
