@@ -471,8 +471,27 @@ def minhash_lsh_pairs(d, tau: float, n_hashes: int | None = None,
     return cross.unionByName(within)
 
 
+# Above this corpus size the router's diagnostic runs on a
+# deterministic hash-sample of documents instead of the full corpus
+# (VERDICT r13 item 4): prefix_df_median is linear, but a FULL
+# quotient + explode + df aggregate + prefix window just to pick a rung
+# is the wrong opening move at 100 TB. Sized so every driver fixture
+# (500–50k docs) keeps the shared-build full-diagnostic path.
+NEAR_DUP_SAMPLE_DOCS = 60_000
+# The sampled threshold is saturation/m (a token with full df D keeps
+# expected df D/m in a 1/m doc sample), but df can never fall below 1
+# for a token that survives at all, so m is capped to keep the scaled
+# threshold >= this floor — otherwise a df-sparse corpus (df ~= 1)
+# would read as saturated. With the default saturation 50 the cap is
+# m <= 10: the diagnostic reads at most 1/10 of a huge corpus and the
+# two measured SCALE.md rungs sit decades clear of the scaled
+# threshold on either side (sparse ~= 1 vs 5; saturated 90/m >= 9).
+_SAMPLE_SAT_FLOOR = 5.0
+
+
 def near_dup(d, tau: float, saturation: float = PREFIX_DF_SATURATION,
-             route_info: dict | None = None):
+             route_info: dict | None = None,
+             sample_docs: int | None = NEAR_DUP_SAMPLE_DOCS):
     """Self-dispatching near-dup: the SCALE.md dedup-ladder deployment
     rule as ONE call instead of a runbook (VERDICT round-12 item 2).
 
@@ -491,14 +510,50 @@ def near_dup(d, tau: float, saturation: float = PREFIX_DF_SATURATION,
     Both rungs return the same (id1, id2, jaccard) contract, so callers
     compose downstream (clustering, canonical pick) unchanged.
     ``route_info`` (optional dict) receives {"prefix_df_median",
-    "route", "saturation"} for observability. The quotient and the
-    prefix index are built ONCE: the diagnostic reads its median off
-    the same frames the routed exact run then joins (prebuilt=), so
-    routing adds one percentile aggregate, not a second index build;
-    the LSH route reuses the quotient and skips the index entirely
-    going forward (its one-time materialization is the price of the
-    diagnostic itself).
+    "route", "saturation"} for observability.
+
+    Two diagnostic regimes (VERDICT r13 item 4):
+
+    - corpus <= ``sample_docs``: the quotient and the prefix index are
+      built ONCE and SHARED — the diagnostic reads its median off the
+      same frames the routed exact run then joins (prebuilt=), so
+      routing adds one percentile aggregate, not a second index build;
+      the LSH route reuses the quotient.
+    - corpus > ``sample_docs``: the diagnostic runs on a DETERMINISTIC
+      hash-sample (xxhash64(doc_id) % m == 0, m = ceil(n/sample_docs)
+      capped so saturation/m >= _SAMPLE_SAT_FLOOR) against the scaled
+      threshold saturation/m, and NOTHING is prebuilt: the full index
+      is only constructed if the exact rung is actually chosen. The
+      sizing count is one narrow count job (parquet footer-cheap on
+      scan-backed frames); route_info additionally records
+      {"n_docs", "sample_mod", "scaled_saturation"}. Sample-vs-full
+      routing agreement is pinned on both rung shapes by
+      tests/test_near_dup_auto.py. ``sample_docs=None`` forces the
+      full shared-build diagnostic at any size.
     """
+    samp_cap = int(saturation // _SAMPLE_SAT_FLOOR)
+    if sample_docs and samp_cap >= 2:
+        n = d.count()
+        if n > sample_docs:
+            mod = min(-(-n // sample_docs), samp_cap)
+            ds = d.where(F.xxhash64(F.col("doc_id")) % mod == 0)
+            med = prefix_df_median(ds, tau)
+            scaled = saturation / mod
+            route = "exact_prefix" if med < scaled else "minhash_lsh"
+            if route_info is not None:
+                route_info.update(
+                    {
+                        "prefix_df_median": med,
+                        "route": route,
+                        "saturation": saturation,
+                        "n_docs": n,
+                        "sample_mod": mod,
+                        "scaled_saturation": scaled,
+                    }
+                )
+            if route == "exact_prefix":
+                return prefix_filter_pairs(d, tau)
+            return minhash_lsh_pairs(d, tau)
     g = quotient_token_sets(d)
     prefix = _prefix_index(g, tau)
     m = prefix_df_median(d, tau, prefix=prefix)

@@ -182,3 +182,84 @@ def test_lsh_plan_beats_fixed_banding_on_background_similarity():
     fixed = 1 - (1 - 0.6**4) ** 4
     assert fixed > 0.40, fixed  # the mis-tuning this replaces
     assert background < 0.05, (r, b, background)
+
+
+# --- sampled diagnostic regime (VERDICT r13 item 4) -------------------
+
+def _sparse_corpus(spark, n=3000):
+    # df-sparse shape: every token unique to its doc (df == 1), plus 10
+    # exact-duplicate docs (doc i and doc n+i share toks for i < 10) so
+    # the exact rung has real output
+    rows = [(i, "en", [f"a{i}", f"b{i}", f"c{i}", f"d{i}"]) for i in range(n)]
+    rows += [(n + i, "en", [f"a{i}", f"b{i}", f"c{i}", f"d{i}"]) for i in range(10)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, toks array<string>"
+    )
+
+
+def _saturated_corpus(spark):
+    # saturated shape (the SCALE.md dup-free rung in miniature): all
+    # 3003 distinct 8-subsets of one 14-word hot vocabulary. Every set
+    # is unique (quotienting collapses NOTHING — the mistake to avoid
+    # here is any construction periodic in doc_id, which quotients down
+    # to a handful of reps and reads df-sparse), every token appears in
+    # C(13,7) = 1716 of them, so even the rarest-token prefix choice
+    # sees df ~ 1716 >> saturation on the full corpus and ~ 1716/m in
+    # any 1/m doc sample.
+    import itertools
+
+    rows = [
+        (i, "en", [f"w{j:02d}" for j in combo])
+        for i, combo in enumerate(itertools.combinations(range(14), 8))
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, toks array<string>"
+    )
+
+
+def test_sampled_diagnostic_agrees_with_full_on_sparse_rung(spark):
+    d = _sparse_corpus(spark)
+    full, samp = {}, {}
+    near_dup(d, tau=0.95, route_info=full, sample_docs=None)
+    pairs = near_dup(d, tau=0.95, route_info=samp, sample_docs=500)
+    assert full["route"] == "exact_prefix"
+    assert samp["route"] == "exact_prefix", samp
+    assert samp["sample_mod"] >= 2 and samp["n_docs"] == 3010
+    assert samp["prefix_df_median"] < samp["scaled_saturation"]
+    # and the routed output is the exact kernel's, bit-for-bit
+    assert _pairs(pairs) == _pairs(prefix_filter_pairs(d, tau=0.95))
+
+
+def test_sampled_diagnostic_agrees_with_full_on_saturated_rung(spark):
+    d = _saturated_corpus(spark)
+    full, samp = {}, {}
+    near_dup(d, tau=0.95, route_info=full, sample_docs=None)
+    near_dup(d, tau=0.95, route_info=samp, sample_docs=500)
+    assert full["route"] == "minhash_lsh", full
+    assert samp["route"] == "minhash_lsh", samp
+    assert samp["n_docs"] == 3003 and samp["sample_mod"] >= 2
+    assert samp["prefix_df_median"] >= samp["scaled_saturation"]
+
+
+def test_sample_mod_capped_by_saturation_floor(spark):
+    # mod must never scale the threshold below _SAMPLE_SAT_FLOOR: with
+    # the default saturation 50 the cap is 10 even for a 100x corpus
+    d = _sparse_corpus(spark, n=2500)
+    samp = {}
+    near_dup(d, tau=0.95, route_info=samp, sample_docs=100)
+    assert samp["sample_mod"] == 10, samp  # ceil(2510/100)=26 -> capped
+    assert samp["scaled_saturation"] == 5.0
+    # a saturation too small to scale disables sampling entirely
+    # (falls back to the full shared-build diagnostic: no sample_mod)
+    info = {}
+    near_dup(d, tau=0.95, saturation=8, route_info=info, sample_docs=100)
+    assert "sample_mod" not in info
+
+
+def test_small_corpus_keeps_shared_build_path(spark, sf_dir):
+    # fixtures are far below NEAR_DUP_SAMPLE_DOCS: the default call
+    # must not record sampling fields (the llm_near_dup_auto oracle
+    # premise — the driver fixture always takes the full diagnostic)
+    info = {}
+    near_dup(_shingled(spark, sf_dir), tau=0.30, route_info=info)
+    assert "sample_mod" not in info and info["route"] == "exact_prefix"
