@@ -139,19 +139,15 @@ def llm_sim_threshold_join(spark, sf_dir):
 
     from adlspark.llm.dedup import chunked_self_pairs, expand_member_pairs
 
-    # Block count scales with the CLUSTER, not the data: B(B+1)/2 block-
-    # pair groups should cover the available parallelism, so B ≈
-    # ceil(sqrt(2·defaultParallelism)), floored at 8 so toy sessions still
-    # exercise the multi-block path. Result is identical for any B (block
-    # assignment only partitions the pair space); ADLSPARK_SIM_BLOCKS
-    # overrides for tuning memory per group (each group holds 2·N/B
-    # vectors).
-    env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
-    n_blocks = (
-        int(env_blocks)
-        if env_blocks
-        else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
-    )
+    # Block count: B(B+1)/2 block-pair groups should cover the available
+    # parallelism — B ≈ ceil(sqrt(2·defaultParallelism)), floored at 8 so
+    # toy sessions still exercise the multi-block path — AND bound the
+    # per-task sims matrix, which is (N_unique/B)² float64 and therefore
+    # corpus-size-dependent (round 14, same sizing as llm_knn_graph: B
+    # also scales with the quotient size so a block holds ≤ ~2048 rows;
+    # the count reads off the materialized checkpoint). Result is
+    # identical for any B (block assignment only partitions the pair
+    # space); ADLSPARK_SIM_BLOCKS overrides for tuning.
     e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     g = (
         e.groupBy("embedding")
@@ -160,6 +156,16 @@ def llm_sim_threshold_join(spark, sf_dir):
             F.collect_list("vec_id").alias("members"),
         )
         .localCheckpoint(eager=True)  # feeds matmul + expansion ×3
+    )
+    env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
+    n_blocks = (
+        int(env_blocks)
+        if env_blocks
+        else max(
+            8,
+            math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)),
+            math.ceil(g.count() / 2048),
+        )
     )
     eb = g.select(F.col("gid").alias("vec_id"), "embedding").withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
@@ -1362,7 +1368,16 @@ def llm_ann_ivf_pq(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
     ).localCheckpoint(eager=True)  # feeds encode, probe quotient, expansion
 
-    n_blocks = 8
+    # Block-count sizing (round 14, same rule as llm_knn_graph /
+    # llm_sim_threshold_join): the per-task peak is the ADC distance
+    # gather — probes × block_rows int64 — so a fixed B is corpus-size-
+    # blind (at 200k unique vectors B=8 gathers a 2000×25k ≈ 400 MB
+    # matrix per task). B scales with the quotient size to hold blocks
+    # at ≤ ~2048 code rows; the count reads off the materialized
+    # checkpoint. Results are B-invariant (the global window re-ranks).
+    import math as _math
+
+    n_blocks = max(8, _math.ceil(g.count() / 2048))
     coded = g.select(
         "gid", "cnt", _pq_encode_udf(codebook, sub)("embedding").alias("codes")
     ).withColumn("blk", F.pmod(F.col("gid"), F.lit(n_blocks)).cast("int"))
@@ -1829,12 +1844,6 @@ def llm_knn_graph(spark, sf_dir):
     import numpy as np
 
     K = 5
-    env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
-    n_blocks = (
-        int(env_blocks)
-        if env_blocks
-        else max(8, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
-    )
     e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     # QUOTIENTED by identical embedding (the dedup-kernel pattern): both
     # the probe side and the corpus side scale with N, so duplicate
@@ -1858,6 +1867,29 @@ def llm_knn_graph(spark, sf_dir):
         F.sort_array(F.collect_list("vec_id")).alias("members"),
         F.count(F.lit(1)).alias("cnt"),
     ).localCheckpoint(eager=True)  # feeds both block sides + 2 expansions
+    # Block-count sizing (round 14): the per-task peak is the block-pair
+    # sims matrix — (N_unique/B)² float64, allocated in the PYTHON
+    # worker — so a parallelism-only B is corpus-size-blind: at 200k
+    # unique vectors a forced B=8 puts a ~5 GB matrix inside one worker
+    # and the kernel OOM-killer shoots it at 6.9 GB RSS, aborting the
+    # job (measured; SCALE.md round-14 addendum). B now also scales
+    # with the quotient size so a block holds ≤ ~2048 rows (sims ≤
+    # 2048² ≈ 34 MB/task, bounded for any corpus — same rung measured
+    # clean: 20.2B sims, B=98, 525 s at a 6 GB JVM); the count reads
+    # off the already-materialized checkpoint, so it costs no extra
+    # scan. Fixtures (≤ 2000 unique) keep B = max(8, √(2·parallelism))
+    # — bit-identical plans.
+    env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
+    n_unique = g.count()
+    n_blocks = (
+        int(env_blocks)
+        if env_blocks
+        else max(
+            8,
+            math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)),
+            math.ceil(n_unique / 2048),
+        )
+    )
     eb = g.select("gid", "embedding", "cnt").withColumn(
         "blk", F.pmod(F.col("gid"), F.lit(n_blocks)).cast("int")
     )

@@ -40,98 +40,83 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # absent from this list keep their existing verdicts because their code
 # is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 13 (recomputed 2026-08-16 with
+# State entering driver round 14 (recomputed 2026-08-16 with
 # tools/verification_debt.py — the single source of truth):
-#   - 258 registry keys; the 257 pre-existing ALL green at their latest
-#     verdict, debt = 0, ZERO failed — r12 came back fully green
-#     (50/50) and retired the r04 cohort. Oldest signal now: the 14
-#     r05 keys, then the 17 r06 keys (VERDICT r12 item 1: retire both).
-# Composition: 2 never-verified + 17 (b)-class re-entries + 14 r05 +
-# 17 r06 = 50.
+#   - 260 registry keys (259 entering the round + llm_curation_pipeline,
+#     new this round); the 259 pre-existing ALL green at their latest
+#     verdict, debt = 0, ZERO failed — r13 came back fully green (50/50)
+#     and retired the r05+r06 cohorts. Oldest signal now: the 13 r07
+#     keys, then the 33 r08 keys (VERDICT r13 item 1: rotate both).
+# Composition: 1 never-verified + 1 (b)-class re-entry + 13 r07 +
+# 33 r08 + 2 oldest-r09 fill = 50.
 _VERIFY_WINDOW = [
-    # (a) failed in the latest window: none (r12 fully green).
-    # (c) never-verified: the round-13 self-dispatching near-dup ladder
-    #   entry point (VERDICT r12 item 2) — routes the fixture's
-    #   df-sparse shingle domain to the exact prefix rung, so the SQL
-    #   oracle is the exact shingle join; sim HASH-PASSED at sf0.01 —
-    #   and the per-domain quota curation step (skew-isolating
-    #   over/under-cap split), sim HASH-PASSED at sf0.01 + sf0.001.
+    # (a) failed in the latest window: none (r13 fully green).
+    # (c) never-verified: the round-14 curation composition key
+    #   (VERDICT r13 item 5) — exact dedup -> Gopher-lite gate ->
+    #   domain cap -> md5-bucket split as one dataflow, full value
+    #   oracle; sim HASH-PASSED at sf0.01 + sf0.001.
+    "llm_curation_pipeline",
+    # (b) code changed after the last green verdict — re-enter:
+    #   llm_near_dup_auto: the router diagnostic gained a sampled
+    #   regime above NEAR_DUP_SAMPLE_DOCS (VERDICT r13 item 4). Driver
+    #   fixtures sit far below the threshold so the routed plan is
+    #   bit-identical, but the dispatch code changed; sim HASH-PASSED
+    #   at sf0.01 after the change.
     "llm_near_dup_auto",
-    "llm_domain_cap",
-    # (b) code/oracle changed after the last green verdict — re-enter:
-    #   1. llm_pca_power: round-13 promotion rows-only -> computed
-    #      value oracle (VERDICT r12 item 4) — fixed-round power
-    #      iteration with deflation replaced the eigensolver; the
-    #      driver has never run the oracle form. Sim HASH-PASSED at
-    #      sf0.01; mutation witness + empty/hostile gates in pytest.
-    "llm_pca_power",
-    #   2. stream_tumbling_ohlc: r12 ADVICE — the oracle's row_number
-    #      partition key is now (user_id IS NULL, coalesce(user_id,-1))
-    #      so a real -1 id can never share a sequence with NULL ids.
-    "stream_tumbling_ohlc",
-    #   3. The pair-expansion kernel change (VERDICT r12 item 5): the
-    #      chunked expansion helpers now repartition by CONTENT HASH
-    #      instead of round-robin (eliminating the map-side
-    #      sortBeforeRepartition pass where the 10x dup-free rung's
-    #      heap died), and the stress counters path materializes the
-    #      candidate set DISK_ONLY. Same rows, different physical
-    #      distribution — every key transitively using
-    #      prefix_filter_pairs / chunked_self_pairs / chunked_cartesian
-    #      / expand_member_pairs re-enters (AST closure over the llm
-    #      modules, round-13 session):
-    "llm_near_dup_pairs",
-    "llm_ngram_jaccard",
-    "llm_dedup_cluster",
-    "llm_dedup_canonical",
-    "llm_dedup_minhash",
-    "llm_dedup_editdist",
-    "llm_minhash_estimate",
-    "llm_containment_dedup",
-    "llm_graph_triangles",
-    "llm_ann_ivf",
-    "llm_ann_ivf_pq",
-    "llm_embed_near_dup",
-    "llm_knn_graph",
-    "llm_knn_label",
-    "llm_sim_threshold_join",
-    # (d) staleness rotation (VERDICT r12 item 1) — the full r05 cohort
-    #   (14 keys, verification_debt.py ranking order):
-    "ts_pattern_match",
-    "ts_rolling_corr",
-    "ts_attribution",
-    "ts_burst_detect",
-    "ts_active_users",
-    "ts_drift_psi",
-    "subq_in_multi",
-    "join_asof_tolerance",
-    "agg_corr_matrix",
-    "agg_mutual_info",
-    "agg_cohort_overlap",
-    "agg_chi2_independence",
-    "win_time_range",
-    "stream_checkpoint_recovery",
-    #   ...and the full r06 cohort (17 keys), leaving r07 as the oldest
+    # (d) staleness rotation (VERDICT r13 item 1) — the full r07 cohort
+    #   (13 keys, verification_debt.py ranking order):
+    "llm_fingerprint",
+    "llm_substring_dedup",
+    "llm_quality_classifier",
+    "llm_gopher_rules",
+    "mm_phash_dedup",
+    "fn_json",
+    "fn_map",
+    "ts_event_paths",
+    "udf_python",
+    "scan_project",
+    "agg_approx_percentile",
+    "agg_ks_test",
+    "win_distinct_running",
+    #   ...the full r08 cohort (33 keys), leaving r09 as the oldest
     #   verdict anywhere after this window lands:
-    "llm_dedup_exact",
-    "llm_simhash",
-    "llm_winnow_fingerprint",
-    "llm_minhash_signature",
-    "llm_incremental_dedup",
-    "llm_prefix_dedup",
-    "llm_dedup_bloom",
-    "llm_paragraph_dedup",
-    "llm_dedup_cross_source",
-    "llm_vocab_coverage",
-    "llm_temperature_sample",
-    "llm_dataset_card",
-    "lake_compact_small_files",
-    "lake_vacuum_orphans",
-    "join_theta_range",
-    "agg_hll_partial_merge",
-    "stream_hll_distinct",
-    # Slot arithmetic: 2 new + 2 + 15 (b) + 14 r05 + 17 r06 = 50.
-    # (The oldest-r07 fill slot went to llm_domain_cap; r07 rotates
-    # in r14.)
+    "llm_contamination_check",
+    "lake_zorder_layout",
+    "fn_array",
+    "fn_higher_order",
+    "ts_velocity_features",
+    "scan_all_tables_counts",
+    "ingest_csv_header",
+    "stream_file_source",
+    "ingest_csv_malformed",
+    "project_compute",
+    "filter_pred",
+    "filter_null_3vl",
+    "distinct_rows",
+    "filter_dynamic_rule",
+    "join_inner",
+    "join_broadcast",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_interval",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_unpivot",
+    "win_rownum",
+    "win_topk_group",
+    "win_lag_lead",
+    "win_range_frame",
+    "win_ntile_pct",
+    #   ...and the top of the r09 cohort to fill the window:
+    "llm_top_terms",
+    "llm_tfidf",
+    # Slot arithmetic: 1 new + 1 (b) + 13 r07 + 33 r08 + 2 r09 = 50.
 ]
 
 
