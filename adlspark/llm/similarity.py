@@ -554,13 +554,26 @@ def llm_ann_ivf(spark, sf_dir):
     # quotiented, the search runs at unique-vector cost. Expansion uses
     # the margin-11 keep rule (top-10 + one possible self-exclusion per
     # probe member — see llm_knn_label for the losslessness argument).
-    from adlspark.llm.dedup import chunked_cartesian
-
     g = e.groupBy("embedding").agg(
         F.min("vec_id").alias("gid"),
         F.sort_array(F.collect_list("vec_id")).alias("members"),
         F.count(F.lit(1)).alias("cnt"),
     ).localCheckpoint(eager=True)  # feeds assignment + the probe quotient
+    return _ivf_probe_search(g, cent)
+
+
+def _ivf_probe_search(g, cent, nprobe: int = 3, topk: int = 10):
+    """The quotiented IVF probe search shared by ``llm_ann_ivf`` (label
+    cells) and ``llm_ann_ivf_scaled`` (trained √N cells) — factored in
+    round 14, expression-for-expression the round-11/12 kernel, so the
+    label-cell key's plan is unchanged. ``g`` is the embedding quotient
+    (gid, members, cnt, embedding — localCheckpointed by the caller),
+    ``cent`` a small (cell, centroid<array<double>>) frame (broadcast).
+    Probes = groups holding a member with id % 100 == 0; ranking is the
+    round-4 cosine with (sim DESC, id ASC) order and count-aware
+    margin-(topk+1) keeps before member expansion."""
+    from adlspark.llm.dedup import chunked_cartesian
+
     # assign each unique vector to its nearest cell (broadcast centroids)
     assign_w = Window.partitionBy("gid").orderBy(F.desc("csim"), F.col("cell"))
     assigned = (
@@ -596,7 +609,7 @@ def llm_ann_ivf(spark, sf_dir):
         .withColumn("r", F.row_number().over(
             Window.partitionBy("pu").orderBy(F.desc("csim"), F.col("cell"))
         ))
-        .where(F.col("r") <= 3)
+        .where(F.col("r") <= nprobe)
         .select("pu", "probe_members", "pe", "cell")
     )
     sim = cosine(F.col("pe"), F.col("embedding"))
@@ -617,7 +630,7 @@ def llm_ann_ivf(spark, sf_dir):
         pairs_u.withColumn(
             "_better", F.sum("cnt").over(w_cum) - F.sum("cnt").over(w_tie)
         )
-        .where(F.col("_better") < 11)
+        .where(F.col("_better") < topk + 1)
         .drop("_better")
     )
     cands = chunked_cartesian(
@@ -630,8 +643,205 @@ def llm_ann_ivf(spark, sf_dir):
     return (
         cands.select("probe_id", "neighbor_id", "sim")
         .withColumn("rnk", F.row_number().over(w_nn).cast("long"))
-        .where(F.col("rnk") <= 10)
+        .where(F.col("rnk") <= topk)
     )
+
+
+def kmeans_cells(spark, g, k: int, iters: int = 2):
+    """Fixed-round Lloyd over the UNIQUE-vector quotient ``g`` (gid,
+    embedding, ...), returning a (cell, centroid<array<double>>) frame —
+    the coarse-quantizer trainer for ``llm_ann_ivf_scaled``.
+
+    Same determinism discipline as ``kmeans_fit`` (init = the k
+    lowest-gid embeddings; exact-decimal centroid means rounded to 9
+    with per-coordinate carry-forward on empty clusters; bit-parity L2
+    folds; lowest-cell argmin tie-break), but the assignment runs as a
+    crossJoin against a BROADCAST centroid frame + one window argmin
+    instead of kmeans_fit's k literal-array expressions: k here scales
+    with the corpus (√N cells ≈ 448 at 200k uniques), and a 448-branch
+    literal expression tree would blow up codegen, while the join form
+    is N_u × k narrow rows per round. Driver state stays k × dim
+    doubles per round — bounded by the MODEL, independent of corpus.
+    Returns None for an empty domain."""
+    import math  # noqa: F401  (kept for symmetry with callers)
+
+    from adlspark.ops.parity import DEC
+
+    init = g.select("gid", "embedding").orderBy("gid").limit(k).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    if not cents:
+        return None
+    for it in range(iters):
+        cent_df = spark.createDataFrame(
+            [(c, cen) for c, cen in enumerate(cents)],
+            "cell int, centroid array<double>",
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("centroid"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        w = Window.partitionBy("gid").orderBy(F.asc("dist"), F.asc("cell"))
+        assign = (
+            g.select("gid", "embedding")
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("gid", "embedding", "cell")
+        )
+        d = F.col("x").cast("double").try_cast(DEC)
+        upd = (
+            assign.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.sum(d).cast("double") / F.count(d), 9).alias("m"))
+            .collect()
+        )
+        new = {c: list(cen) for c, cen in enumerate(cents)}
+        for r in upd:
+            if r["m"] is not None:
+                new[r["cell"]][r["pos"]] = float(r["m"])
+        cents = [new[c] for c in range(len(cents))]
+    return spark.createDataFrame(
+        [(c, cen) for c, cen in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+
+
+def _ann_ivf_scaled_oracle_sql(nprobe: int = 3, iters: int = 2) -> str:
+    """Direct-form oracle for the √N-cell IVF: the dynamic cell count
+    rides a subquery LIMIT (k = ceil(sqrt(count(dom_u))) — DuckDB
+    evaluates expression LIMITs), the Lloyd unroll is
+    _kmeans_oracle_sql's term-for-term shape over the quotient, and the
+    probe/assign/search tail is _ann_ivf_oracle_sql's direct form
+    against the trained cells. Training assigns by the bit-parity L2
+    fold (kmeans discipline); cell assignment and ranking in the search
+    phase use the round-4 cosine (the ANN-family contract), mirrored on
+    both engines."""
+    from adlspark.ops.parity import _o_dec_total
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+            f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+        )
+
+    dx = _o_dec_total("x")
+    csim = o_cosine("d.embedding", "c.cen")
+    parts = [
+        f"""WITH dom AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE {O_EMB_WHERE}
+), dom_u AS MATERIALIZED (
+  SELECT min(vec_id) AS gid, embedding FROM dom GROUP BY embedding
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY gid) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cen
+  FROM (SELECT gid, embedding FROM dom_u ORDER BY gid
+        LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM dom_u))
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", b{i} AS MATERIALIZED (
+  SELECT gid, embedding, cell FROM (
+    SELECT d.gid, d.embedding, c.cell,
+           row_number() OVER (
+             PARTITION BY d.gid
+             ORDER BY {dist('d.embedding', 'c.cen')} ASC, c.cell ASC
+           ) AS rn
+    FROM dom_u d CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+), m{i} AS MATERIALIZED (
+  SELECT cell, pos,
+         round(CAST(sum({dx}) AS DOUBLE) / count({dx}), 9) AS m
+  FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM b{i})
+  GROUP BY cell, pos
+), c{i} AS MATERIALIZED (
+  SELECT p.cell, list(COALESCE(m.m, p.val) ORDER BY p.pos) AS cen
+  FROM (SELECT cell, generate_subscripts(cen, 1) AS pos,
+               unnest(cen) AS val FROM c{i - 1}) p
+  LEFT JOIN m{i} m ON m.cell = p.cell AND m.pos = p.pos
+  GROUP BY p.cell
+)"""
+        )
+    parts.append(
+        f""", assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT d.vec_id, d.embedding, c.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY {csim} DESC, c.cell ASC NULLS FIRST) AS r
+    FROM dom d CROSS JOIN c{iters} c
+  ) WHERE r = 1
+), pc AS MATERIALIZED (
+  SELECT probe_id, pe, cell FROM (
+    SELECT d.vec_id AS probe_id, d.embedding AS pe, c.cell,
+           row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY {csim} DESC, c.cell ASC NULLS FIRST) AS r
+    FROM dom d CROSS JOIN c{iters} c
+    WHERE d.vec_id % 100 = 0
+  ) WHERE r <= {nprobe}
+)
+SELECT probe_id, neighbor_id, sim, rnk FROM (
+  SELECT p.probe_id, a.vec_id AS neighbor_id,
+         {o_cosine('p.pe', 'a.embedding')} AS sim,
+         row_number() OVER (PARTITION BY p.probe_id
+           ORDER BY {o_cosine('p.pe', 'a.embedding')} DESC, a.vec_id) AS rnk
+  FROM pc p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.probe_id
+) WHERE rnk <= 10"""
+    )
+    return "".join(parts)
+
+
+@query("llm_ann_ivf_scaled", oracle=_ann_ivf_scaled_oracle_sql())
+def llm_ann_ivf_scaled(spark, sf_dir):
+    """IVF with a TRAINED, corpus-scaled coarse quantizer — the
+    deployment form the round-14 vector stress rungs showed
+    ``llm_ann_ivf`` needs at scale: with ncells pinned to the 10 label
+    cells, candidates grow Θ(probes × N/ncells) and the 100× dup-free
+    rung read 119.4M candidates / 540 s (SCALE.md round-14 addendum).
+    Here ncells = ceil(√N_unique) (the FAISS sizing rule), trained by a
+    fixed-round deterministic Lloyd over the embedding QUOTIENT
+    (``kmeans_cells``: k lowest-gid init, 2 rounds, exact-decimal means
+    rounded 9), so expected cell occupancy is √N and per-probe
+    candidate volume is Θ(nprobe·√N) instead of Θ(nprobe·N/10).
+
+    The search is ``_ivf_probe_search`` — the identical quotiented
+    probe machinery as ``llm_ann_ivf`` (round-4 cosine, count-aware
+    margin keeps, chunked member expansion) — against the trained
+    cells, so the two keys differ ONLY in the quantizer: label cells
+    (free, fixed) vs trained √N cells (one N_u×k assignment pass per
+    training round, the price of scale-proportional pruning).
+
+    Value-oracle: determinism end to end — dynamic k via a subquery
+    LIMIT, the Lloyd unroll in chained MATERIALIZED CTEs
+    (_kmeans_oracle_sql's shape over the quotient), then the direct
+    probe/assign/search form; the quotient machinery is value-verified
+    against the direct form on every corpus, per the ANN-family
+    pattern."""
+    import math
+
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    g = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).localCheckpoint(eager=True)  # feeds training, assignment, probes
+    n_u = g.count()
+    if n_u == 0:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, sim double, rnk long"
+        )
+    cent = kmeans_cells(spark, g, k=int(math.ceil(math.sqrt(n_u))), iters=2)
+    cent = cent.select("cell", F.col("centroid"))
+    return _ivf_probe_search(g, cent)
 
 
 @query(

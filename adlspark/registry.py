@@ -42,20 +42,27 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #
 # State entering driver round 14 (recomputed 2026-08-16 with
 # tools/verification_debt.py — the single source of truth):
-#   - 260 registry keys (259 entering the round + llm_curation_pipeline,
-#     new this round); the 259 pre-existing ALL green at their latest
-#     verdict, debt = 0, ZERO failed — r13 came back fully green (50/50)
-#     and retired the r05+r06 cohorts. Oldest signal now: the 13 r07
-#     keys, then the 33 r08 keys (VERDICT r13 item 1: rotate both).
-# Composition: 1 never-verified + 1 (b)-class re-entry + 13 r07 +
-# 33 r08 + 2 oldest-r09 fill = 50.
+#   - 261 registry keys (259 entering the round + llm_curation_pipeline
+#     + llm_ann_ivf_scaled, new this round); the 259 pre-existing ALL
+#     green at their latest verdict, debt = 0, ZERO failed — r13 came
+#     back fully green (50/50) and retired the r05+r06 cohorts. Oldest
+#     signal now: the 13 r07 keys, then the 33 r08 keys (VERDICT r13
+#     item 1: rotate both).
+# Composition: 2 never-verified + 1 (b)-class re-entry + 13 r07 +
+# 33 r08 + 1 oldest-r09 fill = 50.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r13 fully green).
     # (c) never-verified: the round-14 curation composition key
     #   (VERDICT r13 item 5) — exact dedup -> Gopher-lite gate ->
     #   domain cap -> md5-bucket split as one dataflow, full value
-    #   oracle; sim HASH-PASSED at sf0.01 + sf0.001.
+    #   oracle; sim HASH-PASSED at sf0.01 + sf0.001 —
     "llm_curation_pipeline",
+    #   and the trained-√N-cell IVF (the deployment form the round-14
+    #   vector stress rungs showed fixed-cell IVF needs): dynamic-k
+    #   Lloyd trainer + the shared _ivf_probe_search, dynamic-LIMIT
+    #   unrolled-CTE oracle, mutation-witnessed (iters, k); sim
+    #   HASH-PASSED at sf0.01 + sf0.001.
+    "llm_ann_ivf_scaled",
     # (b) code changed after the last green verdict — re-enter:
     #   llm_near_dup_auto: the router diagnostic gained a sampled
     #   regime above NEAR_DUP_SAMPLE_DOCS (VERDICT r13 item 4). Driver
@@ -115,8 +122,7 @@ _VERIFY_WINDOW = [
     "win_ntile_pct",
     #   ...and the top of the r09 cohort to fill the window:
     "llm_top_terms",
-    "llm_tfidf",
-    # Slot arithmetic: 1 new + 1 (b) + 13 r07 + 33 r08 + 2 r09 = 50.
+    # Slot arithmetic: 2 new + 1 (b) + 13 r07 + 33 r08 + 1 r09 = 50.
 ]
 
 

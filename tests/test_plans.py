@@ -671,3 +671,52 @@ def test_curation_pipeline_two_bounded_exchanges(spark, sf_dir):
         and "IsNotNull(doc_id)" in p
         and "IsNotNull(source)" in p
     )
+
+
+def test_kmeans_cells_assignment_uses_window_group_limit(spark, sf_dir):
+    """The √N-cell trainer's per-round argmin (kmeans_cells) must stay
+    shuffle-bounded: the rn==1 filter over the (dist ASC, cell ASC)
+    window compiles to partial+final WindowGroupLimit, so the N_u × k
+    crossJoin ships ~1 row per gid per map partition into the exchange
+    — never the full distance relation (179M rows at the 100× rung).
+    The shape is reconstructed here expression-for-expression because
+    the trainer's assignment frame is loop-internal."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from adlspark.llm.similarity import load_embeddings
+
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    g = (
+        e.groupBy("embedding")
+        .agg(F.min("vec_id").alias("gid"))
+        .localCheckpoint(eager=True)
+    )
+    cent_df = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] * 64)], "cell int, centroid array<double>"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("gid").orderBy(F.asc("dist"), F.asc("cell"))
+    assign = (
+        g.select("gid", "embedding")
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("gid", "embedding", "cell")
+    )
+    p = assign._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert p.count(") WindowGroupLimit") == 2, p[:2000]
+    assert p.count(") Exchange") == 1, p[:2000]

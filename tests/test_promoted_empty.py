@@ -38,6 +38,9 @@ PROMOTED = [
     # round-13 promotion: empty embeddings → empty spectrum on both
     # sides (kernel's head(1) guard; oracle's (SELECT n FROM nn) > 0)
     "llm_pca_power",
+    # round-14: trained √N-cell IVF — empty embeddings → n_u == 0
+    # early-return on the kernel side, LIMIT 0 cell table in the oracle
+    "llm_ann_ivf_scaled",
 ]
 
 

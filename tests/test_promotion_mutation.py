@@ -230,3 +230,47 @@ def test_pca_power_oracle_pins_iteration_count(spark, sf_dir, con):
     with pytest.raises(AssertionError):
         compare(df, con, _pca_power_oracle_sql(n_comp=4), key="llm_pca~mutk")
     compare(df, con, all_oracles()["llm_pca_power"], key="llm_pca")
+
+
+def _scaled_ivf_mutant(spark, sf_dir, k_delta=0, iters=2):
+    """Rebuild llm_ann_ivf_scaled's pipeline with a perturbed trainer."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from adlspark.llm.similarity import (
+        _ivf_probe_search,
+        kmeans_cells,
+        load_embeddings,
+    )
+
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    g = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("gid"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).localCheckpoint(eager=True)
+    k = int(math.ceil(math.sqrt(g.count()))) + k_delta
+    return _ivf_probe_search(g, kmeans_cells(spark, g, k=k, iters=iters))
+
+
+def test_ann_ivf_scaled_oracle_pins_trainer_iters(spark, sf_dir, con):
+    """One fewer Lloyd round in the coarse-quantizer trainer must
+    hash-mismatch the 2-round unrolled oracle."""
+    df = _scaled_ivf_mutant(spark, sf_dir, iters=1)
+    with pytest.raises(AssertionError):
+        compare(
+            df, con, all_oracles()["llm_ann_ivf_scaled"],
+            key="llm_ann_ivf_scaled~mut-iters",
+        )
+
+
+def test_ann_ivf_scaled_oracle_pins_cell_count(spark, sf_dir, con):
+    """k = ceil(sqrt(N_u)) + 1 cells must hash-mismatch the oracle's
+    subquery-LIMIT cell count — the dynamic k really is pinned."""
+    df = _scaled_ivf_mutant(spark, sf_dir, k_delta=1)
+    with pytest.raises(AssertionError):
+        compare(
+            df, con, all_oracles()["llm_ann_ivf_scaled"],
+            key="llm_ann_ivf_scaled~mut-k",
+        )

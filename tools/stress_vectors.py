@@ -59,7 +59,10 @@ if REPO not in sys.path:
 
 SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
 
-KEYS = ["llm_semantic_dedup", "llm_ann_ivf", "llm_ann_ivf_pq", "llm_knn_graph"]
+KEYS = [
+    "llm_semantic_dedup", "llm_ann_ivf", "llm_ann_ivf_scaled",
+    "llm_ann_ivf_pq", "llm_knn_graph",
+]
 
 ID_STRIDE = 10_000_000  # copy c of vec v gets vec_id v + c*ID_STRIDE
 # (stride % 100 == 0, so the %100 probe set scales with the corpus on
@@ -143,29 +146,42 @@ def _quotient(spark, sf_dir):
     )
 
 
-def ivf_candidates(spark, sf_dir, nprobe=3) -> dict:
-    """Unique-level probe×cell join volume of llm_ann_ivf — the same
-    centroid → argmax cell assignment → nprobe probing the kernel runs
-    (counter precision: plain doubles, no decimal grid)."""
+def ivf_candidates(spark, sf_dir, nprobe=3, trained=False) -> dict:
+    """Unique-level probe×cell join volume of llm_ann_ivf (label-mean
+    cells) or llm_ann_ivf_scaled (``trained=True``: the kernel's OWN
+    √N-cell Lloyd trainer) — the same centroid → argmax cell assignment
+    → nprobe probing the kernel runs (counter precision: plain doubles
+    for the label means; the trained path reuses kmeans_cells
+    verbatim, so its cells are the kernel's exactly)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from adlspark.llm.similarity import cosine
 
     g = _quotient(spark, sf_dir).localCheckpoint(eager=True)
-    expl = g.select("label", F.posexplode("embedding")).select(
-        "label", "pos", F.col("col").cast("double").alias("val")
-    )
-    cent = (
-        expl.groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 9).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+    if trained:
+        import math
+
+        from adlspark.llm.similarity import kmeans_cells
+
+        k = int(math.ceil(math.sqrt(g.count())))
+        cent = kmeans_cells(spark, g, k=k, iters=2)
+    else:
+        expl = g.select("label", F.posexplode("embedding")).select(
+            "label", "pos", F.col("col").cast("double").alias("val")
         )
-    )
+        cent = (
+            expl.groupBy("label", "pos")
+            .agg(F.round(F.avg("val"), 9).alias("c"))
+            .groupBy("label")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+            )
+            .select(
+                F.col("label").alias("cell"),
+                F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+            )
+        )
     w = Window.partitionBy("gid").orderBy(F.desc("csim"), F.col("cell"))
     ranked = (
         g.crossJoin(F.broadcast(cent))
@@ -195,12 +211,15 @@ def ivf_candidates(spark, sf_dir, nprobe=3) -> dict:
         .collect()[0]
     )
     n_u = g.count()
-    return {
+    out = {
         "unique": n_u,
         "probes_unique": int(row["probes"]),
         "ivf_candidates": int(row["cand"]),
         "all_pairs": int(row["probes"]) * n_u,
     }
+    if trained:
+        out["n_cells"] = cent.count()
+    return out
 
 
 def knn_block_stats(spark, sf_dir) -> dict:
@@ -267,6 +286,8 @@ def run(spark, copies: int, shape: str, only=None):
         extra: dict = {}
         if key == "llm_ann_ivf":
             extra = ivf_candidates(spark, sf_dir)
+        elif key == "llm_ann_ivf_scaled":
+            extra = ivf_candidates(spark, sf_dir, trained=True)
         elif key == "llm_ann_ivf_pq":
             c = ivf_candidates(spark, sf_dir)
             extra = {
