@@ -164,7 +164,10 @@ def llm_sim_threshold_join(spark, sf_dir):
         else max(
             8,
             math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)),
-            math.ceil(g.count() / 2048),
+            # 512 cap: see llm_knn_graph — bounds the driver-built
+            # block-pair table; valid to ~1M uniques, beyond which the
+            # ANN rungs are the operator of record.
+            min(math.ceil(g.count() / 2048), 512),
         )
     )
     eb = g.select(F.col("gid").alias("vec_id"), "embedding").withColumn(
@@ -663,8 +666,6 @@ def kmeans_cells(spark, g, k: int, iters: int = 2):
     is N_u × k narrow rows per round. Driver state stays k × dim
     doubles per round — bounded by the MODEL, independent of corpus.
     Returns None for an empty domain."""
-    import math  # noqa: F401  (kept for symmetry with callers)
-
     from adlspark.ops.parity import DEC
 
     init = g.select("gid", "embedding").orderBy("gid").limit(k).collect()
@@ -840,7 +841,6 @@ def llm_ann_ivf_scaled(spark, sf_dir):
             [], "probe_id long, neighbor_id long, sim double, rnk long"
         )
     cent = kmeans_cells(spark, g, k=int(math.ceil(math.sqrt(n_u))), iters=2)
-    cent = cent.select("cell", F.col("centroid"))
     return _ivf_probe_search(g, cent)
 
 
@@ -1578,16 +1578,28 @@ def llm_ann_ivf_pq(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
     ).localCheckpoint(eager=True)  # feeds encode, probe quotient, expansion
 
-    # Block-count sizing (round 14, same rule as llm_knn_graph /
-    # llm_sim_threshold_join): the per-task peak is the ADC distance
-    # gather — probes × block_rows int64 — so a fixed B is corpus-size-
-    # blind (at 200k unique vectors B=8 gathers a 2000×25k ≈ 400 MB
-    # matrix per task). B scales with the quotient size to hold blocks
-    # at ≤ ~2048 code rows; the count reads off the materialized
-    # checkpoint. Results are B-invariant (the global window re-ranks).
+    # Block-count sizing (round 14, the SAME rule as llm_knn_graph /
+    # llm_sim_threshold_join, env override included): the per-task peak
+    # is the ADC distance gather — probes × block_rows int64 — so a
+    # fixed B is corpus-size-blind (at 200k unique vectors B=8 gathers
+    # a 2000×25k ≈ 400 MB matrix per task). B scales with the quotient
+    # size to hold blocks at ≤ ~2048 code rows, capped at 512 (the
+    # probe-replication row count and block table are B-proportional);
+    # the count reads off the materialized checkpoint. Results are
+    # B-invariant (the global window re-ranks).
     import math as _math
+    import os
 
-    n_blocks = max(8, _math.ceil(g.count() / 2048))
+    _env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
+    n_blocks = (
+        int(_env_blocks)
+        if _env_blocks
+        else max(
+            8,
+            _math.ceil(_math.sqrt(2 * spark.sparkContext.defaultParallelism)),
+            min(_math.ceil(g.count() / 2048), 512),
+        )
+    )
     coded = g.select(
         "gid", "cnt", _pq_encode_udf(codebook, sub)("embedding").alias("codes")
     ).withColumn("blk", F.pmod(F.col("gid"), F.lit(n_blocks)).cast("int"))
@@ -2097,7 +2109,14 @@ def llm_knn_graph(spark, sf_dir):
         else max(
             8,
             math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)),
-            math.ceil(n_unique / 2048),
+            # capped at 512: the B(B+1)/2 block-pair table is built
+            # driver-side and broadcast, so an uncapped quotient term
+            # would make IT quadratic in the corpus (~12M tuples at 10M
+            # uniques). 512 keeps the pair table <= 131k rows and the
+            # per-task sims bound holds to ~1M uniques (~2k rows/block)
+            # — beyond that exact all-pairs kNN is the wrong operator
+            # and the docstring's IVF/PQ handoff applies.
+            min(math.ceil(n_unique / 2048), 512),
         )
     )
     eb = g.select("gid", "embedding", "cnt").withColumn(

@@ -48,8 +48,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 #     back fully green (50/50) and retired the r05+r06 cohorts. Oldest
 #     signal now: the 13 r07 keys, then the 33 r08 keys (VERDICT r13
 #     item 1: rotate both).
-# Composition: 2 never-verified + 1 (b)-class re-entry + 13 r07 +
-# 33 r08 + 1 oldest-r09 fill = 50.
+# Composition: 2 never-verified + 5 (b)-class re-entries + 13 r07 +
+# 30 r08 = 50.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r13 fully green).
     # (c) never-verified: the round-14 curation composition key
@@ -70,6 +70,16 @@ _VERIFY_WINDOW = [
     #   bit-identical, but the dispatch code changed; sim HASH-PASSED
     #   at sf0.01 after the change.
     "llm_near_dup_auto",
+    #   ...and the four ANN keys the round-14 block-sizing change /
+    #   _ivf_probe_search factoring touched (fixture plans are
+    #   bit-identical — B stays 8 below ~16k uniques and the factored
+    #   search is expression-for-expression — but the code changed, so
+    #   by the window rule they re-enter; all sim HASH-PASSED at
+    #   sf0.01 after the change):
+    "llm_knn_graph",
+    "llm_sim_threshold_join",
+    "llm_ann_ivf_pq",
+    "llm_ann_ivf",
     # (d) staleness rotation (VERDICT r13 item 1) — the full r07 cohort
     #   (13 keys, verification_debt.py ranking order):
     "llm_fingerprint",
@@ -85,8 +95,7 @@ _VERIFY_WINDOW = [
     "agg_approx_percentile",
     "agg_ks_test",
     "win_distinct_running",
-    #   ...the full r08 cohort (33 keys), leaving r09 as the oldest
-    #   verdict anywhere after this window lands:
+    #   ...the r08 cohort (30 of its 33 keys — the window holds 50):
     "llm_contamination_check",
     "lake_zorder_layout",
     "fn_array",
@@ -117,12 +126,11 @@ _VERIFY_WINDOW = [
     "agg_unpivot",
     "win_rownum",
     "win_topk_group",
-    "win_lag_lead",
-    "win_range_frame",
-    "win_ntile_pct",
-    #   ...and the top of the r09 cohort to fill the window:
-    "llm_top_terms",
-    # Slot arithmetic: 2 new + 1 (b) + 13 r07 + 33 r08 + 1 r09 = 50.
+    # (win_lag_lead / win_range_frame / win_ntile_pct and the r09 fill
+    # were displaced by the four (b)-class ANN re-entries — (b) ranks
+    # above (d) staleness in the composition rule; they lead the r15
+    # rotation instead.)
+    # Slot arithmetic: 2 new + 5 (b) + 13 r07 + 30 r08 = 50.
 ]
 
 
