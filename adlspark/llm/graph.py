@@ -374,7 +374,16 @@ def llm_graph_triangles(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     sizes = grp.select(F.col("gid").alias("node"), "a")
-    rp = rep_pairs.select("id1", "id2")
+    # Rep-edge-set-sized (the quotient graph, shrunk by dup density).
+    # Checkpointed because the wedge enumeration below consumes it SIX
+    # ways (und x2, ranked, oriented's two aliases, closure): without
+    # this the final plan replayed the entire prefix-filter candidate
+    # join + verify once per consumer — 140 Exchanges / 86 joins in the
+    # round-14 before plan vs 26 Exchanges after, and the candidate
+    # join is the one corpus-sized stage here (guide §3.3: materialise
+    # an intermediate consumed by many branches). Lazy: the first
+    # downstream job materializes it.
+    rp = rep_pairs.select("id1", "id2").localCheckpoint(eager=False)
     und = rp.unionByName(
         rp.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
     )

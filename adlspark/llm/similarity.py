@@ -547,6 +547,13 @@ def llm_ann_ivf(spark, sf_dir):
             F.col("label").alias("cell"),
             F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
         )
+        # cell-count-sized (the label domain); consumed by BOTH probe
+        # crossJoins in _ivf_probe_search — without the checkpoint each
+        # consumer replayed the full centroid aggregation from its own
+        # parquet scan (8 scans / 34 exchanges in the round-14 before
+        # plan; 16 exchanges after). Lazy: the first broadcast build
+        # materializes it.
+        .localCheckpoint(eager=False)
     )
     # QUOTIENTED probe search (the llm_knn_label pattern): cell
     # assignment and every probe-candidate cosine depend on a row only
@@ -660,12 +667,20 @@ def kmeans_cells(spark, g, k: int, iters: int = 2):
     with per-coordinate carry-forward on empty clusters; bit-parity L2
     folds; lowest-cell argmin tie-break), but the assignment runs as a
     crossJoin against a BROADCAST centroid frame + one window argmin
-    instead of kmeans_fit's k literal-array expressions: k here scales
-    with the corpus (√N cells ≈ 448 at 200k uniques), and a 448-branch
-    literal expression tree would blow up codegen, while the join form
-    is N_u × k narrow rows per round. Driver state stays k × dim
-    doubles per round — bounded by the MODEL, independent of corpus.
-    Returns None for an empty domain."""
+    instead of kmeans_fit's literal-matrix expression: k here scales
+    with the corpus (√N cells ≈ 448 at 200k uniques), and baking k×dim
+    VALUES into the expression tree forces a full re-analysis + codegen
+    compile every round because the literals change, while the join
+    form keeps centroid values as DATA so every round reuses one
+    compiled plan (probed both ways in the round-14 optimization pass:
+    the literal-matrix narrow map re-compiled per round and measured
+    ~35% slower end-to-end; a struct-min aggregate argmin fell back to
+    SortAggregate — struct buffers cannot hash-aggregate — and was
+    slower still, so the WindowGroupLimit window form, which ships ≤1
+    row per gid per map partition into its exchange, stands as the
+    measured optimum). Driver state stays k × dim doubles per round —
+    bounded by the MODEL, independent of corpus. Returns None for an
+    empty domain."""
     from adlspark.ops.parity import DEC
 
     init = g.select("gid", "embedding").orderBy("gid").limit(k).collect()
@@ -1108,28 +1123,36 @@ def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
             inertia,
         )
     for it in range(iters):
-        lits = [F.array(*[F.lit(c) for c in cen]) for cen in centroids]
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        lit,
-                        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                    ),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-                for lit in lits
-            ]
+        # One array-of-arrays literal + a transform HOF (optimization
+        # round 14): the k unrolled fold branches duplicated the whole
+        # distance tree 3x through array_position/array_min — compiling
+        # it dominated each iteration's driver time at bench scale. The
+        # matrix literal keeps ONE compact loop expression, and the
+        # two-step projection materializes the distance array once per
+        # row, so argmin and sq_dist read a column, not a copy of the
+        # tree. Same values in the same cell order — fold tree per
+        # cell, array_position tie-break, and NaN ordering unchanged.
+        lit_mat = F.array(*[F.lit([float(c) for c in cen]) for cen in centroids])
+        dists = F.transform(
+            lit_mat,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c,
+                    lambda x, cc: (x.cast("double") - cc)
+                    * (x.cast("double") - cc),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
         )
-        assign = e.select(
+        assign = e.select("vec_id", "embedding", dists.alias("_ds")).select(
             "vec_id",
             "embedding",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(
+            (F.array_position("_ds", F.array_min("_ds")) - 1).cast("int").alias(
                 "cluster"
             ),
-            F.array_min(dists).alias("sq_dist"),
+            F.array_min("_ds").alias("sq_dist"),
         )
         if track_inertia:
             inertia.append(assign.agg(F.sum("sq_dist")).collect()[0][0])

@@ -679,8 +679,12 @@ def test_kmeans_cells_assignment_uses_window_group_limit(spark, sf_dir):
     window compiles to partial+final WindowGroupLimit, so the N_u × k
     crossJoin ships ~1 row per gid per map partition into the exchange
     — never the full distance relation (179M rows at the 100× rung).
-    The shape is reconstructed here expression-for-expression because
-    the trainer's assignment frame is loop-internal."""
+    Probed in the round-14 optimization pass and deliberately kept:
+    a literal-matrix narrow map re-compiles per round (values in the
+    tree) and a struct-min aggregate falls back to SortAggregate, both
+    measured slower. The shape is reconstructed here
+    expression-for-expression because the trainer's assignment frame
+    is loop-internal."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
