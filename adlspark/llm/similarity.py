@@ -584,21 +584,14 @@ def _ivf_probe_search(g, cent, nprobe: int = 3, topk: int = 10):
     margin-(topk+1) keeps before member expansion."""
     from adlspark.llm.dedup import chunked_cartesian
 
-    # assign each unique vector to its nearest cell (broadcast centroids)
-    assign_w = Window.partitionBy("gid").orderBy(F.desc("csim"), F.col("cell"))
-    assigned = (
-        g.crossJoin(F.broadcast(cent))
-        .select(
-            "gid",
-            "members",
-            "cnt",
-            "embedding",
-            "cell",
-            cosine(F.col("embedding"), F.col("centroid")).alias("csim"),
-        )
-        .withColumn("r", F.row_number().over(assign_w))
-        .where(F.col("r") == 1)
-        .drop("r", "csim")
+    # assign each unique vector to its nearest cell — one narrow
+    # Arrow/numpy pass against the model-sized centroid list
+    # (optimization round 14: replaces crossJoin(broadcast(cent)) →
+    # interpreted-HOF cosine → window argmax, same round-4 cosine
+    # doubles and (csim DESC, cell ASC) order — see _cells_assign)
+    cent_list = [(r["cell"], r["centroid"]) for r in cent.collect()]
+    assigned = _cells_assign(
+        g.select("gid", "members", "cnt", "embedding"), cent_list, metric="cos"
     )
     # unique probe embeddings search their 3 nearest cells
     probe_cells = (
@@ -657,6 +650,216 @@ def _ivf_probe_search(g, cent, nprobe: int = 3, topk: int = 10):
     )
 
 
+def _np_fold_l2(X, C):
+    """n×k squared-L2 distances with the KERNEL'S EXACT float semantics:
+    the JVM form is a left-to-right ``aggregate(zip_with(...))`` fold of
+    (x_j - c_j)² per cell, so the numpy twin accumulates PER DIMENSION
+    in index order (``acc += diff²`` for j = 0..d-1) — every add happens
+    in the same order on the same IEEE-754 doubles, hence bit-identical
+    results, unlike one BLAS/einsum call whose summation order is
+    pairwise. The d-round Python loop is over DIMENSIONS (model-sized),
+    not rows; each round is one vectorized (n, k) op."""
+    import numpy as np
+
+    n, d = X.shape
+    acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+    for j in range(d):
+        diff = X[:, j, None] - C[None, :, j]
+        acc += diff * diff
+    return acc
+
+
+def _np_fold_dot(X, C):
+    """n×k dot products as a per-dimension left fold — bit-parity with
+    the JVM ``dot`` fold for the same reason as ``_np_fold_l2``."""
+    import numpy as np
+
+    n, d = X.shape
+    acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+    for j in range(d):
+        acc += X[:, j, None] * C[None, :, j]
+    return acc
+
+
+def _cells_assign(df, cents, metric: str):
+    """Nearest-cell assignment against a model-sized centroid list as ONE
+    narrow Arrow/numpy pass (optimization round 14, guide §4.2/§2.4).
+
+    Replaces the crossJoin(broadcast(cent_df)) → interpreted-HOF
+    distance → window/row_number argmin shape: that form evaluates the
+    zip_with/aggregate lambdas INTERPRETED on n·k rows (~0.7 s per
+    assignment at bench scale) and ships every row — embedding payload
+    included — through a partitionBy(id) window exchange just to keep
+    rank 1. Here the centroid matrix rides the task closure (the
+    canonical broadcast-variable kmeans pattern), distances for a whole
+    batch are computed by vectorized numpy in dimension-fold order
+    (bit-identical doubles — see _np_fold_l2), and the argmin/argmax is
+    taken per row, so the operator is a pure narrow map: NO broadcast
+    exchange, NO n·k intermediate rows, NO window shuffle, and the
+    decision (one int per row) is computed where the data sits — at
+    100 TB the win is the removed n·k-row exchange, at bench scale the
+    removed interpreted-lambda evaluation and per-iteration broadcast.
+
+    Ordering parity with the window forms it replaces, pinned by the
+    value oracles and tests/test_plans.py:
+
+    - ``metric="l2"`` ≡ row_number over (dist ASC, cell ASC): NaN sorts
+      LAST (Spark: NaN greater than any double), ties break to the
+      lowest cell (np.argmin returns the first minimum). A row with
+      both a genuine +inf and a NaN distance falls back to an exact
+      per-row comparison (inf < NaN in Spark's asc order, which the
+      NaN→inf masking alone would mis-rank).
+    - ``metric="cos"`` ≡ row_number over (csim DESC, cell ASC NULLS
+      FIRST) where csim = round(try_divide(dot, |a|·|b|), 4): NaN
+      sorts FIRST (greatest), NULL csim sorts LAST, ties to the
+      lowest cell with a NULL cell id before all non-NULL ids (Spark
+      asc default). NULL-csim precedence matches try_divide exactly: a
+      ZERO divisor yields NULL whatever the numerator (even NaN), a
+      NaN from nan inputs or inf/inf stays NaN. Encoded: rounded
+      cosines live in [-1, 1], so NaN→+2, NULL→-2, ±inf→±1.5 is a
+      faithful total order.
+
+    ``cents`` is a list of (cell_id, centroid) pairs; ids need not be
+    contiguous or non-NULL (llm_ann_ivf's cells are LABEL values, and
+    a NULL label is a real cell). They are sorted by id — NULL id
+    first, per Spark's asc-nulls-first — before the argmin so that
+    numpy's first-minimum tie-break is exactly the window's ``cell
+    ASC`` tie-break, and the emitted ``cell`` column carries the true
+    ids. A centroid containing a NULL element NULL-poisons every
+    distance against it (zip_with product NULL → fold NULL), so that
+    cell ranks LAST in cos order and FIRST in l2 order (asc nulls
+    first). Output: the input columns plus ``cell`` (int). Empty
+    centroid lists are the caller's guard (kmeans_cells returns None
+    before this point)."""
+    fields = df.schema.fields
+    emb_idx = [f.name for f in fields].index("embedding")
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + ["cell int"]
+    )
+    cents_s = sorted(
+        (
+            (None if i is None else int(i),
+             [0.0 if x is None else float(x) for x in c],
+             any(x is None for x in c))
+            for i, c in cents
+        ),
+        key=lambda ic: (ic[0] is not None, ic[0] if ic[0] is not None else 0),
+    )
+    ids_l = [i for i, _, _ in cents_s]
+    cents_l = [c for _, c, _ in cents_s]
+    # positions (post-sort) of centroids holding a NULL element — their
+    # fold distance is NULL against every row (see docstring)
+    null_cells_l = [p for p, (_, _, has_null) in enumerate(cents_s) if has_null]
+    has_null_id = any(i is None for i in ids_l)
+    cos = metric == "cos"
+
+    def assign(batch_iter):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = (None if has_null_id
+               else np.asarray(ids_l, dtype=np.int32))
+        C = np.asarray(cents_l, dtype=np.float64)
+        k, d = C.shape
+        if cos:
+            cn = np.zeros(k, dtype=np.float64)
+            for j in range(d):
+                cn += C[:, j] * C[:, j]
+            cn = np.sqrt(cn)
+        for batch in batch_iter:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            # Arrow, not pandas: the pandas boundary degrades a NULL
+            # list element to NaN, but SQL NULL and NaN rank at
+            # OPPOSITE ends of both window orders (the fixture's r11
+            # divergence class). A row whose embedding is NULL, holds
+            # a NULL element, or has the wrong length folds to a NULL
+            # distance against EVERY centroid (zip_with pads the
+            # shorter side with NULL).
+            lst = batch.column(emb_idx)
+            lens = np.nan_to_num(
+                lst.value_lengths().to_numpy(zero_copy_only=False),
+                nan=0.0,
+            ).astype(np.int64)
+            row_null = np.asarray(lst.is_null()) | (lens != d)
+            flat = lst.flatten()
+            flat_np = flat.to_numpy(zero_copy_only=False)
+            flat_null = np.asarray(flat.is_null())
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            if flat_null.any():
+                row_of_elem = np.repeat(np.arange(n), lens)
+                row_null[row_of_elem[flat_null]] = True
+            X = np.zeros((n, d), dtype=np.float64)
+            good = np.flatnonzero(~row_null)
+            if good.size:
+                gather = starts[good][:, None] + np.arange(d)[None, :]
+                X[good] = flat_np[gather]
+            if cos:
+                D = _np_fold_dot(X, C)
+                xn = np.zeros(n, dtype=np.float64)
+                for j in range(d):
+                    xn += X[:, j] * X[:, j]
+                xn = np.sqrt(xn)
+                denom = xn[:, None] * cn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = D / denom
+                key = np_round_half_away(raw, 4)
+                # faithful total order for the (csim DESC, cell ASC)
+                # rank: ±inf between NaN and the reals, NaN (nan
+                # inputs, inf/inf) first, try_divide-NULL (ZERO
+                # divisor — whatever the numerator) last, NULL-element
+                # centroids last (fold NULL)
+                key = np.where(np.isinf(key), np.copysign(1.5, key), key)
+                key = np.where(np.isnan(raw), 2.0, key)
+                key = np.where(denom == 0.0, -2.0, key)
+                if null_cells_l:
+                    key[:, null_cells_l] = -2.0
+                if row_null.any():
+                    key[row_null, :] = -2.0
+                pos = np.argmax(key, axis=1)
+            else:
+                D = _np_fold_l2(X, C)
+                nan_mask = np.isnan(D)
+                combined = np.where(nan_mask, np.inf, D)
+                # NULL fold distances sort FIRST in asc-nulls-first;
+                # ties among NULLs fall to the cell order (= position)
+                if null_cells_l:
+                    combined[:, null_cells_l] = -np.inf
+                    nan_mask[:, null_cells_l] = False
+                if row_null.any():
+                    combined[row_null, :] = -np.inf
+                    nan_mask[row_null, :] = False
+                pos = np.argmin(combined, axis=1)
+                # exact corner: a row holding BOTH a genuine +inf and a
+                # NaN — the masking above makes them tie at +inf, but
+                # Spark's asc order puts inf BEFORE NaN
+                mixed = nan_mask.any(axis=1) & np.isinf(D).any(axis=1)
+                for i in np.nonzero(mixed)[0]:
+                    if null_cells_l:
+                        continue  # a NULL cell already won row i
+                    row = D[i]
+                    pos[i] = min(
+                        range(k),
+                        key=lambda c: (
+                            bool(np.isnan(row[c])),
+                            row[c] if not np.isnan(row[c]) else 0.0,
+                            c,
+                        ),
+                    )
+            if ids is None:
+                # a NULL id must survive into the (nullable) int column
+                cell_arr = pa.array(
+                    [ids_l[p] for p in pos], type=pa.int32()
+                )
+            else:
+                cell_arr = pa.array(ids[pos], type=pa.int32())
+            yield batch.append_column("cell", cell_arr)
+
+    return df.mapInArrow(assign, out_schema)
+
+
 def kmeans_cells(spark, g, k: int, iters: int = 2):
     """Fixed-round Lloyd over the UNIQUE-vector quotient ``g`` (gid,
     embedding, ...), returning a (cell, centroid<array<double>>) frame —
@@ -665,22 +868,23 @@ def kmeans_cells(spark, g, k: int, iters: int = 2):
     Same determinism discipline as ``kmeans_fit`` (init = the k
     lowest-gid embeddings; exact-decimal centroid means rounded to 9
     with per-coordinate carry-forward on empty clusters; bit-parity L2
-    folds; lowest-cell argmin tie-break), but the assignment runs as a
-    crossJoin against a BROADCAST centroid frame + one window argmin
-    instead of kmeans_fit's literal-matrix expression: k here scales
-    with the corpus (√N cells ≈ 448 at 200k uniques), and baking k×dim
-    VALUES into the expression tree forces a full re-analysis + codegen
-    compile every round because the literals change, while the join
-    form keeps centroid values as DATA so every round reuses one
-    compiled plan (probed both ways in the round-14 optimization pass:
-    the literal-matrix narrow map re-compiled per round and measured
-    ~35% slower end-to-end; a struct-min aggregate argmin fell back to
-    SortAggregate — struct buffers cannot hash-aggregate — and was
-    slower still, so the WindowGroupLimit window form, which ships ≤1
-    row per gid per map partition into its exchange, stands as the
-    measured optimum). Driver state stays k × dim doubles per round —
-    bounded by the MODEL, independent of corpus. Returns None for an
-    empty domain."""
+    folds; lowest-cell argmin tie-break), but the assignment runs as
+    ``_cells_assign`` — one narrow Arrow/numpy map with the centroid
+    matrix riding the task closure — instead of kmeans_fit's
+    literal-matrix expression: k here scales with the corpus (√N cells
+    ≈ 448 at 200k uniques), and baking k×dim VALUES into the expression
+    tree forces a full re-analysis + codegen compile every round
+    because the literals change, while closure data needs no compile at
+    all (probed three ways in the round-14 optimization pass: the
+    literal-matrix narrow map re-compiled per round and measured ~35%
+    slower end-to-end than the join form; a struct-min aggregate argmin
+    fell back to SortAggregate — struct buffers cannot hash-aggregate —
+    and was slower still; the closure-matrix mapInPandas beats the
+    crossJoin(broadcast)+window form by removing the per-iteration
+    BroadcastExchange, the n·k interpreted-HOF lambda evaluations and
+    the full-payload window exchange). Driver state stays k × dim
+    doubles per round — bounded by the MODEL, independent of corpus.
+    Returns None for an empty domain."""
     from adlspark.ops.parity import DEC
 
     init = g.select("gid", "embedding").orderBy("gid").limit(k).collect()
@@ -688,27 +892,14 @@ def kmeans_cells(spark, g, k: int, iters: int = 2):
     if not cents:
         return None
     for it in range(iters):
-        cent_df = spark.createDataFrame(
-            [(c, cen) for c, cen in enumerate(cents)],
-            "cell int, centroid array<double>",
-        )
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("centroid"),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        w = Window.partitionBy("gid").orderBy(F.asc("dist"), F.asc("cell"))
-        assign = (
-            g.select("gid", "embedding")
-            .crossJoin(F.broadcast(cent_df))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("gid", "embedding", "cell")
+        # Optimization round 14: assignment was crossJoin(broadcast) →
+        # interpreted-HOF L2 → window argmin — per iteration that cost a
+        # fresh BroadcastExchange, n·k interpreted lambda evaluations
+        # and a full-payload window shuffle. _cells_assign computes the
+        # same argmin (same fold doubles, same NaN/tie order) as one
+        # narrow Arrow/numpy map; the update aggregate is unchanged.
+        assign = _cells_assign(
+            g.select("embedding"), list(enumerate(cents)), metric="l2"
         )
         d = F.col("x").cast("double").try_cast(DEC)
         upd = (

@@ -673,54 +673,90 @@ def test_curation_pipeline_two_bounded_exchanges(spark, sf_dir):
     )
 
 
-def test_kmeans_cells_assignment_uses_window_group_limit(spark, sf_dir):
-    """The √N-cell trainer's per-round argmin (kmeans_cells) must stay
-    shuffle-bounded: the rn==1 filter over the (dist ASC, cell ASC)
-    window compiles to partial+final WindowGroupLimit, so the N_u × k
-    crossJoin ships ~1 row per gid per map partition into the exchange
-    — never the full distance relation (179M rows at the 100× rung).
-    Probed in the round-14 optimization pass and deliberately kept:
-    a literal-matrix narrow map re-compiles per round (values in the
-    tree) and a struct-min aggregate falls back to SortAggregate, both
-    measured slower. The shape is reconstructed here
-    expression-for-expression because the trainer's assignment frame
-    is loop-internal."""
+def test_cells_assign_matches_window_argmin(spark):
+    """_cells_assign (the round-14 narrow Arrow/numpy assignment,
+    optimization guide §4) must reproduce the
+    crossJoin(broadcast)+window argmin it replaced in _ivf_probe_search
+    and kmeans_cells — including every ordering corner: a NULL cell id
+    (cell ASC = asc NULLS FIRST, so NULL wins ties), a NULL centroid
+    element (fold distance NULL ⇒ LAST in the cos DESC order, FIRST in
+    the l2 ASC order), a zero-norm vector (try_divide NULL ⇒ that cell
+    LAST in cos), a NULL embedding element (every cell poisoned — the
+    tie-break alone decides), and exact csim ties between cells."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from adlspark.llm.similarity import load_embeddings
+    from adlspark.llm.similarity import _cells_assign
+    from adlspark.llm.vector import cosine
 
-    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
-    g = (
-        e.groupBy("embedding")
-        .agg(F.min("vec_id").alias("gid"))
-        .localCheckpoint(eager=True)
-    )
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # plain: nearest real cell
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: cos NULL everywhere
+        (3, [1.0, None, 0.0, 0.0]),  # NULL element: poisons every cell
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [2.0, 0.0, 0.0, 0.0]),   # exact cos tie with rows 1's pick
+        (6, [float("nan"), 0.0, 0.0, 0.0]),  # true NaN ≠ NULL element
+        (7, None),                   # NULL embedding
+        (8, []),                     # empty: zip_with pads ⇒ NULL dist
+        (9, [1.0, 0.0]),             # short: zip_with pads ⇒ NULL dist
+    ]
+    df = spark.createDataFrame(rows, "rid int, embedding array<double>")
+    cents = [
+        (None, [1.0, 0.0, 0.0, 0.0]),  # NULL id, duplicates cell 0
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.5, None, 0.0, 0.0]),    # NULL element centroid
+    ]
     cent_df = spark.createDataFrame(
-        [(0, [0.0] * 64), (1, [1.0] * 64)], "cell int, centroid array<double>"
+        cents, "cell int, centroid array<double>"
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("centroid"),
-            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    w = Window.partitionBy("gid").orderBy(F.asc("dist"), F.asc("cell"))
-    assign = (
-        g.select("gid", "embedding")
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("gid", "embedding", "cell")
-    )
-    p = assign._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+
+    def window_ref(metric):
+        j = df.crossJoin(F.broadcast(cent_df))
+        if metric == "cos":
+            j = j.withColumn(
+                "k", cosine(F.col("embedding"), F.col("centroid"))
+            )
+            w = Window.partitionBy("rid").orderBy(
+                F.desc("k"), F.asc("cell")
+            )
+        else:
+            dist = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("centroid"),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            j = j.withColumn("k", dist)
+            w = Window.partitionBy("rid").orderBy(
+                F.asc("k"), F.asc("cell")
+            )
+        out = (
+            j.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("rid", "cell")
         )
+        return {r["rid"]: r["cell"] for r in out.collect()}
+
+    for metric in ("cos", "l2"):
+        got_df = _cells_assign(df, cents, metric=metric)
+        got = {r["rid"]: r["cell"] for r in got_df.collect()}
+        want = window_ref(metric)
+        assert got == want, (metric, got, want)
+    # and without the exotic cells: pure tie-break + nearest checks
+    plain = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+             (2, [1.0, 0.0, 0.0, 0.0])]  # cell 2 duplicates cell 0
+    cent_df = spark.createDataFrame(
+        plain, "cell int, centroid array<double>"
     )
-    assert p.count(") WindowGroupLimit") == 2, p[:2000]
-    assert p.count(") Exchange") == 1, p[:2000]
+    cents = plain
+    for metric in ("cos", "l2"):
+        got = {
+            r["rid"]: r["cell"]
+            for r in _cells_assign(df, cents, metric=metric).collect()
+        }
+        want = window_ref(metric)
+        assert got == want, (metric, got, want)
