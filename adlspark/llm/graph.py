@@ -161,13 +161,14 @@ def llm_graph_pagerank(spark, sf_dir):
     the one remaining degree of freedom (inflow summation order).
 
     Scale shape: the static graph structure is built ONCE — edge
-    transition weights (src, dst, 1/out-degree) and the dangling-node
-    set are checkpointed before the loop — so each of the 8 iterations
-    is a single job: ranks join edge-weights on src, dst-keyed sum, with
-    the iteration's dangling mass folded in as a broadcast 1-row cross
-    join (never a driver collect; the only driver-side scalar is the
-    one-time node count). Rank partitioning is node-keyed and stable
-    across rounds; localCheckpoint truncates the lineage each round.
+    transition weights (src, dst, 1/out-degree) are checkpointed before
+    the loop — so each of the 8 iterations is a single job: ranks join
+    edge-weights on src, dst-keyed sum. The dangling mass is a scalar
+    CLOSED FORM (dangling ⟺ edgeless ⟺ zero inflow, so all dangling
+    ranks are one value; dm_t = n_dang·r_t recurrence on the driver —
+    two bounded driver scalars total: node count and dangling count).
+    Rank partitioning is node-keyed and stable across rounds;
+    localCheckpoint truncates the lineage every 4 rounds.
     """
     from adlspark.llm.dedup import band_bucket_pairs, llm_minhash_signature
 
@@ -258,20 +259,32 @@ def llm_graph_pagerank(spark, sf_dir):
         .localCheckpoint()
     )
     # dangling classes: no incident edges at all (necessarily k == 1,
-    # since k >= 2 classes carry their internal self edge)
-    dangling = g.select("gid").join(
+    # since k >= 2 classes carry their internal self edge). Their rank
+    # trajectory is CLOSED-FORM (optimization round 14, guide §2.4):
+    # a dangling class receives no inflow, so every dangling class
+    # holds the identical rank r_t each round, and the dangling mass
+    # is the scalar recurrence dm_t = n_dang·r_t,
+    # r_{t+1} = (1-d)/n + d·dm_t/n. Computing it as a Python double
+    # replaces the per-round semi-join + aggregate + BroadcastExchange
+    # (8 broadcast builds) with a literal. Parity: the old form's
+    # dm was a float sum over n_dang IDENTICAL doubles, whose
+    # summation-order freedom the output's round(rank, 9) already
+    # absorbs (same clause that licenses the oracle's own dm sum);
+    # n_dang·r differs from any such sum by ≤ ulps. Verified
+    # bit-identical on the sf0.1 collected output and HASH-PASS vs the
+    # unrolled-CTE oracle at sf0.01/sf0.001.
+    n_dang = g.select("gid").join(
         edge_w.select("src").distinct().withColumnRenamed("src", "gid"),
         "gid",
         "left_anti",
-    ).localCheckpoint()
+    ).count()
 
     d = 0.85
+    r_dang = 1.0 / n
     ranks = g.select("gid", F.lit(1.0 / n).alias("rank"))
     for it in range(8):
         # dangling ⟹ k == 1, so class rank sum == member rank sum
-        dm = ranks.join(dangling, "gid", "left_semi").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
+        dm = n_dang * r_dang
         contribs = (
             ranks.join(edge_w, ranks.gid == edge_w.src)
             .select(F.col("dst").alias("gid"), (F.col("rank") * F.col("w")).alias("c"))
@@ -281,20 +294,21 @@ def llm_graph_pagerank(spark, sf_dir):
         ranks = (
             g.select("gid")
             .join(contribs, "gid", "left")
-            .crossJoin(F.broadcast(dm))
             .select(
                 "gid",
                 (
                     F.lit((1.0 - d) / n)
                     + F.lit(d)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dm / n))
                 ).alias("rank"),
             )
         )
-        # Lineage doubles per round; truncating every second round halves
-        # materialization jobs while keeping plans shallow (two rounds of
-        # join+agg compose into one job between checkpoints).
-        if it % 2 == 1:
+        r_dang = (1.0 - d) / n + d * (dm / n)
+        # Lineage truncation: with the dm subplan gone each round is one
+        # join+agg, so four rounds compose into a shallow plan — every-4
+        # halves the materialization jobs vs the old every-2 cadence
+        # (A/B probed this round: every-2 2.3 s, every-4/8 ~2.0 s).
+        if it % 4 == 3:
             ranks = ranks.localCheckpoint()
     return (
         g.select("gid", "members")
