@@ -1255,6 +1255,100 @@ def llm_srp_bits(spark, sf_dir):
     )
 
 
+def _kmeans_assign(df, centroids):
+    """kmeans_fit's per-iteration argmin as ONE narrow Arrow/numpy map
+    (optimization round 14, guide §4.1/§4.2) — the closure carries the
+    k×dim centroid matrix, so nothing is compiled per round and no
+    interpreted HOF runs per row·cell.
+
+    Reproduces the literal-form semantics
+    ``array_position(_ds, array_min(_ds)) - 1`` / ``array_min(_ds)``
+    EXACTLY, where _ds[j] is the left-to-right per-dimension fold
+    Σ (x_i − c_j_i)² (bit-identical doubles via ``_np_fold_l2``):
+
+    - a NULL embedding, wrong-length array, or NULL element NULL-poisons
+      every fold ⇒ cluster NULL, sq_dist NULL (zip_with pads / NULL
+      arithmetic);
+    - a NaN element makes every fold NaN ⇒ array_min = NaN,
+      array_position matches the FIRST NaN (Spark's NaN==NaN equality)
+      ⇒ cluster 0, sq_dist NaN;
+    - mixed NaN/non-NaN rows (possible only via non-finite CENTROID
+      values, e.g. an inf init vector meeting an inf element) take the
+      smallest NON-NaN fold — NaN ranks greatest — at its first
+      position;
+    - ties break to the first (lowest) cluster index.
+
+    ``centroids`` must be a list of k clean float lists (kmeans_fit's
+    invariant: init collect + carry-forward never yield None). Output:
+    the input columns plus ``cluster int, sq_dist double``."""
+    fields = df.schema.fields
+    emb_idx = [f.name for f in fields].index("embedding")
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + ["cluster int", "sq_dist double"]
+    )
+    cents_l = [[float(x) for x in c] for c in centroids]
+
+    def assign(batch_iter):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(cents_l, dtype=np.float64)
+        k, dim = C.shape
+        for batch in batch_iter:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            # Arrow, not pandas: the pandas boundary degrades NULL list
+            # elements to NaN, but NULL and NaN folds land at OPPOSITE
+            # ends here (NULL ⇒ NULL cluster, NaN ⇒ cluster 0).
+            lst = batch.column(emb_idx)
+            lens = np.nan_to_num(
+                lst.value_lengths().to_numpy(zero_copy_only=False), nan=0.0
+            ).astype(np.int64)
+            row_null = np.asarray(lst.is_null()) | (lens != dim)
+            flat = lst.flatten()
+            flat_np = flat.to_numpy(zero_copy_only=False)
+            flat_null = np.asarray(flat.is_null())
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            if flat_null.any():
+                row_of_elem = np.repeat(np.arange(n), lens)
+                row_null[row_of_elem[flat_null]] = True
+            X = np.zeros((n, dim), dtype=np.float64)
+            good = np.flatnonzero(~row_null)
+            if good.size:
+                gather = starts[good][:, None] + np.arange(dim)[None, :]
+                X[good] = flat_np[gather]
+            D = _np_fold_l2(X, C)
+            nan_mask = np.isnan(D)
+            all_nan = nan_mask.all(axis=1)
+            key = np.where(nan_mask, np.inf, D)
+            rowmin = key.min(axis=1)
+            # first position holding the min — NaN cells are eligible
+            # only when the whole row is NaN (array_min skips NaN unless
+            # nothing else exists; array_position then matches NaN)
+            eligible = (key == rowmin[:, None]) & (
+                ~nan_mask | all_nan[:, None]
+            )
+            pos = eligible.argmax(axis=1)
+            sq = D[np.arange(n), pos]
+            cluster_arr = pa.array(
+                np.where(row_null, 0, pos).astype(np.int32),
+                type=pa.int32(),
+                mask=row_null,
+            )
+            sq_arr = pa.array(
+                np.where(row_null, 0.0, sq), type=pa.float64(), mask=row_null
+            )
+            yield (
+                batch.append_column("cluster", cluster_arr).append_column(
+                    "sq_dist", sq_arr
+                )
+            )
+
+    return df.mapInArrow(assign, out_schema)
+
+
 def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
     """Lloyd's k-means over the embedding table. Deterministic init (the
     k lowest vec_ids' embeddings), fixed iteration count. Returns
@@ -1263,11 +1357,11 @@ def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
 
     Scale shape — the canonical Spark KMeans pattern (what MLlib does):
     centroids are k x dim doubles collected to the driver once per
-    iteration (bounded, independent of corpus size) and re-broadcast as
-    literals, so ASSIGNMENT is a pure narrow map (k squared-distance
-    aggregates over the vector, whole-stage codegen, no shuffle, no
-    UDF); the UPDATE is one posexplode + (cluster, dim)-keyed mean — a
-    map-side-combinable aggregate shuffling k*dim cells. Nothing else
+    iteration (bounded, independent of corpus size) and shipped in the
+    task closure, so ASSIGNMENT is a pure narrow map (``_kmeans_assign``
+    — one vectorized Arrow/numpy pass, no shuffle, no per-round
+    compile); the UPDATE is one posexplode + (cluster, dim)-keyed mean —
+    a map-side-combinable aggregate shuffling k*dim cells. Nothing else
     touches the driver.
 
     DETERMINISM (round 11, the oracle-promotion discipline): every
@@ -1314,37 +1408,21 @@ def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
             inertia,
         )
     for it in range(iters):
-        # One array-of-arrays literal + a transform HOF (optimization
-        # round 14): the k unrolled fold branches duplicated the whole
-        # distance tree 3x through array_position/array_min — compiling
-        # it dominated each iteration's driver time at bench scale. The
-        # matrix literal keeps ONE compact loop expression, and the
-        # two-step projection materializes the distance array once per
-        # row, so argmin and sq_dist read a column, not a copy of the
-        # tree. Same values in the same cell order — fold tree per
-        # cell, array_position tie-break, and NaN ordering unchanged.
-        lit_mat = F.array(*[F.lit([float(c) for c in cen]) for cen in centroids])
-        dists = F.transform(
-            lit_mat,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    c,
-                    lambda x, cc: (x.cast("double") - cc)
-                    * (x.cast("double") - cc),
-                ),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ),
-        )
-        assign = e.select("vec_id", "embedding", dists.alias("_ds")).select(
-            "vec_id",
-            "embedding",
-            (F.array_position("_ds", F.array_min("_ds")) - 1).cast("int").alias(
-                "cluster"
-            ),
-            F.array_min("_ds").alias("sq_dist"),
-        )
+        # Optimization round 14 (guide §4.1/§4.2): the assignment was a
+        # k-wide literal-matrix transform HOF — every iteration baked a
+        # NEW k×dim literal tree (fresh analysis + codegen compile per
+        # round because the centroid values change) and evaluated the
+        # zip_with/aggregate lambdas INTERPRETED per row·cell.
+        # _kmeans_assign computes the same per-dimension fold distances
+        # in one narrow Arrow/numpy map with the centroids riding the
+        # task closure (no compile, no interpreter), reproducing the
+        # array_min/array_position semantics exactly — ties to the
+        # first minimal index, all-NaN rows → cluster 0 with NaN
+        # sq_dist, NULL/short/long/NULL-element embeddings → NULL
+        # cluster and sq_dist, and mixed NaN/inf rows rank NaN above
+        # every non-NaN (pinned by
+        # tests/test_plans.py::test_kmeans_assign_matches_literal_form).
+        assign = _kmeans_assign(e.select("vec_id", "embedding"), centroids)
         if track_inertia:
             inertia.append(assign.agg(F.sum("sq_dist")).collect()[0][0])
         if it == iters - 1:

@@ -760,3 +760,107 @@ def test_cells_assign_matches_window_argmin(spark):
         }
         want = window_ref(metric)
         assert got == want, (metric, got, want)
+
+
+def test_kmeans_assign_matches_literal_form(spark):
+    """_kmeans_assign (the round-14 narrow Arrow/numpy assignment) must
+    reproduce kmeans_fit's literal-matrix form
+    ``array_position(_ds, array_min(_ds)) - 1`` / ``array_min(_ds)``
+    on every corner: NULL/short/long/NULL-element embeddings (all folds
+    NULL ⇒ NULL cluster+dist), a NaN element (all folds NaN ⇒ cluster 0,
+    NaN dist), a mixed NaN/inf row from an inf centroid (NaN ranks
+    GREATEST, so the first non-NaN min wins), exact ties (first index),
+    and plain rows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from adlspark.llm.similarity import _kmeans_assign
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),            # plain nearest
+        (2, [float("nan"), 0.0, 0.0]),   # all-NaN folds
+        (3, None),                       # NULL embedding
+        (4, []),                         # empty -> NULL folds
+        (5, [1.0, 0.0]),                 # short -> NULL folds
+        (6, [1.0, None, 0.0]),           # NULL element -> NULL folds
+        (7, [float("inf"), 0.0, 0.0]),   # inf vs inf centroid -> NaN fold
+        (8, [0.5, 0.5, 0.0]),            # exact tie between cents 0/1
+        (9, [-1.0, 2.0, 3.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [float("inf"), 0.0, 0.0],        # makes row 7's fold NaN here
+        [1.0, 0.0, 0.0],                 # duplicate of 0 (tie target)
+    ]
+    lit_mat = F.array(*[F.lit([float(c) for c in cen]) for cen in centroids])
+    dists = F.transform(
+        lit_mat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    want_df = e.select("vec_id", dists.alias("_ds")).select(
+        "vec_id",
+        (F.array_position("_ds", F.array_min("_ds")) - 1).cast("int").alias(
+            "cluster"
+        ),
+        F.array_min("_ds").alias("sq_dist"),
+    )
+
+    def norm(rows_):
+        out = {}
+        for r in rows_:
+            sq = r["sq_dist"]
+            if isinstance(sq, float) and math.isnan(sq):
+                sq = "nan"
+            out[r["vec_id"]] = (r["cluster"], sq)
+        return out
+
+    got = norm(_kmeans_assign(e, centroids).collect())
+    want = norm(want_df.collect())
+    assert got == want, (got, want)
+    # sanity on the corners the fixture can't hit
+    assert got[3] == (None, None)
+    assert got[2][0] == 0 and got[2][1] == "nan"
+    assert got[7][0] == 0  # NaN fold at cell 2 skipped; first inf wins
+    assert got[8][0] == 0  # tie -> first index
+
+    # NaN cell FIRST, equal-valued true-inf mins after it: argmin must
+    # skip the NaN position even though the masked key ties at +inf
+    cents2 = [centroids[2], centroids[0], centroids[1]]
+    lit2 = F.array(*[F.lit([float(c) for c in cen]) for cen in cents2])
+    d2 = F.transform(
+        lit2,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c,
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    want2 = norm(
+        e.select("vec_id", d2.alias("_ds"))
+        .select(
+            "vec_id",
+            (F.array_position("_ds", F.array_min("_ds")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min("_ds").alias("sq_dist"),
+        )
+        .collect()
+    )
+    got2 = norm(_kmeans_assign(e, cents2).collect())
+    assert got2 == want2, (got2, want2)
+    assert got2[7][0] == 1  # NaN at cell 0 skipped, first true inf wins
