@@ -1151,52 +1151,95 @@ def llm_embed_quantize(spark, sf_dir):
     )
 
 
+def _srp_coef(p: int, i: int) -> int:
+    """Hyperplane coefficient (plane p, dimension i) — the salted
+    md5-prefix recipe in [-8, 7]. hashlib md5 of the ASCII bytes
+    "p:i" is byte-identical to the JVM's F.md5(concat(...)), so this
+    is the SAME hash family the expression form computed per row."""
+    import hashlib
+
+    return (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:2], 16) % 16) - 8
+
+
 def srp_codes(e):
     """16-bit sign-random-projection code per embedding row: int8-quantize
     (llm_embed_quantize scheme), integer-project against md5-derived
     hyperplanes in [-8, 7] (salt "plane:dim"), pack sign bits. Pure
     narrow map, integer-exact cross-engine (see llm_srp_bits docstring).
-    Returns (vec_id, srp_code)."""
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(
-            F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127
-            + F.lit(0.5)
-        ).cast("long"),
+    Returns (vec_id, srp_code).
+
+    Optimization round 14 (guide §4.1/§4.2): the expression form
+    recomputed the DATA-INDEPENDENT coefficient md5("p:i") per ROW —
+    16 planes × dim interpreted md5/conv evaluations per row (~1024
+    at dim 64). Now one narrow Arrow/numpy map: the coefficient
+    matrix is built once per task from hashlib md5 (byte-identical
+    digests) and the projection is an int64 matmul — INTEGER
+    arithmetic end to end, so the result is bit-equal to the JVM fold
+    regardless of summation order. Semantics parity (pinned by
+    tests/test_plans.py::test_srp_codes_matches_expression_form):
+    least/greatest SKIP NULL and NaN operands, so a NULL or NaN (or
+    +inf) element quantizes to 127 and −inf to −127 — np.fmin/np.fmax
+    reproduce exactly that, and Arrow's NULL→NaN degradation is
+    therefore harmless here; a NULL embedding row yields a NULL code
+    (transform(NULL) = NULL); an EMPTY array folds every plane to 0,
+    all 16 sign bits set, code 65535; rows of ANY length project
+    against coefficients 0..len-1 (the cache grows on demand)."""
+
+    def kern(batch_iter):
+        import numpy as np
+        import pyarrow as pa
+
+        coefs = {}  # dim count -> (16, dim) int64 matrix
+
+        def cmat(dim):
+            m = coefs.get(dim)
+            if m is None:
+                m = np.array(
+                    [[_srp_coef(p, i) for i in range(dim)] for p in range(16)],
+                    dtype=np.int64,
+                ).T  # (dim, 16)
+                coefs[dim] = m
+            return m
+
+        shifts = np.arange(16, dtype=np.int64)
+        for batch in batch_iter:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            lst = batch.column(1)
+            lens = np.nan_to_num(
+                lst.value_lengths().to_numpy(zero_copy_only=False), nan=0.0
+            ).astype(np.int64)
+            row_null = np.asarray(lst.is_null())
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            # NULL elements arrive as NaN — identical to NaN's clip-high
+            # fate under least/greatest's null/NaN skipping
+            q = np.floor(
+                np.fmax(np.fmin(flat, 1.0), -1.0) * 127.0 + 0.5
+            ).astype(np.int64)
+            codes = np.zeros(n, dtype=np.int64)
+            if lens.size and (lens == lens[0]).all() and lens[0] > 0:
+                d = int(lens[0])
+                S = q.reshape(n, d) @ cmat(d)  # (n, 16) int64, exact
+                codes = ((S >= 0).astype(np.int64) << shifts).sum(axis=1)
+            else:
+                starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                for r in range(n):
+                    ln = int(lens[r])
+                    if ln == 0:
+                        codes[r] = 65535  # empty fold: all plane sums 0
+                        continue
+                    S = q[starts[r] : starts[r] + ln] @ cmat(ln)
+                    codes[r] = int(((S >= 0).astype(np.int64) << shifts).sum())
+            ids = batch.column(0)
+            yield pa.record_batch(
+                [ids, pa.array(codes, type=pa.int64(), mask=row_null)],
+                names=["vec_id", "srp_code"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        kern, "vec_id long, srp_code long"
     )
-    with_q = e.select("vec_id", qv.alias("qv"))
-
-    def plane_sum(p):
-        terms = F.transform(
-            F.col("qv"),
-            lambda x, i: x
-            * (
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(F.lit(f"{p}:"), i.cast("string")).cast(
-                                    "binary"
-                                )
-                            ),
-                            1,
-                            2,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 16
-                )
-                - 8
-            ),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
-
-    code = None
-    for p in range(16):
-        bit = (plane_sum(p) >= 0).cast("long") * (1 << p)
-        code = bit if code is None else code + bit
-    return with_q.select("vec_id", code.alias("srp_code"))
 
 
 @query(

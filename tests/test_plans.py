@@ -864,3 +864,77 @@ def test_kmeans_assign_matches_literal_form(spark):
     got2 = norm(_kmeans_assign(e, cents2).collect())
     assert got2 == want2, (got2, want2)
     assert got2[7][0] == 1  # NaN at cell 0 skipped, first true inf wins
+
+
+def test_srp_codes_matches_expression_form(spark):
+    """srp_codes (round-14 Arrow/int-matmul form) must reproduce the
+    original per-row expression form bit-for-bit — integer arithmetic
+    end to end, so the only risk is corner semantics: least/greatest
+    SKIP NULL/NaN (NULL, NaN and +inf elements all quantize to 127,
+    -inf to -127), a NULL embedding row yields a NULL code, an empty
+    array yields 65535 (all plane sums 0), and any row length projects
+    against its own 0..len-1 coefficient prefix."""
+    from pyspark.sql import functions as F
+
+    from adlspark.llm.similarity import srp_codes
+
+    rows = [
+        (1, [0.5, -0.5]),
+        (2, [float("nan"), 0.0]),
+        (3, None),
+        (4, []),
+        (5, [1.0]),                       # short
+        (6, [0.3, None]),                 # NULL element -> 127
+        (7, [float("inf"), float("-inf")]),
+        (8, [2.0, -2.0]),                 # clipped
+        (9, [0.1] * 64),                  # fixture-width row
+        (10, [-0.9, 0.0, 0.9, 0.25, -0.25]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0)) * 127
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    with_q = e.select("vec_id", qv.alias("qv"))
+
+    def plane_sum(p):
+        terms = F.transform(
+            F.col("qv"),
+            lambda x, i: x
+            * (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{p}:"), i.cast("string")
+                                ).cast("binary")
+                            ),
+                            1,
+                            2,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 16
+                )
+                - 8
+            ),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    code = None
+    for p in range(16):
+        bit = (plane_sum(p) >= 0).cast("long") * (1 << p)
+        code = bit if code is None else code + bit
+    want = {
+        r["vec_id"]: r["srp_code"]
+        for r in with_q.select("vec_id", code.alias("srp_code")).collect()
+    }
+    got = {r["vec_id"]: r["srp_code"] for r in srp_codes(e).collect()}
+    assert got == want, (got, want)
+    assert got[3] is None and got[4] == 65535
