@@ -887,25 +887,28 @@ def llm_simhash(spark, sf_dir):
     h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast(
         "long"
     )
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        tok.withColumn("h", h)
-        .crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
+    # Optimization round 14 (guide §2.3/§2.4): the bit voting ran as
+    # crossJoin(16 bit rows) → groupBy(doc_id, bit) → groupBy(doc_id) —
+    # 16× the token rows through the first exchange and a second
+    # aggregate exchange after it. The votes are independent integer
+    # sums, so ONE groupBy(doc_id) with 16 conditional-sum columns
+    # computes the same values (integer addition, order-free) with one
+    # exchange carrying 16 ints per doc and no row multiplication.
+    votes = tok.withColumn("h", h).groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
-            ).alias("vote")
-        )
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("simhash16")
-    )
+    code = None
+    for b in range(16):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        code = term if code is None else code + term
+    return votes.select("doc_id", code.cast("long").alias("simhash16"))
 
 
 @query(
