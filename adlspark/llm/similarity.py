@@ -2667,6 +2667,56 @@ FROM pk{k}"""
     return "".join(parts)
 
 
+def _mmr_round_score(df, picked_vecs, lam):
+    """One MMR round's scoring as a narrow Arrow/numpy map (optimization
+    round 14) — df must carry (vec_id, emb_n, rel); returns
+    (vec_id, emb_n, score) with score = λ·rel − (1−λ)·max_p dot(emb_n, p)
+    over the closure-shipped picked matrix. Bit-parity with the literal
+    HOF form it replaces: dots are per-dimension left folds
+    (``_np_fold_dot``), max over the picked axis matches array_max (all
+    values non-NULL doubles; NaN — only reachable via an inf element
+    that survives the load_embeddings gates — is greatest/propagates in
+    both), and λ/(1−λ) are the same Python-computed double literals.
+    emb_n rows are guaranteed dimension-uniform and element-non-NULL by
+    load_embeddings; the scoring frame passes emb_n through so the
+    argmax row's vector feeds the next round, exactly as before.
+    Pinned by tests/test_plans.py::test_mmr_round_score_matches_hof."""
+    P_l = [[float(x) for x in pv] for pv in picked_vecs]
+    lam_l = float(lam)
+    one_minus = 1 - lam
+
+    def score(batch_iter):
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.asarray(P_l, dtype=np.float64)
+        k, d = P.shape
+        for batch in batch_iter:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            emb = batch.column(names.index("emb_n"))
+            rel = batch.column(names.index("rel")).to_numpy(
+                zero_copy_only=False
+            )
+            X = emb.flatten().to_numpy(zero_copy_only=False).reshape(n, d)
+            ms = _np_fold_dot(X, P).max(axis=1)
+            s = lam_l * rel - one_minus * ms
+            yield pa.record_batch(
+                [
+                    batch.column(names.index("vec_id")),
+                    emb,
+                    pa.array(s, type=pa.float64()),
+                ],
+                names=["vec_id", "emb_n", "score"],
+            )
+
+    return df.mapInArrow(
+        score, "vec_id long, emb_n array<double>, score double"
+    )
+
+
 @query("llm_mmr_diverse_sample", oracle=_mmr_oracle_sql(k=8, lam=0.7))
 def llm_mmr_diverse_sample(spark, sf_dir):
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
@@ -2775,25 +2825,26 @@ def llm_mmr_diverse_sample(spark, sf_dir):
     remaining = scored
     for _ in range(K):
         if picked_vecs:
-            lit_mat = F.array(
-                *[F.lit([float(x) for x in pv]) for pv in picked_vecs]
-            )
-            max_sim = F.array_max(
-                F.transform(
-                    lit_mat,
-                    lambda p: F.aggregate(
-                        F.zip_with(F.col("emb_n"), p, lambda a, b: a * b),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                )
-            )
-            score = F.lit(LAM) * F.col("rel") - F.lit(1 - LAM) * max_sim
+            # Optimization round 14 (guide §4.1/§4.2): the max-sim term
+            # was a GROWING picked-vector literal matrix folded by
+            # interpreted zip_with/aggregate HOFs — a fresh analysis +
+            # compile every round (the literals change) plus n·|picked|
+            # interpreted dot folds. _mmr_round_score is one narrow
+            # Arrow/numpy map with the picked matrix in the task
+            # closure: per-dimension fold dots (bit-identical doubles,
+            # _np_fold_dot), np.max ≡ array_max over clean doubles
+            # (emb_n can carry NaN only via an inf element surviving
+            # the load_embeddings gates, and NaN is greatest for BOTH
+            # array_max and np.max propagation), and the identical
+            # λ·rel − (1−λ)·max_sim arithmetic (same Python-computed
+            # literals).
+            to_rank = _mmr_round_score(remaining, picked_vecs, LAM)
         else:
-            score = F.col("rel")
+            to_rank = remaining.select(
+                "vec_id", "emb_n", F.col("rel").alias("score")
+            )
         top = (
-            remaining.select("vec_id", "emb_n", score.alias("score"))
-            .orderBy(F.col("score").desc(), "vec_id")
+            to_rank.orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
             .head()
         )

@@ -68,8 +68,12 @@ def events_stream(spark, sf_dir):
     """
     import os as _os
 
+    from adlspark import tables
+
     path = _os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema
+    # schema via tables.load: one memoized footer read instead of a
+    # per-key schema-inference job (round-14 optimization; see tables.py)
+    batch_schema = tables.load(spark, sf_dir, "events").schema
     reader = spark.readStream.schema(batch_schema)
     # Multi-batch seam (round 13): ADLSPARK_STREAM_MAX_FILES forces the
     # backlog through maxFilesPerTrigger-sized micro-batches — the
@@ -740,7 +744,9 @@ def stream_rate_limited_backfill(spark, sf_dir):
 
     base = work_dir(sf_dir, "backfill")
     staged = _os.path.join(base, "staged")
-    src = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    from adlspark import tables as _tables
+
+    src = _tables.load(spark, sf_dir, "events")
     shutil.rmtree(staged, ignore_errors=True)
     n_rows = src.count()
     n_files = min(n_rows, 8)

@@ -938,3 +938,54 @@ def test_srp_codes_matches_expression_form(spark):
     got = {r["vec_id"]: r["srp_code"] for r in srp_codes(e).collect()}
     assert got == want, (got, want)
     assert got[3] is None and got[4] == 65535
+
+
+def test_mmr_round_score_matches_hof(spark):
+    """_mmr_round_score (round-14 Arrow scoring) must equal the literal
+    picked-matrix HOF form bit-for-bit, including a NaN-poisoned vector
+    (NaN is greatest for array_max and propagates through np.max) and
+    exact dot-product fold order."""
+    from pyspark.sql import functions as F
+
+    from adlspark.llm.similarity import _mmr_round_score
+
+    rows = [
+        (1, [0.6, 0.8, 0.0], 0.9),
+        (2, [1.0, 0.0, 0.0], 0.5),
+        (3, [float("nan"), 1.0, 0.0], 0.4),
+        (4, [0.1, 0.2, 0.3], -0.2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, emb_n array<double>, rel double"
+    )
+    picked = [[0.6, 0.8, 0.0], [0.0, 1.0, 0.0]]
+    LAM = 0.7
+    lit_mat = F.array(*[F.lit([float(x) for x in pv]) for pv in picked])
+    max_sim = F.array_max(
+        F.transform(
+            lit_mat,
+            lambda p: F.aggregate(
+                F.zip_with(F.col("emb_n"), p, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    score = F.lit(LAM) * F.col("rel") - F.lit(1 - LAM) * max_sim
+    want = {
+        r["vec_id"]: r["score"]
+        for r in df.select("vec_id", score.alias("score")).collect()
+    }
+    got = {
+        r["vec_id"]: r["score"]
+        for r in _mmr_round_score(df, picked, LAM).collect()
+    }
+    import math
+
+    assert set(got) == set(want)
+    for k in want:
+        w, g = want[k], got[k]
+        if isinstance(w, float) and math.isnan(w):
+            assert math.isnan(g), (k, g, w)
+        else:
+            assert g == w, (k, g, w)  # bit-equal, not approx
