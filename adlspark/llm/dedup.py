@@ -773,7 +773,7 @@ def llm_dedup_minhash(spark, sf_dir):
     n_hashes, bands = 16, 4
     rows_per_band = n_hashes // bands
     d = (
-        tables.load(spark, sf_dir, "documents")
+        tables.spread(tables.load(spark, sf_dir, "documents"))
         .withColumn("_toks", F.split("text", " "))
         .select(
             "doc_id",
@@ -988,7 +988,7 @@ def llm_ngram_jaccard(spark, sf_dir):
     array_intersect verify recovers the exact Jaccard the oracle checks.
     """
     d = (
-        tables.load(spark, sf_dir, "documents")
+        tables.spread(tables.load(spark, sf_dir, "documents"))
         .withColumn("_toks", F.split("text", " "))
         .select(
             "doc_id",
@@ -1310,7 +1310,7 @@ def llm_winnow_fingerprint(spark, sf_dir):
     on both sides. Plan shape: narrow map + one windowed min over a
     per-doc sort + one aggregate — linear, doc-partitioned, skew-free."""
     d = (
-        tables.load(spark, sf_dir, "documents")
+        tables.spread(tables.load(spark, sf_dir, "documents"))
         .withColumn("_toks", F.split("text", " "))
         .select(
             "doc_id",
@@ -1392,8 +1392,13 @@ def llm_minhash_signature(spark, sf_dir):
     buckets these same signatures. One explode + one 8-way min aggregate
     (map-side combinable, shuffle carries 8 longs per doc) — the linear
     candidate-generation path at corpus scale."""
+    # spread the single-file scan BEFORE the hash projection (guide
+    # §2.5 input skew): the 8-salt md5 over every shingle is ~1.6 s of
+    # single-core work on the one scan task otherwise, and the doc_id
+    # hash partitioning is reused by the groupBy below — one exchange
+    # total (guide §2.4).
     d = (
-        tables.load(spark, sf_dir, "documents")
+        tables.spread(tables.load(spark, sf_dir, "documents"))
         .withColumn("_toks", F.split("text", " "))
         .select(
             "doc_id",
@@ -1740,7 +1745,7 @@ def llm_substring_dedup(spark, sf_dir):
     docs) costs one aggregate row, not a k² bucket. The dup-hash side of
     the final equi-join carries only hashes with ≥2 distinct docs, a
     vanishing fraction of window volume on real corpora."""
-    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tables.spread(tables.load(spark, sf_dir, "documents")).select("doc_id", "text")
     # guard: Spark sequence(1, 0) is DESCENDING [1, 0], not empty like
     # DuckDB generate_series — a ≤7-token (or NULL-text) doc would emit
     # two phantom md5('') windows and diverge from the oracle's zero
@@ -2192,7 +2197,7 @@ def llm_containment_dedup(spark, sf_dir):
     pair).
     """
     d = (
-        tables.load(spark, sf_dir, "documents")
+        tables.spread(tables.load(spark, sf_dir, "documents"))
         .withColumn("_toks", F.split("text", " "))
         .select(
             "doc_id",

@@ -378,6 +378,9 @@ def llm_graph_triangles(spark, sf_dir):
     """
     from adlspark.llm.dedup import prefix_filter_pairs
 
+    # NOT spread: the map side here is a plain array_distinct(split) —
+    # round-14 interleaved A/B read 1.10× WITH the fan-out (exchange
+    # overhead, nothing heavy to parallelize)
     d = tables.load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
     )

@@ -183,6 +183,11 @@ def load_embeddings(spark, sf_dir):
     shuffle."""
     from adlspark import tables
 
+    # NOT spread (round-14 interleaved A/B, tools/ab_key.py): fanning
+    # this scan out regressed 6 of 8 vector keys 1.06-1.27× — the
+    # numpy kernels over 5k×64 doubles are sub-100 ms single-task, and
+    # consumers re-evaluate this frame several times, repeating the
+    # exchange each time.
     e = tables.load(spark, sf_dir, "embeddings")
     valid = e.where(
         F.col("vec_id").isNotNull()

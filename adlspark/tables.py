@@ -62,6 +62,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Fan a small single-file scan out to the session's core count
+    before heavy per-row compute (optimization round 14, guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"): a sub-split-size parquet fixture arrives as ONE
+    scan task, so an expensive projection (salted-md5 shingle hashing,
+    HOF shingling, Arrow kernels) pins one core while the rest idle.
+    Hash-repartition on a deterministic key — retry-safe (no
+    round-robin determinism sort, SPARK-23207/SPARK-38388) and
+    reusable by a downstream groupBy/join on the same key (guide §2.4:
+    operations keyed the same way share one exchange). Scale-adaptive,
+    not a local[32] constant: the target is the session's
+    defaultParallelism and the repartition is SKIPPED whenever the
+    scan already carries at least that many partitions — at production
+    input sizes (≥ one split per core) this is a no-op."""
+    if os.environ.get("ADLSPARK_SPREAD", "1") == "0":
+        # deployment knob: disable the fan-out entirely (e.g. when the
+        # input layout is known-good); also the A/B seam the round-14
+        # interleaved measurements flip (tools/ab_key.py)
+        return df
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, F.col(key))
+
+
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as session-zone TimestampType at µs precision.
 

@@ -989,3 +989,29 @@ def test_mmr_round_score_matches_hof(spark):
             assert math.isnan(g), (k, g, w)
         else:
             assert g == w, (k, g, w)  # bit-equal, not approx
+
+
+def test_spread_is_adaptive_and_lossless(spark):
+    """tables.spread (round-14 fan-out of sub-split-size scans) must
+    (1) target the session's defaultParallelism, (2) be a NO-OP when the
+    frame already carries that many partitions — the 100 TB case — and
+    (3) never change row content. ADLSPARK_SPREAD=0 disables it."""
+    import os
+
+    from adlspark import tables
+
+    p = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").coalesce(1)
+    out = tables.spread(df)
+    assert out.rdd.getNumPartitions() == p
+    # idempotent: a spread frame is already at parallelism -> unchanged
+    again = tables.spread(out)
+    assert again is out
+    # lossless: same multiset of rows
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(1000))
+    # kill switch: returns the input frame untouched
+    os.environ["ADLSPARK_SPREAD"] = "0"
+    try:
+        assert tables.spread(df) is df
+    finally:
+        os.environ.pop("ADLSPARK_SPREAD", None)
