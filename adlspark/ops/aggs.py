@@ -38,7 +38,7 @@ GROUP BY l_returnflag, l_linestatus
 )
 def agg_group_q1(spark, sf_dir):
     """TPC-H Q1 shape: filter → hash aggregate, 8 aggregates over 2 keys."""
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.spread(tables.load(spark, sf_dir, "lineitem"), key="l_orderkey")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -105,6 +105,8 @@ def agg_count_distinct(spark, sf_dir):
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
     distinct's Expand blow-up is unaffordable. rsd=0.01 → ~1% error."""
+    # NOT spread (round-14 A/B 1.88x WORSE): 32 partial HLL++ sketches
+    # per group outweigh the single-task scan at this size
     orders = tables.load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
@@ -171,7 +173,12 @@ def agg_stats(spark, sf_dir):
     of 10 numbers per group) — the same sufficient-statistics pattern a
     1000-executor cluster wants.
     """
-    li = tables.load(spark, sf_dir, "lineitem")
+    # spread: the single-row-group lineitem file scans as ONE task, so
+    # the 9 decimal(38,6) sufficient-statistic sums over 600k rows ran
+    # single-core (guide §2.5); the repartition ships only the 5 used
+    # columns (pruned below the exchange) and the partial aggregate
+    # above it is 10 numbers per group per task.
+    li = tables.spread(tables.load(spark, sf_dir, "lineitem"), key="l_orderkey")
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     disc, tax = F.col("l_discount"), F.col("l_tax")
     suff = li.groupBy("l_returnflag").agg(
@@ -247,7 +254,7 @@ def agg_skew_kurt(spark, sf_dir):
     numbers per group — the moment sketch a 1000-executor cluster wants
     (third/fourth moments merge trivially, unlike streaming one-pass
     central-moment updates)."""
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.spread(tables.load(spark, sf_dir, "lineitem"), key="l_orderkey")
     qty = F.col("l_quantity")
     suff = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -336,7 +343,7 @@ HAVING count(*) > 0  -- empty-input seam (see agg_rollup oracle)
 """,
 )
 def agg_cube(spark, sf_dir):
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.spread(tables.load(spark, sf_dir, "lineitem"), key="l_orderkey")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum_total("l_quantity").alias("sum_qty")
     )
@@ -638,7 +645,7 @@ def agg_heavy_hitters_cms(spark, sf_dir):
     as llm_simhash), making the whole sketch — normally 'approximate' —
     bit-deterministic and fully value-checked against DuckDB.
     """
-    ev = tables.load(spark, sf_dir, "events").select("user_id")
+    ev = tables.spread(tables.load(spark, sf_dir, "events").select("user_id"), key="user_id")
     rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
 
     def bucket(r_col, u_col):
@@ -745,7 +752,7 @@ def agg_median(spark, sf_dir):
     Spark computes it via a group-local sort — at scale the real cost is
     the same shuffle the groupBy already pays; for one global median over
     100 TB you'd switch to agg_approx_percentile's mergeable sketch."""
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.spread(tables.load(spark, sf_dir, "lineitem"), key="l_orderkey")
     return li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 6).alias("med_qty"),
         F.round(F.median("l_extendedprice"), 6).alias("med_price"),
@@ -1181,6 +1188,8 @@ def agg_chi2_independence(spark, sf_dir):
 
     Scale shape: one fact pass to cell counts (category-sized),
     marginals broadcast back, metadata-scale combination."""
+    # NOT spread (round-14 A/B 1.51x WORSE): three groupBys re-execute
+    # the frame, tripling the added exchange
     ev = tables.events(spark, sf_dir)
     j = ev.select(
         "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")

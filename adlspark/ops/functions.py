@@ -139,7 +139,7 @@ FROM (SELECT *, CAST(l_quantity AS BIGINT) % 5 AS pmod_result FROM lineitem)
 def fn_math(spark, sf_dir):
     """Math family. floor/ceil return DOUBLE in DuckDB but LONG in Spark →
     cast to double on the Spark side; % on positive ints ≡ pmod."""
-    li = tables.load(spark, sf_dir, "lineitem")
+    li = tables.spread(tables.load(spark, sf_dir, "lineitem"), key="l_orderkey")
     p = F.col("l_extendedprice")
     return li.select(
         "l_orderkey",
@@ -203,7 +203,7 @@ FROM orders
 )
 def fn_cast(spark, sf_dir):
     """Casts incl. try_cast of unparseable strings → NULL."""
-    o = tables.load(spark, sf_dir, "orders")
+    o = tables.spread(tables.load(spark, sf_dir, "orders"), key="o_orderkey")
     # DuckDB CAST(DOUBLE AS BIGINT) rounds HALF_EVEN (measured: 262188.5 →
     # 262188); Spark cast truncates and round() is HALF_UP — bround is the
     # matching half-even form.

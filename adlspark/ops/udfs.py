@@ -42,7 +42,9 @@ def udf_python(spark, sf_dir):
         dp = price * (1 - discount)
         return "high" if dp > 30000 else ("mid" if dp > 10000 else "low")
 
-    li = tables.load(spark, sf_dir, "lineitem")
+    # spread: one scan task = ONE Python worker for the row UDF
+    # otherwise (guide §2.5/§4) — same mechanism, 32 workers
+    li = tables.spread(tables.load(spark, sf_dir, "lineitem"), key="l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",
