@@ -393,6 +393,54 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def _bpe_merges_local(word_counts: dict, rounds: int) -> list[tuple]:
+    """Driver-side twin of ``_bpe_learn_merges`` for BOUNDED samples
+    (optimization round 14): ``llm_bpe_encode`` trains on a ≤200-doc
+    sample whose distinct-word count table is model-sized by contract,
+    yet the distributed loop paid 2 Spark jobs per round (16 for the
+    8-merge trainer) on driver-roundtrip latency. Identical algorithm
+    and tie-breaks: word domain ≤1000 chars, pair count = Σ wn over
+    adjacent symbol pairs, winner = (count DESC, pair string ASC —
+    Python str compare == Spark's binary UTF8String order, both are
+    code-point order), leftmost-greedy single-pass merge per round.
+    Equality with the distributed trainer on the fixture sample is
+    pinned by tests/test_plans.py::test_bpe_local_trainer_matches_spark.
+    """
+    syms = {}
+    counts = {}
+    for w, n in word_counts.items():
+        if len(w) <= 1000:
+            syms[w] = list(w)
+            counts[w] = n
+    merges: list[tuple] = []
+    for rank in range(1, rounds + 1):
+        pair_cnt: dict[str, int] = {}
+        for w, toks in syms.items():
+            if len(toks) < 2:
+                continue
+            n = counts[w]
+            for i in range(len(toks) - 1):
+                p = toks[i] + " " + toks[i + 1]
+                pair_cnt[p] = pair_cnt.get(p, 0) + n
+        if not pair_cnt:
+            break
+        top_pair = min(pair_cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        left, right = top_pair[0].split(" ")
+        cnt = top_pair[1]
+        merges.append((rank, left, right, left + right, cnt))
+        for w, toks in syms.items():
+            out, i, n = [], 0, len(toks)
+            while i < n:
+                if i + 1 < n and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
 def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
     """Sennrich et al. (2016) BPE outer loop over a word-column DataFrame.
 
@@ -414,24 +462,31 @@ def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
         .groupBy("word")
         .agg(F.sum(F.lit(1)).alias("wn"))
     )
+    # Optimization round 14 (guide §1.2 "don't compute things you throw
+    # away"): sym is kept as an ARRAY column, split ONCE here and
+    # materialized by the checkpoint. The old string form re-ran
+    # split(sym, ' ') FOUR times inside the per-round pair expression —
+    # and element_at(split(sym,' '), i) inside transform() re-split the
+    # whole string per ELEMENT, O(n²) per word per round. Symbols never
+    # contain spaces (they are concatenations of characters of
+    # space-split words), so the array is exactly the old string's
+    # split and the emitted pair strings are byte-identical.
     sym = wc.select(
         "wn",
-        F.expr("array_join(filter(split(word, ''), x -> x <> ''), ' ')").alias(
-            "sym"
-        ),
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("sym"),
     ).localCheckpoint()
 
     merges = []
     for rank in range(1, rounds + 1):
         pairs = (
-            sym.where(F.size(F.split("sym", " ")) >= 2)
+            sym.where(F.size("sym") >= 2)
             .select(
                 "wn",
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(sym, ' ')) - 1), i ->"
-                        " concat_ws(' ', element_at(split(sym, ' '), i),"
-                        " element_at(split(sym, ' '), i + 1)))"
+                        "transform(sequence(1, size(sym) - 1), i ->"
+                        " concat_ws(' ', element_at(sym, i),"
+                        " element_at(sym, i + 1)))"
                     )
                 ).alias("pair"),
             )
@@ -448,15 +503,15 @@ def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
         merges.append((rank, left, right, left + right, cnt))
 
         def _merge_udf(lo: str, hi: str):
-            @pandas_udf("string")
+            @pandas_udf("array<string>")
             def _merge(col: pd.Series) -> pd.Series:
-                def one(s: str) -> str:
-                    toks = s.split(" ")
+                def one(toks) -> list:
                     out = []
                     i = 0
-                    while i < len(toks):
+                    n = len(toks)
+                    while i < n:
                         if (
-                            i + 1 < len(toks)
+                            i + 1 < n
                             and toks[i] == lo
                             and toks[i + 1] == hi
                         ):
@@ -465,15 +520,18 @@ def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
                         else:
                             out.append(toks[i])
                             i += 1
-                    return " ".join(out)
+                    return out
 
                 return col.map(one)
 
             return _merge
 
+        # lazy checkpoint: the NEXT round's pairs.collect() (or the
+        # caller's first action) materializes it — one job per round,
+        # not two (same trick as llm_dedup_cluster's label loop)
         sym = sym.select(
             "wn", _merge_udf(left, right)("sym").alias("sym")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     return merges
 
@@ -553,8 +611,22 @@ def llm_bpe_encode(spark, sf_dir):
         .select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
     )
+    # driver-side trainer (round-14): the sample's distinct-word count
+    # table is bounded by the 200-doc cap — one collect of model-sized
+    # state instead of 16 driver-roundtrip jobs (2 per merge round);
+    # _bpe_merges_local is algorithm- and tie-break-identical (pinned
+    # by pytest against the distributed trainer on this very sample)
+    wc_rows = (
+        sample_words.where(F.length("word") <= 1000)
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).alias("wn"))
+        .collect()
+    )
     merge_list = [
-        (m[1], m[2]) for m in _bpe_learn_merges(spark, sample_words, rounds=8)
+        (m[1], m[2])
+        for m in _bpe_merges_local(
+            {r["word"]: r["wn"] for r in wc_rows}, rounds=8
+        )
     ]
 
     @pandas_udf("struct<n_words: long, n_tokens: long, n_chars: long>")
@@ -601,7 +673,10 @@ def llm_bpe_encode(spark, sf_dir):
             )
         return pd.DataFrame(rows, columns=["n_words", "n_tokens", "n_chars"])
 
-    d = tables.load(spark, sf_dir, "documents")
+    # spread: one scan task = one Python worker encoding the whole
+    # corpus otherwise (guide §2.5/§4); the per-batch word memo is
+    # per-task either way
+    d = tables.spread(tables.load(spark, sf_dir, "documents"))
     return d.select("doc_id", encode_stats("text").alias("s")).select(
         "doc_id",
         F.col("s.n_words").alias("n_words"),

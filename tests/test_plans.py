@@ -1015,3 +1015,37 @@ def test_spread_is_adaptive_and_lossless(spark):
         assert tables.spread(df) is df
     finally:
         os.environ.pop("ADLSPARK_SPREAD", None)
+
+
+def test_bpe_local_trainer_matches_spark(spark, sf_dir):
+    """_bpe_merges_local (round-14 driver-side trainer for the encode
+    key's bounded sample) must produce the EXACT merge list of the
+    distributed _bpe_learn_merges on the same sample — every rank,
+    pair, and count."""
+    from pyspark.sql import functions as F
+
+    from adlspark import tables
+    from adlspark.llm.vocab import _bpe_learn_merges, _bpe_merges_local
+
+    sample_words = (
+        tables.load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    want = _bpe_learn_merges(spark, sample_words, 8)
+    wc = (
+        sample_words.where(F.length("word") <= 1000)
+        .groupBy("word")
+        .agg(F.sum(F.lit(1)).alias("wn"))
+        .collect()
+    )
+    got = _bpe_merges_local({r["word"]: r["wn"] for r in wc}, 8)
+    assert got == [tuple(m) for m in want], (got, want)
+    # tie-break torture: two pairs with equal counts -> lexicographic
+    got2 = _bpe_merges_local({"ab": 3, "cd": 3, "e": 9}, 2)
+    assert got2[0][1:4] == ("a", "b", "ab") and got2[1][1:4] == (
+        "c",
+        "d",
+        "cd",
+    ), got2
