@@ -1423,7 +1423,16 @@ def kmeans_fit(spark, sf_dir, k=8, iters=5, track_inertia=False):
     """
     from adlspark.ops.parity import DEC
 
-    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    # lazy checkpoint (optimization round 14, guide §1.2): the loop
+    # reads this frame iters+1 times — without it every iteration
+    # re-ran the scan, the validity filter AND load_embeddings'
+    # broadcast ref-dim aggregate; the init collect below materializes
+    # it once. Same pattern as llm_ann_ivf_scaled's quotient.
+    e = (
+        load_embeddings(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
     init = e.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in init]
     inertia = []
