@@ -173,7 +173,7 @@ def llm_graph_pagerank(spark, sf_dir):
     from adlspark.llm.dedup import band_bucket_pairs, llm_minhash_signature
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
+    n = tables.fast_count(spark, sf_dir, "documents")
     if n == 0:  # empty partition: no nodes, no ranks (round-9 corpus)
         return spark.createDataFrame([], "doc_id long, rank double")
 

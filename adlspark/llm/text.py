@@ -122,7 +122,7 @@ def llm_tfidf(spark, sf_dir):
     words = _words(spark, sf_dir).select("doc_id", "w")
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tables.load(spark, sf_dir, "documents").count()
+    n_docs = tables.fast_count(spark, sf_dir, "documents")
     scored = tf.join(F.broadcast(df), on="w").select(
         "doc_id",
         "w",

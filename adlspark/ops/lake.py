@@ -997,8 +997,9 @@ def lake_time_travel(spark, sf_dir):
     log_dir = os.path.join(work_dir(sf_dir, "time_travel"), "catalog_log")
     _sh.rmtree(log_dir, ignore_errors=True)
 
+    # footer counts (tables.fast_count): 4 scheduler round-trips -> 0
     counts = {
-        t: tables.load(spark, sf_dir, t).count()
+        t: tables.fast_count(spark, sf_dir, t)
         for t in ("region", "nation", "supplier", "part")
     }
     batches = [
@@ -1265,8 +1266,9 @@ def lake_snapshot_rollback(spark, sf_dir):
     log_dir = os.path.join(work_dir(sf_dir, "snapshot_rollback"), "catalog_log")
     _sh.rmtree(log_dir, ignore_errors=True)
 
+    # footer counts (tables.fast_count): 4 scheduler round-trips -> 0
     n = {
-        t: tables.load(spark, sf_dir, t).count()
+        t: tables.fast_count(spark, sf_dir, t)
         for t in ("region", "nation", "supplier", "part")
     }
     batches = [

@@ -748,7 +748,7 @@ def stream_rate_limited_backfill(spark, sf_dir):
 
     src = _tables.load(spark, sf_dir, "events")
     shutil.rmtree(staged, ignore_errors=True)
-    n_rows = src.count()
+    n_rows = _tables.fast_count(spark, sf_dir, "events")
     n_files = min(n_rows, 8)
     if n_rows >= 64:
         # cheap path: round-robin repartition — with ≥64 rows every

@@ -89,6 +89,33 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df.repartition(p, F.col(key))
 
 
+def fast_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata
+    (optimization round 14, guide §1.2): several keys need only the
+    table's size (batch bookkeeping, rate sizing, idf denominators),
+    and a Spark ``count()`` job costs a full scheduler round-trip for a
+    number the footers already hold — the same file-level-catalog
+    argument as ``catalog.parquet_num_rows``. Falls back to a real
+    ``count()`` for non-parquet layouts or unreadable footers, so the
+    value is ALWAYS the exact row count."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        else:
+            files = [path]
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    except Exception:
+        return load(spark, sf_dir, name).count()
+
+
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as session-zone TimestampType at µs precision.
 
@@ -109,6 +136,10 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
       file) is preserved exactly.
     - ``timestamp`` — already the session-zone type; pass through.
     """
+    # NOT spread (round-14 interleaved A/B): fanning the events scan out
+    # read 0.99-1.66× across five ts_*/agg consumers — the ts
+    # normalization map side is cheap and every consumer's first real
+    # operator (window/groupBy) exchanges on its own key anyway.
     df = load(spark, sf_dir, "events")
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
