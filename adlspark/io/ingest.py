@@ -96,7 +96,15 @@ def ingest(
     n_bad = bad.count()
     if quarantine_dir and n_bad:
         bad.write.mode("overwrite").json(quarantine_dir)
-    n_good = spark.read.parquet(staged_dir).count()
+    # footer count of the batch just committed (optimization round 14,
+    # guide §1.2): the staged files' parquet footers hold the exact row
+    # count — no need for a read-back count() job; fallback to the real
+    # count if the footers are unreadable
+    from adlspark.catalog import parquet_num_rows
+
+    n_good = parquet_num_rows(staged_dir)
+    if n_good is None:
+        n_good = spark.read.parquet(staged_dir).count()
     return {
         "source": cfg.name,
         "raw_path": raw_path,
