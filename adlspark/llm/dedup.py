@@ -703,18 +703,50 @@ def band_bucket_pairs(df, id_col, payload=(), sig_prefix="sig", n_bands=4):
     column x (taken from the id1/id2 side respectively). NULL signature
     rows pair with nothing (equi-join semantics) — pre-filter them only
     as an optimization.
+
+    The row→band melt is ONE explode of an array of band structs, not an
+    n_bands-way union of the input (optimization round 14). Two reasons:
+
+    - Correctness under keyed inputs: with a hash-partitioned child (the
+      ``tables.spread`` scans), the planner satisfied the final
+      ``.distinct()``'s clustering requirement from the UNION's claimed
+      partitioning and skipped its Exchange — but at runtime the union
+      CONCATENATES its branches' partitions, so the same (id1, id2) pair
+      produced by different bands sat in different partitions and the
+      per-partition dedup kept up to n_bands copies of it (caught by
+      tests/test_dup_density.py::test_pagerank_lumping_on_dup_corpus,
+      where identical-signature docs co-bucket in every band). With one
+      lineage the a-side stays partitioned by its id column, every
+      (id1, ·) row lives in one partition, and the dedup is correct
+      whether or not the planner inserts the exchange.
+    - Cost: the union re-evaluated the signature subtree once per band
+      per join side (column pruning specializes each branch to its two
+      sig columns, so nothing is reusable) — the shingle explode ran
+      n_bands× per side; the melt runs it once per side.
     """
     payload = list(payload)
-    bands = None
-    for b in range(n_bands):
-        part = df.select(
-            id_col,
-            *payload,
-            F.lit(b).alias("_band"),
-            F.col(f"{sig_prefix}{2 * b}").alias("_bk1"),
-            F.col(f"{sig_prefix}{2 * b + 1}").alias("_bk2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = df.select(
+        id_col,
+        *payload,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        F.col(f"{sig_prefix}{2 * b}").alias("_bk1"),
+                        F.col(f"{sig_prefix}{2 * b + 1}").alias("_bk2"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bs"),
+    ).select(
+        id_col,
+        *payload,
+        F.col("_bs._band").alias("_band"),
+        F.col("_bs._bk1").alias("_bk1"),
+        F.col("_bs._bk2").alias("_bk2"),
+    )
     a, c = bands.alias("a"), bands.alias("c")
     return (
         a.join(

@@ -188,3 +188,22 @@ def test_band_bucket_pairs_equals_naive(spark, seed):
                     want.add((i, j, si[0], sj[0]))
                     break
     assert got == sorted(want)
+
+
+def test_band_bucket_pairs_distinct_under_keyed_partitioning(spark):
+    """Regression (optimization round 14): with a hash-partitioned input
+    (the ``tables.spread`` shape) the old n_bands-way union melt let the
+    planner satisfy the final distinct's clustering from the union's
+    claimed partitioning and skip its Exchange — but a union
+    CONCATENATES partitions, so a pair co-bucketed in SEVERAL bands
+    (identical-signature docs co-bucket in all four) was emitted once
+    per band. The melt is now a single explode, which keeps one lineage
+    and makes the per-partition dedup correct under any partitioning.
+    The contract is in the docstring's first word: DISTINCT pairs."""
+    # 6 docs with the identical signature: every pair shares all 4 bands
+    rows = [Row(nid=i, **{f"sig{j}": 7 for j in range(8)}) for i in range(6)]
+    df = spark.createDataFrame(rows).repartition(8, "nid")
+    got = [tuple(r) for r in band_bucket_pairs(df, "nid").collect()]
+    assert sorted(got) == sorted(
+        (i, j) for i in range(6) for j in range(6) if i < j
+    ), "band_bucket_pairs must return each co-bucketed pair exactly once"

@@ -42,7 +42,13 @@ def test_q1_partial_final_aggregate(spark, sf_dir):
     p = plan_of(spark, sf_dir, "agg_group_q1")
     # map-side combine: two HashAggregate nodes around one exchange
     assert p.count(") HashAggregate") >= 2
-    assert p.count(") Exchange") == 1
+    # exactly two exchanges: the tables.spread fan-out of the
+    # single-row-group lineitem scan (REPARTITION_BY_NUM, optimization
+    # round 14 — the scan is otherwise ONE task) and the aggregate
+    # exchange; the partial aggregate sits above the fan-out so the
+    # aggregate exchange still ships per-task group summaries, not rows
+    assert p.count(") Exchange") == 2
+    assert "REPARTITION_BY_NUM" in p
     # the shipdate filter reached the scan
     assert "PushedFilters" in p and "l_shipdate" in p
 
