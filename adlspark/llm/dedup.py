@@ -109,16 +109,26 @@ def quotient_token_sets(d):
     groups (groupBy treats NULLs as equal, but a NULL key satisfies no
     equi conjunct in the direct join or any oracle, and expand=False
     consumers need them as isolated nodes, not one spurious clique).
-    localCheckpointed eagerly — every consumer reads it ≥3 times."""
+
+    localCheckpointed LAZILY (optimization round 14, guide §1.2): the
+    first consuming action materializes the cache inside its own job,
+    saving the eager form's extra scheduler round-trip; every later
+    consumer (≥3 per kernel) reads the materialized partitions either
+    way. Lazy materialization is only sound because every column is a
+    DETERMINISTIC function of the group — members is sort_array'd and
+    toks is the sorted group key itself (the old ``first(toks)`` was
+    pick-any; all consumers are set-ops: explode, size, array_intersect,
+    per-element hashing — so the sorted representative is output-
+    identical) — hence two stages racing to compute an uncached
+    partition produce bit-identical rows."""
     grouped = (
         d.where(~_nullkey())
         .groupBy("lang", F.array_sort("toks").alias("_skey"))
         .agg(
             F.min("doc_id").alias("gid"),
-            F.collect_list("doc_id").alias("members"),
-            F.first("toks").alias("toks"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
         )
-        .drop("_skey")
+        .select("lang", "gid", "members", F.col("_skey").alias("toks"))
     )
     singletons = d.where(_nullkey()).select(
         "lang",
@@ -126,16 +136,20 @@ def quotient_token_sets(d):
         F.array("doc_id").alias("members"),
         "toks",
     )
-    return grouped.unionByName(singletons).localCheckpoint(eager=True)
+    return grouped.unionByName(singletons).localCheckpoint(eager=False)
 
 
 def _prefix_index(g, tau: float):
     """The df-ordered prefix inverted index over a quotient's
     representatives: each rep keeps its |A| - floor(τ·|A|) + 1 RAREST
     tokens under the global (df ASC, token) order. One frame, consumed
-    twice by the candidate self-join — localCheckpointed. Shared by
-    the kernel and the near_dup router's saturation diagnostic (the
-    median df of exactly these rows IS the rung-selection signal)."""
+    twice by the candidate self-join — localCheckpointed lazily (the
+    candidate join, or the router's percentile aggregate, materializes
+    it inside its first job; rows are deterministic — (df, t) is a
+    total order per doc — so racing stages compute identical
+    partitions). Shared by the kernel and the near_dup router's
+    saturation diagnostic (the median df of exactly these rows IS the
+    rung-selection signal)."""
     reps = g.where(~_nullkey()).select(
         F.col("gid").alias("doc_id"), "lang", "toks"
     )
@@ -154,7 +168,7 @@ def _prefix_index(g, tau: float):
         )
         .where(F.col("rn") <= prefix_len)
         .select("doc_id", "lang", "sz", "t", "df", "rn")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -819,11 +833,14 @@ def llm_dedup_minhash(spark, sf_dir):
         d.groupBy(F.array_sort("shingles").alias("_skey"))
         .agg(
             F.min("doc_id").alias("gid"),
-            F.collect_list("doc_id").alias("members"),
-            F.first("shingles").alias("shingles"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
         )
-        .drop("_skey")
-        .localCheckpoint(eager=True)  # feeds sig, verify ×2, expansion ×2
+        .select("gid", "members", F.col("_skey").alias("shingles"))
+        # lazy: the first job materializes it (feeds sig, verify ×2,
+        # expansion ×2); deterministic columns (sorted members, sorted
+        # key as shingles — consumers are all set-ops) make racing
+        # stages compute identical partitions
+        .localCheckpoint(eager=False)
     )
     sh = g.select("gid", F.explode("shingles").alias("s"))
     sig = sh.groupBy("gid").agg(
@@ -1543,9 +1560,12 @@ def llm_minhash_estimate(spark, sf_dir):
         sig.groupBy(*sig_cols)
         .agg(
             F.min("doc_id").alias("gid"),
-            F.collect_list("doc_id").alias("members"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
         )
-        .localCheckpoint(eager=True)  # feeds banding + both expansions
+        # lazy + sorted members: first job materializes it (feeds
+        # banding + both expansions); deterministic rows, so racing
+        # stages compute identical partitions
+        .localCheckpoint(eager=False)
     )
     cand = band_bucket_pairs(g, "gid")
     sa = g.alias("sa")
@@ -1637,7 +1657,10 @@ def llm_incremental_dedup(spark, sf_dir):
             F.col(f"sig{2 * b + 1}").alias("k2"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    bands = bands.localCheckpoint()
+    # lazy: both join sides read the same materialized partitions; rows
+    # are deterministic (min-aggregate signatures), so the single
+    # consuming job can safely materialize it in place
+    bands = bands.localCheckpoint(eager=False)
     new = bands.where(F.col("doc_id") % 10 == 0).alias("n")
     corpus = bands.where(F.col("doc_id") % 10 != 0).alias("c")
     return (
@@ -2085,9 +2108,11 @@ def llm_dedup_editdist(spark, sf_dir):
         b.groupBy("lang", "len_bucket", "pfx", "t64")
         .agg(
             F.min("doc_id").alias("gid"),
-            F.collect_list("doc_id").alias("members"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
         )
-        .localCheckpoint(eager=True)  # feeds verify ×2, expansion ×3
+        # lazy + sorted members: first job materializes it (feeds
+        # verify ×2, expansion ×3); deterministic rows under races
+        .localCheckpoint(eager=False)
     )
     a, c = g.alias("a"), g.alias("c")
     dist = F.levenshtein(F.col("a.t64"), F.col("c.t64"))

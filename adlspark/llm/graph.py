@@ -213,7 +213,11 @@ def llm_graph_pagerank(spark, sf_dir):
         F.array("doc_id").alias("members"),
         F.lit(1).cast("long").alias("k"),
     )
-    g = grouped.unionByName(lone).localCheckpoint()
+    # lazy (round 14): the n_dang count below materializes g and edge_w
+    # in ONE job instead of three scheduler round-trips; rows are
+    # deterministic (min/sort_array/count aggregates), so concurrent
+    # consumer stages compute identical partitions
+    g = grouped.unionByName(lone).localCheckpoint(eager=False)
     # shared banding helper — the sig-less singletons carry NULL band
     # keys and could never match the equi-join anyway; the pre-filter
     # just keeps their rows out of the bucket join
@@ -256,7 +260,7 @@ def llm_graph_pagerank(spark, sf_dir):
         cross.unionByName(self_e)
         .join(deg.withColumnRenamed("gid", "src"), "src")
         .select("src", "dst", (F.col("mult") / F.col("deg")).alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # dangling classes: no incident edges at all (necessarily k == 1,
     # since k >= 2 classes carry their internal self edge). Their rank
@@ -309,7 +313,11 @@ def llm_graph_pagerank(spark, sf_dir):
         # halves the materialization jobs vs the old every-2 cadence
         # (A/B probed this round: every-2 2.3 s, every-4/8 ~2.0 s).
         if it % 4 == 3:
-            ranks = ranks.localCheckpoint()
+            # lazy: no mid-loop materialization job — the final expand
+            # job computes through both checkpoint caches in one pass;
+            # the checkpoint still truncates the LOGICAL plan each 4
+            # rounds, which is what keeps Catalyst analysis bounded
+            ranks = ranks.localCheckpoint(eager=False)
     return (
         g.select("gid", "members")
         .join(ranks, "gid")
