@@ -153,9 +153,12 @@ def llm_sim_threshold_join(spark, sf_dir):
         e.groupBy("embedding")
         .agg(
             F.min("vec_id").alias("gid"),
-            F.collect_list("vec_id").alias("members"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
         )
-        .localCheckpoint(eager=True)  # feeds matmul + expansion ×3
+        # lazy + sorted members (round 14): first job materializes it
+        # (feeds matmul + expansion ×3); deterministic rows, and the
+        # expansions orientation-normalize, so outputs are unchanged
+        .localCheckpoint(eager=False)
     )
     env_blocks = os.environ.get("ADLSPARK_SIM_BLOCKS")
     n_blocks = (
@@ -568,7 +571,7 @@ def llm_ann_ivf(spark, sf_dir):
         F.min("vec_id").alias("gid"),
         F.sort_array(F.collect_list("vec_id")).alias("members"),
         F.count(F.lit(1)).alias("cnt"),
-    ).localCheckpoint(eager=True)  # feeds assignment + the probe quotient
+    ).localCheckpoint(eager=False)  # lazy: first job materializes (assignment + probe quotient)
     return _ivf_probe_search(g, cent)
 
 
@@ -1040,7 +1043,7 @@ def llm_ann_ivf_scaled(spark, sf_dir):
         F.min("vec_id").alias("gid"),
         F.sort_array(F.collect_list("vec_id")).alias("members"),
         F.count(F.lit(1)).alias("cnt"),
-    ).localCheckpoint(eager=True)  # feeds training, assignment, probes
+    ).localCheckpoint(eager=False)  # lazy: n_u count below materializes it (training, assignment, probes)
     n_u = g.count()
     if n_u == 0:
         return spark.createDataFrame(
@@ -1920,7 +1923,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
         F.min("vec_id").alias("gid"),
         F.sort_array(F.collect_list("vec_id")).alias("members"),
         F.count(F.lit(1)).alias("cnt"),
-    ).localCheckpoint(eager=True)  # feeds encode, probe quotient, expansion
+    ).localCheckpoint(eager=False)  # lazy: first job materializes (encode, probe quotient, expansion)
 
     # Block-count sizing (round 14, the SAME rule as llm_knn_graph /
     # llm_sim_threshold_join, env override included): the per-task peak
@@ -1955,7 +1958,7 @@ def llm_ann_ivf_pq(spark, sf_dir):
         )
         .where(F.size("probe_members") > 0)
         .withColumn("pu", F.element_at("probe_members", 1))
-        .localCheckpoint(eager=True)  # feeds block replication + expansion
+        .localCheckpoint(eager=False)  # lazy: first job materializes (block replication + expansion)
     )
     blocks = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
     probe_rep = pg.crossJoin(F.broadcast(blocks)).select(
@@ -2432,7 +2435,7 @@ def llm_knn_graph(spark, sf_dir):
         F.min("vec_id").alias("gid"),
         F.sort_array(F.collect_list("vec_id")).alias("members"),
         F.count(F.lit(1)).alias("cnt"),
-    ).localCheckpoint(eager=True)  # feeds both block sides + 2 expansions
+    ).localCheckpoint(eager=False)  # lazy: first job materializes (both block sides + 2 expansions)
     # Block-count sizing (round 14): the per-task peak is the block-pair
     # sims matrix — (N_unique/B)² float64, allocated in the PYTHON
     # worker — so a parallelism-only B is corpus-size-blind: at 200k

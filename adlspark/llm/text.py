@@ -809,11 +809,13 @@ def llm_contamination_check(spark, sf_dir):
         docs.where(F.col("split").isin("test", "train"))
         .groupBy("lang", "split", F.array_sort("sh").alias("sh"))
         .agg(
-            F.collect_list("doc_id").alias("members"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
             F.count(F.lit(1)).alias("csize"),
             F.min("doc_id").alias("cid"),
         )
-        .localCheckpoint(eager=True)  # feeds both join sides + expansion
+        # lazy + sorted members: first job materializes it (both join
+        # sides + expansion); deterministic rows under stage races
+        .localCheckpoint(eager=False)
     )
     te_sh = cls.where(F.col("split") == "test").select(
         "lang", F.col("cid").alias("te_cid"), F.explode("sh").alias("s")

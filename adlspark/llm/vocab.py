@@ -474,7 +474,7 @@ def _bpe_learn_merges(spark, words, rounds: int) -> list[tuple]:
     sym = wc.select(
         "wn",
         F.expr("filter(split(word, ''), x -> x <> '')").alias("sym"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # round-1 pair count materializes it
 
     merges = []
     for rank in range(1, rounds + 1):
