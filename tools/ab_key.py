@@ -50,6 +50,11 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.groupBy("r_name").count().collect()
     warm.mapInPandas(lambda it: it, warm.schema).count()
+    # full Python-worker-pool spawn outside timing (round 14; see
+    # bench.py) -- without it the first full-fan-out Python key
+    # absorbs ~cores x (fork + pandas import) in its own timing
+    _par = spark.sparkContext.defaultParallelism
+    spark.range(0, _par, 1, _par).mapInPandas(lambda it: it, "id long").count()
 
     def run(key: str, setting: str) -> float:
         os.environ[var] = setting
