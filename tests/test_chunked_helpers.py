@@ -207,3 +207,42 @@ def test_band_bucket_pairs_distinct_under_keyed_partitioning(spark):
     assert sorted(got) == sorted(
         (i, j) for i in range(6) for j in range(6) if i < j
     ), "band_bucket_pairs must return each co-bucketed pair exactly once"
+
+
+def test_quotient_token_sets_is_deterministic_and_sorted(spark):
+    """Pin for the lazy-checkpoint precondition (optimization round 14):
+    quotient_token_sets now materializes LAZILY, which is only sound if
+    concurrent consumer stages racing to compute an uncached partition
+    produce bit-identical rows. The two historically nondeterministic
+    columns must therefore be value-pinned: ``members`` is sorted, and
+    ``toks`` is the SORTED group key (the old first(toks) picked an
+    arbitrary member's array order). Two groups whose members carry the
+    same token SET in different orders must collapse to one row with
+    identical sorted columns on every evaluation."""
+    from adlspark.llm.dedup import quotient_token_sets
+
+    rows = [
+        Row(doc_id=3, lang="en", toks=["b", "a", "c"]),
+        Row(doc_id=1, lang="en", toks=["c", "b", "a"]),
+        Row(doc_id=2, lang="en", toks=["a", "c", "b"]),
+        Row(doc_id=9, lang="de", toks=["x"]),
+        Row(doc_id=4, lang=None, toks=["z", "y"]),   # NULL lang: singleton
+        Row(doc_id=5, lang="en", toks=None),          # NULL toks: singleton
+    ]
+    # repartitioned input: group members arrive from different partitions,
+    # so an order-sensitive aggregate would be partition-layout-dependent
+    d = spark.createDataFrame(rows).repartition(5, "doc_id")
+    got = {r["gid"]: r for r in quotient_token_sets(d).collect()}
+    assert set(got) == {1, 9, 4, 5}
+    assert got[1]["members"] == [1, 2, 3], "members must be sorted"
+    assert got[1]["toks"] == ["a", "b", "c"], "toks must be the sorted key"
+    assert got[9]["members"] == [9] and got[9]["toks"] == ["x"]
+    # NULL-keyed rows stay isolated singletons with their raw toks
+    assert got[4]["members"] == [4] and got[4]["toks"] == ["y", "z"] or \
+        got[4]["toks"] == ["z", "y"]  # passthrough, not re-sorted
+    assert got[5]["members"] == [5] and got[5]["toks"] is None
+    # determinism across independent evaluations (fresh plan, same rows)
+    again = {r["gid"]: r for r in quotient_token_sets(d).collect()}
+    assert {k: (v["members"], v["toks"]) for k, v in got.items()} == {
+        k: (v["members"], v["toks"]) for k, v in again.items()
+    }
