@@ -40,97 +40,86 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # absent from this list keep their existing verdicts because their code
 # is unchanged, and rotate to the back of the queue.
 #
-# State entering driver round 14 (recomputed 2026-08-16 with
-# tools/verification_debt.py — the single source of truth):
+# State entering driver round 14 (recomputed at the end of the round-14
+# OPTIMIZATION pass with tools/verification_debt.py):
 #   - 261 registry keys (259 entering the round + llm_curation_pipeline
 #     + llm_ann_ivf_scaled, new this round); the 259 pre-existing ALL
 #     green at their latest verdict, debt = 0, ZERO failed — r13 came
-#     back fully green (50/50) and retired the r05+r06 cohorts. Oldest
-#     signal now: the 13 r07 keys, then the 33 r08 keys (VERDICT r13
-#     item 1: rotate both).
-# Composition: 2 never-verified + 5 (b)-class re-entries + 13 r07 +
-# 30 r08 = 50.
+#     back fully green (50/50) and retired the r05+r06 cohorts.
+#   - BUT round 14 was an optimization round and materially changed the
+#     operator code behind ~44 keys (Arrow kernel rewrites, the
+#     deterministic-quotient/lazy-checkpoint change, tables.spread
+#     fan-outs, footer fast_count, the BPE trainer). The window rule
+#     ranks (b) code-changed-since-last-verdict above (d) staleness, so
+#     those keys re-enter ahead of the r07/r08 rotation VERDICT r13
+#     item 1 asked for; the displaced green-and-unchanged r07/r08 keys
+#     lead the r15 rotation instead. Every (b) key below is sim
+#     HASH-PASS (or rows-only by its contract) at sf0.01 at this HEAD.
+# Composition: 2 never-verified + 44 (b)-class re-entries + 4 r07 = 50.
 _VERIFY_WINDOW = [
     # (a) failed in the latest window: none (r13 fully green).
-    # (c) never-verified: the round-14 curation composition key
-    #   (VERDICT r13 item 5) — exact dedup -> Gopher-lite gate ->
-    #   domain cap -> md5-bucket split as one dataflow, full value
-    #   oracle; sim HASH-PASSED at sf0.01 + sf0.001 —
+    # (c) never-verified: the round-14 curation composition key and the
+    #     trained-cell IVF (both sim HASH-PASS at sf0.01 + sf0.001):
     "llm_curation_pipeline",
-    #   and the trained-√N-cell IVF (the deployment form the round-14
-    #   vector stress rungs showed fixed-cell IVF needs): dynamic-k
-    #   Lloyd trainer + the shared _ivf_probe_search, dynamic-LIMIT
-    #   unrolled-CTE oracle, mutation-witnessed (iters, k); sim
-    #   HASH-PASSED at sf0.01 + sf0.001.
     "llm_ann_ivf_scaled",
-    # (b) code changed after the last green verdict — re-enter:
-    #   llm_near_dup_auto: the router diagnostic gained a sampled
-    #   regime above NEAR_DUP_SAMPLE_DOCS (VERDICT r13 item 4). Driver
-    #   fixtures sit far below the threshold so the routed plan is
-    #   bit-identical, but the dispatch code changed; sim HASH-PASSED
-    #   at sf0.01 after the change.
-    "llm_near_dup_auto",
-    #   ...and the four ANN keys the round-14 block-sizing change /
-    #   _ivf_probe_search factoring touched (fixture plans are
-    #   bit-identical — B stays 8 below ~16k uniques and the factored
-    #   search is expression-for-expression — but the code changed, so
-    #   by the window rule they re-enter; all sim HASH-PASSED at
-    #   sf0.01 after the change):
-    "llm_knn_graph",
-    "llm_sim_threshold_join",
-    "llm_ann_ivf_pq",
-    "llm_ann_ivf",
-    # (d) staleness rotation (VERDICT r13 item 1) — the full r07 cohort
-    #   (13 keys, verification_debt.py ranking order):
+    # (b) code changed after the last green verdict — re-enter, most
+    #     invasive change first. Arrow kernel rewrites:
+    "llm_srp_bits",            # closure-coefficient int64 matmul
+    "llm_semantic_dedup",      # same SRP kernel
+    "llm_simhash",             # 16-way crossJoin -> one aggregate
+    "llm_kmeans",              # Arrow assignment + fit checkpoint
+    "llm_ann_ivf",             # _cells_assign
+    "llm_ann_ivf_pq",          # block sizing / probe factoring (r14 s1)
+    "llm_knn_graph",           # block sizing (r14 s1) + lazy quotient
+    "llm_sim_threshold_join",  # block sizing + sorted/lazy quotient
+    "llm_mmr_diverse_sample",  # Arrow round scorer
+    "llm_near_dup_auto",       # sampled router diagnostic + quotient
+    # the deterministic-quotient / lazy-checkpoint family:
+    "llm_near_dup_pairs",
+    "llm_ngram_jaccard",
+    "llm_dedup_cluster",
+    "llm_dedup_canonical",
+    "llm_dedup_minhash",       # + band melt fix
+    "llm_minhash_estimate",
+    "llm_dedup_editdist",
+    "llm_incremental_dedup",
+    "llm_containment_dedup",
+    "llm_embed_near_dup",
+    "llm_contamination_check",
+    "llm_graph_pagerank",      # closed-form dangling mass + lazy g
+    "llm_graph_triangles",     # checkpointed rep edges + quotient
+    # BPE trainer/encoder changes:
+    "llm_bpe_encode",
+    "llm_bpe_learn",
+    "llm_bpe_pair_count",
+    # kmeans_fit consumers (embedding-frame checkpoint):
+    "llm_embed_centroids",
+    "llm_hard_negative_mine",
+    # tables.spread fan-outs (single-task scan -> keyed repartition):
+    "llm_minhash_signature",
+    "llm_substring_dedup",     # also the r07 cohort's top entry
+    "llm_winnow_fingerprint",
+    "agg_stats",
+    "agg_group_q1",
+    "agg_skew_kurt",
+    "agg_cube",
+    "agg_median",
+    "agg_heavy_hitters_cms",
+    "fn_cast",
+    "fn_math",
+    "udf_python",              # also an r07 key
+    # tables.fast_count (parquet-footer row counts):
+    "llm_tfidf",
+    "lake_snapshot_rollback",
+    "lake_time_travel",
+    "stream_rate_limited_backfill",
+    # (d) staleness rotation — the r07 cohort's next keys by
+    #     verification_debt.py ranking (the rest of r07 + all of r08
+    #     are green and UNCHANGED; they lead the r15 rotation):
     "llm_fingerprint",
-    "llm_substring_dedup",
     "llm_quality_classifier",
     "llm_gopher_rules",
     "mm_phash_dedup",
-    "fn_json",
-    "fn_map",
-    "ts_event_paths",
-    "udf_python",
-    "scan_project",
-    "agg_approx_percentile",
-    "agg_ks_test",
-    "win_distinct_running",
-    #   ...the r08 cohort (30 of its 33 keys — the window holds 50):
-    "llm_contamination_check",
-    "lake_zorder_layout",
-    "fn_array",
-    "fn_higher_order",
-    "ts_velocity_features",
-    "scan_all_tables_counts",
-    "ingest_csv_header",
-    "stream_file_source",
-    "ingest_csv_malformed",
-    "project_compute",
-    "filter_pred",
-    "filter_null_3vl",
-    "distinct_rows",
-    "filter_dynamic_rule",
-    "join_inner",
-    "join_broadcast",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_interval",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_unpivot",
-    "win_rownum",
-    "win_topk_group",
-    # (win_lag_lead / win_range_frame / win_ntile_pct and the r09 fill
-    # were displaced by the four (b)-class ANN re-entries — (b) ranks
-    # above (d) staleness in the composition rule; they lead the r15
-    # rotation instead.)
-    # Slot arithmetic: 2 new + 5 (b) + 13 r07 + 30 r08 = 50.
 ]
 
 
