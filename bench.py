@@ -42,6 +42,39 @@ WINDOW_SIZE = 32
 WINDOW_CONTROL_KEY = "join_inner"
 BURST_THRESHOLD = 1.5
 
+# Per-key timings in the LAST stdout line (round 15, VERDICT r14 item 1):
+# the external driver parses the last complete JSON line inside a
+# byte-bounded stdout tail — every committed BENCH_r*.json stores exactly
+# 2000 tail bytes, and in rounds 1-7, when the full per-key line was
+# printed last, parsed came back null because the ~10 KB line was
+# front-cut inside that window. The full 261-key dict can never fit (the
+# key NAMES alone are ~4.1 KB), so the summary line now carries the most
+# expensive keys' timings — the keys that dominate the total and any
+# per-query regression signal — greedily packed in descending-cost order
+# until the WHOLE line reaches SUMMARY_LINE_BUDGET (margin under the
+# observed 2000-byte capture). queries_omitted records the cut; the
+# complete dict still goes out on the detail line and BENCH_DETAIL.json.
+SUMMARY_LINE_BUDGET = 1800
+
+
+def fit_top_queries(timings, summary, budget: int = SUMMARY_LINE_BUDGET):
+    """Largest descending-cost prefix of ``timings`` whose inclusion keeps
+    ``json.dumps(summary)`` within ``budget`` bytes. Deterministic: keys
+    ordered by (-seconds, name); stops at the first key that does not fit
+    so the subset is always exactly "the N most expensive keys"."""
+    chosen: dict[str, float] = {}
+    trial = dict(summary)
+    for k in sorted(timings, key=lambda k: (-timings[k], k)):
+        cand = dict(chosen)
+        cand[k] = timings[k]
+        trial["queries"] = cand
+        trial["queries_omitted"] = len(timings) - len(cand)
+        if len(json.dumps(trial)) > budget:
+            break
+        chosen = cand
+    return chosen
+
+
 # Load-normalization controls: end-of-run ratios vs BASELINE.md medians
 # for a fixed set of long-untouched, medium-cost keys (their timings come
 # from the main run itself). Controls high across the board = ambient
@@ -297,6 +330,11 @@ def main() -> None:
         # subset runs are the iterate-on-one-key loop: per-key detail in
         # the LAST (always-captured) line, since nothing writes the file
         summary["queries"] = timings
+    else:
+        # full runs: the most expensive keys' timings, packed to the
+        # driver's tail-capture budget (see SUMMARY_LINE_BUDGET above)
+        summary["queries"] = fit_top_queries(timings, summary)
+        summary["queries_omitted"] = len(timings) - len(summary["queries"])
     print(json.dumps(summary), flush=True)
 
 

@@ -84,6 +84,53 @@ def test_expected_warm_needs_observable_window1():
     assert bench.split_expected_warm([1.0, 1.0, 1.1], []) == ([], False)
 
 
+def _realistic_timings(n=261):
+    # registry-shaped key names (~16 chars) with a heavy-tailed cost mix
+    return {
+        f"llm_operator_key_{i:03d}": round(0.1 + (i % 7) * 1.3 + (i < 12) * 5.0, 3)
+        for i in range(n)
+    }
+
+
+def test_fit_top_queries_respects_budget_and_order():
+    import json
+
+    timings = _realistic_timings()
+    summary = {
+        "metric": "total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_keys": len(timings),
+        "sf": 0.1,
+        "detail": "BENCH_DETAIL.json",
+        "controls_vs_baseline": {"agg_stats": 1.0, "agg_group_q1": 1.0},
+        "control_median": 1.0,
+        "window_controls": [1.0] * 9,
+        "burst_windows": [],
+        "expected_warm_window0": False,
+        "window_ratio_median": 1.0,
+        "window_median_elevated": False,
+    }
+    sub = bench.fit_top_queries(timings, summary)
+    # the final line must fit the driver's tail capture with margin
+    summary["queries"] = sub
+    summary["queries_omitted"] = len(timings) - len(sub)
+    line = json.dumps(summary)
+    assert len(line) <= bench.SUMMARY_LINE_BUDGET < 2000
+    # non-trivial coverage: dozens of keys, not a token few
+    assert len(sub) >= 25
+    # exactly the most expensive keys (descending-cost prefix), values intact
+    ranked = sorted(timings, key=lambda k: (-timings[k], k))
+    assert list(sub) == ranked[: len(sub)]
+    assert all(sub[k] == timings[k] for k in sub)
+
+
+def test_fit_top_queries_small_set_fits_entirely():
+    timings = {"agg_stats": 1.0, "join_inner": 0.4}
+    sub = bench.fit_top_queries(timings, {"metric": "total_wall_sec"})
+    assert sub == {"agg_stats": 1.0, "join_inner": 0.4}
+
+
 def test_window_constants_sane():
     # the interleave must cover a 257-key run with >=2 windows for the
     # median to mean anything, and the control must be a registered key

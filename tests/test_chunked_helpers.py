@@ -237,9 +237,11 @@ def test_quotient_token_sets_is_deterministic_and_sorted(spark):
     assert got[1]["members"] == [1, 2, 3], "members must be sorted"
     assert got[1]["toks"] == ["a", "b", "c"], "toks must be the sorted key"
     assert got[9]["members"] == [9] and got[9]["toks"] == ["x"]
-    # NULL-keyed rows stay isolated singletons with their raw toks
-    assert got[4]["members"] == [4] and got[4]["toks"] == ["y", "z"] or \
-        got[4]["toks"] == ["z", "y"]  # passthrough, not re-sorted
+    # NULL-keyed rows stay isolated singletons with their raw toks.
+    # (ADVICE r14: the old `A and B or C` form parsed as `(A and B) or C`,
+    # so the members check was dead code — C was always true.)
+    assert got[4]["members"] == [4]
+    assert got[4]["toks"] == ["z", "y"]  # passthrough, not re-sorted
     assert got[5]["members"] == [5] and got[5]["toks"] is None
     # determinism across independent evaluations (fresh plan, same rows)
     again = {r["gid"]: r for r in quotient_token_sets(d).collect()}
