@@ -1406,6 +1406,98 @@ def llm_winnow_fingerprint(spark, sf_dir):
     )
 
 
+_SIG_ARROW_SCHEMA = "doc_id long, " + ", ".join(
+    f"sig{i} long" for i in range(8)
+)
+
+
+def _minhash_sig_rows(d):
+    """Per-ROW salted-md5 MinHash signatures via one mapInArrow pass
+    (optimization round 15, guide §4.1/§4.2): for each (doc_id, text)
+    row, the distinct 3-word shingles and the 8 per-salt minima are
+    computed inside the kernel — hashlib md5 digests are byte-identical
+    to ``F.md5`` and the md5-prefix integer is the digest's first 4
+    bytes big-endian, so every value is bit-equal to the expression
+    form's ``conv(substring(md5(..),1,8),16,10)``. A trailing
+    groupBy(doc_id) min-aggregate preserves exact duplicate-doc_id
+    merge semantics (the old explode+groupBy merged shingles across
+    rows sharing a doc_id; unique ids — every current fixture — make
+    it a cheap 8-longs-per-row pass-through aggregate).
+
+    Expression-semantics corners, pinned by
+    tests/test_plans.py::test_minhash_sig_rows_matches_expression_form:
+
+    - ``split(text, ' ')`` keeps leading/trailing/adjacent empty tokens
+      (Java limit=-1 regex split ≡ Python ``str.split(' ')``);
+    - < 3 tokens ⇒ the single shingle joining ALL tokens
+      (sequence(0, greatest(n-3, 0)) = [0], slice takes what exists);
+    - NULL text ⇒ the [''] shingle, NOT a dropped row: size(NULL toks)
+      is NULL, greatest(NULL-3, 0) = 0, and concat_ws over the NULL
+      slice is '' (probed against the expression form — this is why
+      every doc, even NULL text, carries a signature, the invariant
+      llm_graph_pagerank's singleton path documents);
+    - NULL doc_id rows keep their NULL key through the aggregate.
+
+    The per-task shingle→hashes cache amortizes repeated shingles
+    (boilerplate-dense corpora); it is size-bounded so a 100 TB
+    partition cannot grow it without limit."""
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        salts = [f"{i}:".encode() for i in range(8)]
+        cache: dict = {}
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1)
+            out_id = []
+            out = [[] for _ in range(8)]
+            for j in range(b.num_rows):
+                t = texts[j].as_py()
+                if t is None:
+                    sh = {""}
+                else:
+                    toks = t.split(" ")
+                    n = len(toks)
+                    if n >= 3:
+                        sh = {" ".join(toks[i : i + 3]) for i in range(n - 2)}
+                    else:
+                        sh = {" ".join(toks)}
+                mins = [0x1_0000_0000] * 8  # > any 32-bit md5 prefix
+                for s in sh:
+                    vals = cache.get(s)
+                    if vals is None:
+                        sb = s.encode("utf-8")
+                        vals = [
+                            int.from_bytes(
+                                hashlib.md5(p + sb).digest()[:4], "big"
+                            )
+                            for p in salts
+                        ]
+                        if len(cache) > 1_000_000:
+                            cache.clear()
+                        cache[s] = vals
+                    for k in range(8):
+                        v = vals[k]
+                        if v < mins[k]:
+                            mins[k] = v
+                out_id.append(ids[j].as_py())
+                for k in range(8):
+                    out[k].append(mins[k])
+            yield pa.record_batch(
+                [pa.array(out_id, pa.int64())]
+                + [pa.array(c, pa.int64()) for c in out],
+                names=["doc_id"] + [f"sig{i}" for i in range(8)],
+            )
+
+    rows = d.select("doc_id", "text").mapInArrow(kernel, _SIG_ARROW_SCHEMA)
+    return rows.groupBy("doc_id").agg(
+        *[F.min(f"sig{i}").alias(f"sig{i}") for i in range(8)]
+    )
+
+
 @query(
     "llm_minhash_signature",
     oracle="""
@@ -1438,40 +1530,22 @@ def llm_minhash_signature(spark, sf_dir):
     cross-engine oracle because the hash family is the engine-independent
     md5 primitive rather than a JVM-internal hash. P[sig_i(A)=sig_i(B)] =
     J(A,B), so signature agreement rates estimate Jaccard; the LSH key
-    buckets these same signatures. One explode + one 8-way min aggregate
-    (map-side combinable, shuffle carries 8 longs per doc) — the linear
-    candidate-generation path at corpus scale."""
-    # spread the single-file scan BEFORE the hash projection (guide
-    # §2.5 input skew): the 8-salt md5 over every shingle is ~1.6 s of
-    # single-core work on the one scan task otherwise, and the doc_id
-    # hash partitioning is reused by the groupBy below — one exchange
-    # total (guide §2.4).
-    d = (
-        tables.spread(tables.load(spark, sf_dir, "documents"))
-        .withColumn("_toks", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
-                    " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
-                )
-            ).alias("s"),
-        )
-    )
-    def h(i):
-        return F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:".format(i=i)), F.col("s")).cast("binary")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"sig{i}".format(i=i))
-    return d.groupBy("doc_id").agg(*[h(i) for i in range(8)])
+    buckets these same signatures.
+
+    Optimization round 15 (guide §4.1/§4.2, VERDICT r14 item 3): the
+    shingle explode + 8-salt md5/conv/substring expression tree — ~8
+    interpreted md5 chains per shingle row, the measured ~2.3 s kernel
+    shared by the pagerank/estimate/incremental consumers — is replaced
+    by ``_minhash_sig_rows``, one mapInArrow pass (hashlib md5 is
+    byte-identical to ``F.md5``; same trick as ``srp_codes``). The
+    trailing groupBy(doc_id) min-aggregate is kept for exact duplicate-
+    doc_id semantics, but it now aggregates 8 longs per ROW instead of
+    8 salted hashes per SHINGLE row — the explode and the per-shingle
+    hashing are gone from the plan."""
+    # spread the single-file scan BEFORE the kernel (guide §2.5 input
+    # skew): the fixture arrives as ONE scan task otherwise.
+    d = tables.spread(tables.load(spark, sf_dir, "documents"))
+    return _minhash_sig_rows(d)
 
 
 @query(
@@ -1648,15 +1722,30 @@ def llm_incremental_dedup(spark, sf_dir):
     artifact touched, and it shuffles on band-bucket keys exactly like
     llm_dedup_minhash's self-join, minus the self part."""
     sig = llm_minhash_signature(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.col(f"sig{2 * b}").alias("k1"),
-            F.col(f"sig{2 * b + 1}").alias("k2"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Row→band melt as ONE explode, not a 4-way union of sig
+    # (optimization round 15, the band_bucket_pairs melt from r14): the
+    # union re-evaluated the signature subtree once per branch — after
+    # the Arrow signature kernel that is 4× the FULL 8-salt mapInArrow
+    # pass, because an opaque kernel cannot be column-pruned the way the
+    # old per-salt expression branches were (measured: the kernel
+    # rewrite REGRESSED this key 1.6→2.2 s under the union; the melt
+    # recovers it). One lineage also keeps the per-band rows of a doc in
+    # one partition under keyed inputs.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"sig{2 * b}").alias("k1"),
+                        F.col(f"sig{2 * b + 1}").alias("k2"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("doc_id", "_bb.band", "_bb.k1", "_bb.k2")
     # lazy: both join sides read the same materialized partitions; rows
     # are deterministic (min-aggregate signatures), so the single
     # consuming job can safely materialize it in place

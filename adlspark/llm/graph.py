@@ -190,7 +190,16 @@ def llm_graph_pagerank(spark, sf_dir):
     # ranks are exactly their class rank, expanded at the end.
     sig_cols = [f"sig{i}" for i in range(8)]
     sig = llm_minhash_signature(spark, sf_dir)
-    joined = docs.join(sig, "doc_id", "left")
+    # lazy checkpoint (round 15): joined feeds TWO union branches below
+    # (the isNotNull quotient and the defensive isNull singleton path),
+    # and each branch re-evaluated the whole signature subtree — after
+    # the Arrow kernel rewrite that is twice the full 8-salt mapInArrow
+    # pass, since an opaque kernel is not column-prunable the way the
+    # old per-salt expressions were. Rows are deterministic (doc_id +
+    # min-aggregate signatures), so racing consumer stages compute
+    # identical partitions; g's own materializing job computes this
+    # cache in place — no extra scheduler round-trip.
+    joined = docs.join(sig, "doc_id", "left").localCheckpoint(eager=False)
     # Sig-less docs (left-join miss) become SINGLETON classes, never one
     # merged all-NULL class: groupBy treats NULL keys as equal, and a
     # merged class of k ≥ 2 would get an internal self-edge — cycling

@@ -1055,3 +1055,69 @@ def test_bpe_local_trainer_matches_spark(spark, sf_dir):
         "d",
         "cd",
     ), got2
+
+
+def test_minhash_sig_rows_matches_expression_form(spark):
+    """_minhash_sig_rows (the round-15 Arrow salted-md5 signature
+    kernel) must reproduce the original explode + 8-salt md5 expression
+    form bit-for-bit on every corner: NULL text (the [''] shingle, not a
+    dropped row — size(NULL) is NULL so greatest(NULL-3,0)=0 and
+    concat_ws over a NULL slice is ''), empty text, <3-token docs (one
+    shingle joining all tokens), adjacent/leading/trailing separators
+    (empty tokens kept), unicode, duplicate doc_ids (merged by the
+    trailing min-aggregate), and NULL doc_id (one NULL-keyed row)."""
+    from pyspark.sql import functions as F
+
+    from adlspark.llm.dedup import _minhash_sig_rows
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "one"),
+        (4, "two words"),
+        (5, "a  b"),             # double space -> empty middle token
+        (6, " lead"),
+        (7, "trail "),
+        (8, "a b c d e f"),
+        (9, "ünï çödé tokens here"),
+        (10, "x y z"),
+        (10, "p q r s t"),       # duplicate doc_id: aggregate must merge
+        (None, "null id text here"),
+        (11, "a b c a b c a b c"),  # repeated shingles (distinct set)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+
+    exploded = d.withColumn("_toks", F.split("text", " ")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, greatest(size(_toks)-3, 0)),"
+                " i -> concat_ws(' ', slice(_toks, i+1, 3))))"
+            )
+        ).alias("s"),
+    )
+
+    def h(i):
+        return F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"sig{i}")
+
+    want_df = exploded.groupBy("doc_id").agg(*[h(i) for i in range(8)])
+    key = lambda r: (r["doc_id"] is None, r["doc_id"])
+    want = [tuple(r) for r in sorted(want_df.collect(), key=key)]
+    got_df = _minhash_sig_rows(d)
+    got = [tuple(r) for r in sorted(got_df.collect(), key=key)]
+    assert got == want, (got, want)
+    # schema parity with the old aggregate form (consumers select sig0..7)
+    assert got_df.columns == want_df.columns
+    assert [f.dataType.simpleString() for f in got_df.schema.fields] == [
+        f.dataType.simpleString() for f in want_df.schema.fields
+    ]
