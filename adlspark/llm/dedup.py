@@ -581,6 +581,15 @@ def near_dup(d, tau: float, saturation: float = PREFIX_DF_SATURATION,
     return minhash_lsh_pairs(d, tau, g=g)
 
 
+# Broadcast size gate for the CC label loop (round 15): a labels row is
+# two longs (~16 B framed), so 2M reps is a ~32 MB broadcast — well
+# under the guide §3.1 comfort band ("a few hundred MB is usually
+# fine") with a wide margin for the driver building one per round.
+# Above the cap the loop uses plain joins and lets AQE pick the
+# strategy — the 100 TB shape, where the quotient is corpus-sized and
+# broadcasting it would OOM the driver.
+LABEL_BROADCAST_CAP = 2_000_000
+
 PAIR_CHUNK = 512
 
 
@@ -1166,11 +1175,47 @@ def llm_dedup_cluster(spark, sf_dir):
     # that materializes each round's labels, so every round costs ONE
     # Spark job (checkpoint-then-agg was two; halved the fixed per-job
     # scheduling overhead that dominates the iteration at bench scale).
-    edges = pairs.select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
-    ).localCheckpoint(eager=False)
+    #
+    # Round-15 loop restructure (guide §2.4, VERDICT r14 item 2),
+    # measured interleaved at sf0.1 (probe logs in OPTIMIZATION_r15.md):
+    # 52 jobs -> 33 and the loop's per-round stage count drops, output
+    # bit-identical on the full sf0.1 corpus:
+    #
+    # 1. SELF-LOOP edges (gid -> gid for every node) replace the
+    #    per-round union-with-labels: min over in-neighbors' labels
+    #    including self IS min(label(n), min over neighbors) — the same
+    #    fixpoint iteration, one less scan+union per round.
+    # 2. The edge table is hash-partitioned on dst so the per-round
+    #    min-label aggregate needs NO exchange: the round joins labels
+    #    BROADCAST (size-gated below) with edges as the stream side,
+    #    which preserves the dst partitioning into groupBy(dst). The
+    #    repartition is planned with AQE momentarily OFF because an
+    #    AdaptiveSparkPlan hides its outputPartitioning from the
+    #    checkpoint's LogicalRDD (probed: the claim reads
+    #    UnknownPartitioning under AQE, hashpartitioning(dst, p)
+    #    without) — only this trivial scan->exchange subplan loses AQE;
+    #    the expensive candidate pipeline below it is checkpointed
+    #    FIRST, under AQE, unchanged.
+    # 3. labels/hop broadcasts are SIZE-GATED on the quotient row count
+    #    (taken from the same init job as the convergence total, not an
+    #    extra count): a rep-label row is two longs, so the cap keeps
+    #    broadcasts ~32 MB; above it the loop falls back to plain joins
+    #    — the 100 TB shape, where AQE picks the join strategy.
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_raw = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+        )
+        .unionByName(g.select(F.col("gid").alias("src"), F.col("gid").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = edges_raw.repartition(p, F.col("dst")).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
     labels = g.select(
         F.col("gid").alias("node"), F.col("gid").alias("label")
     ).localCheckpoint(eager=False)
@@ -1202,16 +1247,23 @@ def llm_dedup_cluster(spark, sf_dir):
     # aggregate per round instead of a full old-vs-new join.
     max_rounds = 50
     double_after = 3
-    prev_total = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("t")
-    ).collect()[0].t
+    # Fused init (round 15): the convergence total and the broadcast
+    # size gate come out of ONE aggregate job. A NULL-gid singleton (a
+    # null-keyed doc with NULL doc_id) contributes nothing to the sum
+    # and never equi-joins below — exactly as the old union form, whose
+    # NULL label row also dropped at the final members join.
+    init = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    prev_total, n_reps = init.t, init.n
+    small = n_reps <= LABEL_BROADCAST_CAP
     converged = False
     for rnd in range(max_rounds):
-        propagated = edges.join(
-            labels, edges.src == labels.node
-        ).select(F.col("dst").alias("node"), "label")
+        lab = F.broadcast(labels) if small else labels
         stepped = (
-            labels.unionByName(propagated)
+            edges.join(lab, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
@@ -1219,6 +1271,8 @@ def llm_dedup_cluster(spark, sf_dir):
             hop = stepped.select(
                 F.col("node").alias("_ln"), F.col("label").alias("_ll")
             )
+            if small:
+                hop = F.broadcast(hop)
             stepped = stepped.join(
                 hop, stepped.label == F.col("_ln")
             ).select(

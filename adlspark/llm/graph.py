@@ -271,6 +271,21 @@ def llm_graph_pagerank(spark, sf_dir):
         .select("src", "dst", (F.col("mult") / F.col("deg")).alias("w"))
         .localCheckpoint(eager=False)
     )
+    # Round 15 (guide §2.4, the llm_dedup_cluster loop restructure):
+    # hash-partition the cached edge weights on dst so each iteration's
+    # inflow aggregate (groupBy gid == dst) needs NO exchange when ranks
+    # ride in as a broadcast. The repartition subplan is planned with
+    # AQE momentarily OFF because AdaptiveSparkPlan hides its
+    # outputPartitioning from the checkpoint's LogicalRDD; only this
+    # trivial scan->exchange loses AQE — the expensive graph build above
+    # is checkpointed first, under AQE, unchanged.
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edge_w = edge_w.repartition(p, F.col("dst")).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
     # dangling classes: no incident edges at all (necessarily k == 1,
     # since k >= 2 classes carry their internal self edge). Their rank
     # trajectory is CLOSED-FORM (optimization round 14, guide §2.4):
@@ -294,12 +309,18 @@ def llm_graph_pagerank(spark, sf_dir):
 
     d = 0.85
     r_dang = 1.0 / n
+    # rank rows = quotient classes <= n docs; same broadcast size gate
+    # as the CC label loop (a rank row is a long + a double)
+    from adlspark.llm.dedup import LABEL_BROADCAST_CAP
+
+    small = n <= LABEL_BROADCAST_CAP
     ranks = g.select("gid", F.lit(1.0 / n).alias("rank"))
     for it in range(8):
         # dangling ⟹ k == 1, so class rank sum == member rank sum
         dm = n_dang * r_dang
+        rk = F.broadcast(ranks) if small else ranks
         contribs = (
-            ranks.join(edge_w, ranks.gid == edge_w.src)
+            edge_w.join(rk, ranks.gid == edge_w.src)
             .select(F.col("dst").alias("gid"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("gid")
             .agg(F.sum("c").alias("inflow"))
